@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{Canon, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2b groups A (sources/sinks) and B (row ops).
+  *
+  * Scale notes: every query is a declarative DataFrame plan — scans keep
+  * predicate pushdown + column pruning (verified via explain in
+  * ExplainSpec), and the temp-dir writes in a2–a4 model the snapshot
+  * write path (`mode("overwrite")`, partitionBy) that a materialized view
+  * uses at cluster scale.
+  */
+object CoreQueries {
+
+  /** A: parquet scan + projection + pushed filter. */
+  val a1ScanProject = Q(
+    "a1_scan_project",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+        .filter($"l_returnflag" === "R")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem WHERE l_returnflag = 'R'
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** A: CSV write + schema-on-read back (schema explicit, not inferred —
+    * inference would be a second full scan at 100 TB). */
+  val a2CsvRoundtrip = Q(
+    "a2_csv_roundtrip",
+    (s, dir) => {
+      val region = Tables(s, dir, "region")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a2_csv").toString
+      region.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(region.schema).option("header", "true").csv(tmp)
+        .orderBy("r_regionkey")
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"))
+
+  /** A: JSON write + schema-on-read back. */
+  val a3JsonRoundtrip = Q(
+    "a3_json_roundtrip",
+    (s, dir) => {
+      val nation = Tables(s, dir, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a3_json").toString
+      nation.write.mode("overwrite").json(tmp)
+      s.read.schema(nation.schema).json(tmp).orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
+
+  /** A: partitioned parquet snapshot write (overwrite = the Redis-MULTI
+    * analog, SURVEY §2a#8) + read-back aggregation. Partitioning by a
+    * low-cardinality column is the layout a 100 TB materialized view
+    * would use for partition pruning. */
+  val a4PartitionedWrite = Q(
+    "a4_partitioned_write",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a4_part").toString
+      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), Canon.dsumD($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** B: projection + computed columns (exact decimal staging, see Canon). */
+  val b1ProjectCompute = Q(
+    "b1_project_compute",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val rev = (Canon.dec($"l_extendedprice") * (lit(1) - Canon.dec($"l_discount")))
+        .cast("decimal(18,4)")
+      li.filter($"l_orderkey" % 7 === 0)
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          rev.cast("double").as("revenue"),
+          (rev * (lit(1) + Canon.dec($"l_tax"))).cast("decimal(18,6)")
+            .cast("double").as("charge"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+                   CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS DOUBLE) AS charge
+            FROM lineitem WHERE l_orderkey % 7 = 0
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** B: conjunctive/disjunctive predicates, IN, BETWEEN, LIKE. */
+  val b2FilterPredicates = Q(
+    "b2_filter_predicates",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .filter(
+          ($"o_orderstatus".isin("F", "O") &&
+            $"o_totalprice".between(1000, 5000) &&
+            $"o_orderpriority".like("1%")) ||
+            ($"o_orderpriority".like("3%") && $"o_totalprice" < 900))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE (o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 1000 AND 5000
+                   AND o_orderpriority LIKE '1%')
+               OR (o_orderpriority LIKE '3%' AND o_totalprice < 900)
+            ORDER BY o_orderkey"""))
+
+  /** B: explode / lateral over split tokens. */
+  val b3ExplodeTokens = Q(
+    "b3_explode_tokens",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .filter($"doc_id" < 100)
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+        .orderBy($"doc_id", $"token")
+    },
+    Some("""SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE doc_id < 100
+            ORDER BY doc_id, token"""))
+
+  /** B: the reference's bitmask expansion (SURVEY §2a#4) over fixture data —
+    * true 64-bit semantics via shiftleft(1L, i), pure built-ins (sequence/
+    * filter/explode), no custom Generator. `p_size` plays the mask role.
+    * Cites /root/reference/src/plan-processor.ts:55-57. */
+  val b4BitmaskExplode = Q(
+    "b4_bitmask_explode",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "part")
+        .select($"p_partkey", $"p_size".cast("long").as("mask"))
+        .withColumn("bit",
+          explode(expr("filter(sequence(0, 63), i -> (shiftleft(1L, i) & mask) != 0)")))
+        .select($"p_partkey", $"bit".cast("long").as("bit"),
+          expr("shiftleft(1L, bit)").as("plan_id"))
+        .orderBy($"p_partkey", $"bit")
+    },
+    // DuckDB raises on the well-defined-in-Spark `1::BIGINT << 63`, so the
+    // oracle enumerates bits 0..62 (p_size < 2^31, so nothing is lost);
+    // bit 63 is exercised oracle-side in the M3 plan pipeline.
+    Some("""SELECT p_partkey, i AS bit, (1::BIGINT << i) AS plan_id
+            FROM part, range(63) t(i)
+            WHERE ((1::BIGINT << i) & p_size) != 0
+            ORDER BY p_partkey, bit"""))
+
+  /** F: global sort + limit (top-k): total order via unique tiebreak key. */
+  val f1TopkGlobal = Q(
+    "f1_topk_global",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  def all: Seq[Q] = Seq(
+    a1ScanProject, a2CsvRoundtrip, a3JsonRoundtrip, a4PartitionedWrite,
+    b1ProjectCompute, b2FilterPredicates, b3ExplodeTokens, b4BitmaskExplode,
+    f1TopkGlobal)
+}
