@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Registry over the driver-generated fixture tables (TESTDATA.md).
   *
@@ -15,9 +16,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one fixture table as a DataFrame. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load one fixture table as a DataFrame.
+    *
+    * `events.ts` is physically Parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a
+    * raw nanosecond Long (legacy conf) and truncate to a microsecond
+    * TimestampType — every fixture timestamp is ms-aligned, so nothing
+    * observable is lost and DuckDB comparisons stay exact.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
 
   /** Register every fixture table as a temp view (for spark.sql queries). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -49,5 +49,118 @@ object AggQueries {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
-  def all: Seq[Q] = Seq(d1Pricing)
+  /** D: distinct over a projection. */
+  val d2Distinct = Q(
+    "d2_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** D: count-distinct (expanded by RewriteDistinctAggregates). */
+  val d3CountDistinct = Q(
+    "d3_count_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_suppkey").as("n_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+                   count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** D: rollup — subtotal rows surfaced via coalesce sentinel. */
+  val d4Rollup = Q(
+    "d4_rollup",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), Canon.dsumD($"o_totalprice").as("sum_price"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"sum_price")
+        .orderBy($"status", $"priority")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""))
+
+  /** D: cube. */
+  val d5Cube = Q(
+    "d5_cube",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), Canon.dsumD($"l_quantity").as("sum_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("ALL")).as("flag"),
+          coalesce($"l_linestatus", lit("ALL")).as("status"),
+          $"n", $"sum_qty")
+        .orderBy($"flag", $"status")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                   coalesce(l_linestatus, 'ALL') AS status,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY flag, status"""))
+
+  /** D: explicit GROUPING SETS through the SQL surface (spark.sql). */
+  val d6GroupingSets = Q(
+    "d6_grouping_sets",
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                      coalesce(o_orderpriority, 'ALL') AS priority,
+                      count(*) AS n
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY status, priority""")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY status, priority"""))
+
+  /** D: collect_list nesting (§2a#6) — order pinned with sort_array, since
+    * post-shuffle collect order is nondeterministic by design. Rendered as
+    * CSV so DuckDB's string_agg can oracle it. */
+  val d7CollectNested = Q(
+    "d7_collect_nested",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_orderkey" < 3000)
+        .groupBy($"l_orderkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list($"l_linenumber"))).as("lines"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_orderkey")
+    },
+    Some("""SELECT l_orderkey,
+                   string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines,
+                   count(*) AS n
+            FROM lineitem WHERE l_orderkey < 3000
+            GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  def all: Seq[Q] = Seq(
+    d1Pricing, d2Distinct, d3CountDistinct, d4Rollup, d5Cube,
+    d6GroupingSets, d7CollectNested)
 }

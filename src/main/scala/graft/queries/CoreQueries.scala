@@ -164,8 +164,75 @@ object CoreQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
 
+  /** F: top-k per group — window row_number + filter (the composable form;
+    * Spark's TakeOrderedAndProject kicks in for the global case in f1). */
+  val f2TopkPerGroup = Q(
+    "f2_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"c_nationkey", $"rn", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_nationkey", $"rn")
+    },
+    Some("""SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer) t
+            WHERE rn <= 3 ORDER BY c_nationkey, rn"""))
+
+  /** F: UNION ALL then re-aggregate. */
+  val f3UnionAll = Q(
+    "f3_union_all",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        .unionAll(Tables(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT nationkey, count(*) AS n FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey FROM supplier) t
+            GROUP BY nationkey ORDER BY nationkey"""))
+
+  /** F: INTERSECT (distinct semantics). */
+  val f4Intersect = Q(
+    "f4_intersect",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        .intersect(Tables(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  /** F: EXCEPT (distinct semantics) — customers with orders but none
+    * above 300k (non-empty at every fixture SF). */
+  val f5Except = Q(
+    "f5_except",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      orders.select($"o_custkey")
+        .except(orders.filter($"o_totalprice" > 300000).select($"o_custkey"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            ORDER BY o_custkey"""))
+
   def all: Seq[Q] = Seq(
     a1ScanProject, a2CsvRoundtrip, a3JsonRoundtrip, a4PartitionedWrite,
     b1ProjectCompute, b2FilterPredicates, b3ExplodeTokens, b4BitmaskExplode,
-    f1TopkGlobal)
+    f1TopkGlobal, f2TopkPerGroup, f3UnionAll, f4Intersect, f5Except)
 }
