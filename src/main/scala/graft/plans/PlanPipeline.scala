@@ -1,8 +1,130 @@
 package graft.plans
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
-/** SURVEY §2a reference-semantics layer (M3). Filled in M3. */
+/** SURVEY §2a reference-semantics layer (M3) — the plan-service ETL
+  * re-expressed as one declarative Spark plan.
+  *
+  * Reference behavior (cited):
+  *   - bitmask expansion: bit i of `plan_groups.mask` set ⟺ plan `2^i`
+  *     belongs to the group (`/root/reference/src/plan-processor.ts:55-57`);
+  *   - key-lookup join, silently dropping missing plan ids
+  *     (`plan-processor.ts:58-64`);
+  *   - nested `group.plans` array in bit order (`plan-processor.ts:52,62`);
+  *   - full 64-bit semantics on purpose: the reference's JS `1 << i` breaks
+  *     for bits 31–63 (SURVEY §1.1) — we use true Long `shiftleft`, so bit
+  *     63 maps to Long.MinValue and behaves like any other bit.
+  *
+  * Scale design: the reference does O(groups × 64) sequential point reads;
+  * here expansion is a generator over each group row (no shuffle), the
+  * plan lookup is a broadcast hash join (`plans` can hold at most 63 rows
+  * — ids are distinct powers of two in a signed 64-bit Long), and nesting
+  * is one hash aggregation on the group key. One shuffle total, any
+  * number of groups.
+  *
+  * The fixture-derived inputs: `plans` from `nation` (id = 2^n_nationkey),
+  * `plan_groups` from `supplier` with a hash-spread mask over bits 0–24,
+  * plus bit 31 (suppkey % 5 = 0) and bit 63 (suppkey % 7 = 0) which
+  * reference no plan — exercising the silent-drop path at high bits.
+  */
 object PlanPipeline {
-  def all: Seq[Q] = Seq.empty
+
+  /** plans dimension: id (power of two), title, optional payload. */
+  def plansFrom(nation: DataFrame): DataFrame =
+    nation.select(
+      expr("shiftleft(CAST(1 AS BIGINT), n_nationkey)").as("id"),
+      col("n_name").as("title"),
+      concat(lit("opt-"), col("n_name")).as("optional"))
+
+  /** plan_groups: gid, title, 64-bit mask (bits 0–24 + edge bits 31/63). */
+  def groupsFrom(supplier: DataFrame): DataFrame =
+    supplier
+      .withColumn("m0",
+        (col("s_suppkey") * lit(2654435L) + col("s_nationkey")) % lit(33554432L))
+      .withColumn("m1",
+        when(col("s_suppkey") % 5 === 0, col("m0").bitwiseOR(lit(2147483648L)))
+          .otherwise(col("m0")))
+      .withColumn("mask",
+        when(col("s_suppkey") % 7 === 0, col("m1").bitwiseOR(lit(Long.MinValue)))
+          .otherwise(col("m1")))
+      .select(col("s_suppkey").as("gid"), col("s_name").as("gtitle"), col("mask"))
+
+  /** The §2a#4–#6 pipeline: expand mask bits → broadcast-join plans
+    * (inner: missing ids silently dropped) → nest in bit order.
+    * Groups with no surviving plans keep a row with an empty list
+    * (the reference materializes `plans: []` too). */
+  def groupEntities(plans: DataFrame, groups: DataFrame): DataFrame = {
+    val exploded = groups
+      .withColumn("bit",
+        explode(expr("filter(sequence(0, 63), i -> (shiftleft(CAST(1 AS BIGINT), i) & mask) != 0)")))
+      .withColumn("plan_id", expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+
+    val nested = exploded
+      .join(broadcast(plans), exploded("plan_id") === plans("id")) // inner = drop misses
+      .groupBy(col("gid"))
+      .agg(
+        count(lit(1)).as("n_plans"),
+        // pin bit order under shuffle: sort (bit, title) pairs, then project
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("bit"), col("title")))),
+            p => p.getField("title"))).as("plan_titles"))
+
+    groups.join(nested, Seq("gid"), "left")
+      .select(
+        col("gid"), col("gtitle").as("title"), col("mask"),
+        coalesce(col("n_plans"), lit(0L)).as("n_plans"),
+        coalesce(col("plan_titles"), lit("")).as("plan_titles"))
+  }
+
+  /** M3: the plans materialized view (§2a#1,#3,#9). */
+  val m3Plans = Q(
+    "m3_plan_entities",
+    (s, dir) => plansFrom(Tables(s, dir, "nation")).orderBy(col("id")),
+    Some("""SELECT (1::BIGINT << n_nationkey) AS id, n_name AS title,
+                   'opt-' || n_name AS optional
+            FROM nation ORDER BY id"""))
+
+  /** M3: the full group-entity pipeline (§2a#4,#5,#6). */
+  val m3Groups = Q(
+    "m3_plan_group_entities",
+    (s, dir) => {
+      val out = groupEntities(
+        plansFrom(Tables(s, dir, "nation")),
+        groupsFrom(Tables(s, dir, "supplier")))
+      out.orderBy(col("gid"))
+    },
+    Some("""WITH plans AS (
+              SELECT (1::BIGINT << n_nationkey) AS id, n_name AS title FROM nation
+            ), groups AS (
+              SELECT s_suppkey AS gid, s_name AS title,
+                     CASE WHEN s_suppkey % 7 = 0 THEN m1 | (-9223372036854775807 - 1)
+                          ELSE m1 END AS mask
+              FROM (SELECT s_suppkey, s_name,
+                           CASE WHEN s_suppkey % 5 = 0 THEN m0 | 2147483648 ELSE m0 END AS m1
+                    FROM (SELECT s_suppkey, s_name,
+                                 (s_suppkey * 2654435 + s_nationkey) % 33554432 AS m0
+                          FROM supplier) t0) t1
+            ), bits AS (
+              SELECT gid, mask, i AS bit,
+                     CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                          ELSE (1::BIGINT << i) END AS plan_id
+              FROM groups, range(64) t(i)
+              WHERE (mask & (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                                  ELSE (1::BIGINT << i) END)) != 0
+            ), nested AS (
+              SELECT b.gid, count(*) AS n_plans,
+                     string_agg(p.title, ',' ORDER BY b.bit) AS plan_titles
+              FROM bits b JOIN plans p ON b.plan_id = p.id
+              GROUP BY b.gid
+            )
+            SELECT g.gid, g.title, g.mask,
+                   coalesce(n.n_plans, 0) AS n_plans,
+                   coalesce(n.plan_titles, '') AS plan_titles
+            FROM groups g LEFT JOIN nested n ON g.gid = n.gid
+            ORDER BY g.gid"""))
+
+  def all: Seq[Q] = Seq(m3Plans, m3Groups)
 }

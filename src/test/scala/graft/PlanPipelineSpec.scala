@@ -1,0 +1,59 @@
+package graft
+
+import graft.plans.{Counter, PlanPipeline}
+import org.apache.spark.sql.functions._
+
+/** Reference-semantics tests (SURVEY §5.2): mask edge cases under true
+  * 64-bit arithmetic — bit 0, bit 30, bit 31, bit 63, zero mask, missing
+  * plan id, multi-bit ordering. */
+class PlanPipelineSpec extends SparkSpec {
+
+  test("bitmask pipeline edge cases: bits 0/30/31/63, zero mask, missing plan, order") {
+    import spark.implicits._
+    val plans = Seq(
+      (1L, "p0", "o0"),                    // bit 0
+      (1L << 30, "p30", "o30"),            // bit 30
+      (1L << 31, "p31", "o31"),            // bit 31 — broken in the reference's JS, works here
+      (Long.MinValue, "p63", "o63")        // bit 63 (sign bit)
+    ).toDF("id", "title", "optional")
+
+    val groups = Seq(
+      (1L, "g_bit0", 1L),
+      (2L, "g_bit30_31", (1L << 30) | (1L << 31)),
+      (3L, "g_bit63", Long.MinValue),
+      (4L, "g_zero", 0L),
+      (5L, "g_missing", 1L | (1L << 7)),   // bit 7 has no plan -> dropped
+      (6L, "g_multi", 1L | (1L << 31) | Long.MinValue)
+    ).toDF("gid", "gtitle", "mask")
+
+    val got = PlanPipeline.groupEntities(plans, groups)
+      .collect().map(r => r.getAs[String]("title") ->
+        (r.getAs[Long]("n_plans"), r.getAs[String]("plan_titles"))).toMap
+
+    assert(got("g_bit0") == (1L, "p0"))
+    assert(got("g_bit30_31") == (2L, "p30,p31"))
+    assert(got("g_bit63") == (1L, "p63"))
+    assert(got("g_zero") == (0L, ""))          // empty group still materialized
+    assert(got("g_missing") == (1L, "p0"))     // silent drop of id 128
+    assert(got("g_multi") == (3L, "p0,p31,p63")) // bit order pinned
+  }
+
+  test("fixture-derived pipeline: every supplier yields a group row") {
+    val supplier = Tables(spark, sf, "supplier")
+    val out = plans.PlanPipeline.m3Groups.run(spark, sf)
+    assert(out.count() == supplier.count())
+    // at least one group exercises the dropped high bits
+    assert(out.filter(col("mask") < 0).count() > 0) // bit 63 present
+  }
+
+  test("counter: get-default, set, incr, decr, persistence across instances") {
+    val path = java.nio.file.Files.createTempDirectory("graft_counter").toString + "/c"
+    val c = new Counter(spark, path)
+    assert(c.get() == 0L)           // absent reads as 0 (plan-server.ts:80-82)
+    assert(c.set(41L) == 41L)
+    assert(c.incr() == 42L)
+    assert(c.decr() == 41L)
+    val c2 = new Counter(spark, path) // fresh handle, same snapshot
+    assert(c2.get() == 41L)
+  }
+}
