@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (SURVEY §2b L).
+  *
+  * Scale design, common to all of them: NOTHING here compares documents
+  * pairwise across the full corpus. Candidates come from equality joins
+  * on derived keys (shingle hash, LSH band, simhash band) — the only
+  * shuffles are hash-partitioned on those keys, so the cost is
+  * O(candidates), not O(n²). That is the property that survives 100 TB;
+  * a crossJoin-based dedup does not.
+  */
+object Dedup {
+
+  /** Exact dedup = hash aggregation on the content key: keeps the
+    * smallest id per distinct value and counts copies. */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of a token array (higher-order fns, no UDF). */
+  def shingles(tokens: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(n))))
+
+  /** k seeded minhashes of a shingle array: min over shingles of
+    * xxhash64(shingle, seed). */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  /** LSH banding: hash each of `bands` contiguous `rowsPerBand`-slices of
+    * the signature into a bucket key. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      i => xxhash64(slice(sig, i * rowsPerBand + 1, lit(rowsPerBand)), i))
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)) / lit(k.toDouble)
+
+  /** MinHash + LSH near-duplicate candidate pairs.
+    *
+    * docs(idCol, textCol) → (id_a, id_b, est_jaccard) with id_a < id_b and
+    * est_jaccard >= threshold. Deterministic (seeded xxhash64 throughout).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(split(col(textCol), " "), shingleN), k).as("sig"))
+
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band", "bkey")))
+
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle —
+    * the shingle-equality join IS the candidate pruning (no cross join).
+    * Integer intersection/union counts, one double division: exact in any
+    * engine, so this one is DuckDB-oracle-checkable. */
+  def ngramJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"),
+        explode(shingles(split(col(textCol), " "), shingleN)).as("s"))
+      .distinct()
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sets.as("x").join(sets.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard", col("ni") / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of a token array: per-bit votes weighted by token
+    * hash. Row-local UDF (no state, no shuffle); a custom codegen
+    * Expression would only matter if profiling shows this dominating. */
+  val simhash64 = udf { (tokens: Seq[String]) =>
+    if (tokens == null) 0L
+    else {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        // xxhash-free deterministic 64-bit string hash (FNV-1a)
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+      out
+    }
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
+    * bands; pairs agreeing on any band (≤3 bit flips always survive by
+    * pigeonhole) are candidates; exact Hamming distance filters. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = docs.select(
+      col(idCol).as("id"),
+      simhash64(split(col(textCol), " ")).as("sh"))
+    val banded = hashed.select(
+      col("id"), col("sh"),
+      explode(expr(
+        "transform(sequence(0, 3), i -> struct(i AS band, (shiftright(sh, i * 16) & 65535) AS bkey))"))
+        .as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

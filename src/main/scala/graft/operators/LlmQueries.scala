@@ -1,8 +1,217 @@
 package graft.operators
 
-import graft.Q
+import graft.functions.VectorFunctions
+import graft.sources.Multimodal
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** SURVEY §2b group L — LLM-pipeline operators. Filled in M5. */
+/** SURVEY §2b group L — the LLM training-data pipeline operators, as
+  * declared queries. Oracle-checkable ones (integer/exact-ratio math)
+  * carry DuckDB SQL; the hash-seeded ones (minhash LSH, simhash, LSH
+  * ANN) are rows-only here and exactness-checked in DedupSpec /
+  * SimilaritySpec against brute-force oracles.
+  */
 object LlmQueries {
-  def all: Seq[Q] = Seq.empty
+
+  /** L: exact dedup by hash aggregation — corpus doubled, so every text
+    * has exactly 2 copies and dedup provably collapses them. */
+  val l1ExactDedup = Q(
+    "l1_exact_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.exact(docs.unionAll(docs), "text", "doc_id")
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents) t
+            GROUP BY text ORDER BY doc_id"""))
+
+  /** L: MinHash + LSH near-dup candidates (seeded xxhash64 — not
+    * SQL-oracle-able; DedupSpec checks recall against exact jaccard). */
+  val l2MinhashLsh = Q(
+    "l2_minhash_lsh",
+    (s, dir) => Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** L: SimHash fingerprints + near-dup pairs by Hamming distance. */
+  val l3Simhash = Q(
+    "l3_simhash",
+    (s, dir) => Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+      maxHamming = 12)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** L: exact 3-gram Jaccard over shingle-join candidates — integer
+    * set sizes, one division: engine-exact, fully oracle-checked. */
+  val l4NgramJaccard = Q(
+    "l4_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccard(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 2, 1)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+                           FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+                           GROUP BY 1, 2)
+            SELECT id_a, id_b, round(ni * 1.0 / (na.n + nb.n - ni), 6) AS jaccard
+            FROM inter
+            JOIN sizes na ON id_a = na.doc_id
+            JOIN sizes nb ON id_b = nb.doc_id
+            WHERE ni * 1.0 / (na.n + nb.n - ni) >= 0.5
+            ORDER BY id_a, id_b"""))
+
+  /** L: exact cosine top-3 neighbors per vector — integer-quantized
+    * dot/norms so the DuckDB oracle is bit-identical. */
+  val l5CosineTopk = Q(
+    "l5_cosine_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb, 3).orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH scored AS (
+              SELECT e1.vec_id AS qid, e2.vec_id AS nid,
+                     (list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
+                           * CAST(round(e2.embedding[i] * 1000) AS BIGINT))) * 1.0)
+                     / sqrt((list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
+                             * CAST(round(e1.embedding[i] * 1000) AS BIGINT)))
+                        * list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(round(e2.embedding[i] * 1000) AS BIGINT)
+                             * CAST(round(e2.embedding[i] * 1000) AS BIGINT)))) * 1.0)
+                     AS cos
+              FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id != e2.vec_id),
+            ranked AS (
+              SELECT qid, nid, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+              FROM scored)
+            SELECT qid, rank, nid, round(cos, 6) AS cos
+            FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
+
+  /** L: embedding-cosine near-duplicate pairs (threshold on exact
+    * quantized cosine — the "same content, different encode" detector). */
+  val l6CosineNearDup = Q(
+    "l6_cosine_neardup",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .withColumn("cos", VectorFunctions.cosineScaled(col("va"), col("vb")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+                   round((list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
+                           * CAST(round(e2.embedding[i] * 1000) AS BIGINT))) * 1.0)
+                   / sqrt((list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
+                           * CAST(round(e1.embedding[i] * 1000) AS BIGINT)))
+                      * list_sum(list_transform(generate_series(1, 64),
+                        i -> CAST(round(e2.embedding[i] * 1000) AS BIGINT)
+                           * CAST(round(e2.embedding[i] * 1000) AS BIGINT)))) * 1.0), 6) AS cos
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE (list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
+                        * CAST(round(e2.embedding[i] * 1000) AS BIGINT))) * 1.0)
+                  / sqrt((list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
+                          * CAST(round(e1.embedding[i] * 1000) AS BIGINT)))
+                     * list_sum(list_transform(generate_series(1, 64),
+                       i -> CAST(round(e2.embedding[i] * 1000) AS BIGINT)
+                          * CAST(round(e2.embedding[i] * 1000) AS BIGINT)))) * 1.0) >= 0.4
+            ORDER BY id_a, id_b"""))
+
+  /** L: per-document quality stats — integer counts + exact ratios. */
+  val l7TextQuality = Q(
+    "l7_text_quality",
+    (s, dir) => TextAnalysis.qualityStats(Tables(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"), col("n_punct"),
+        col("n_nonalpha"), col("n_stop"), col("avg_tok_len"), col("stop_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS n_nonalpha,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS INT) AS n_stop,
+                   round((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                         / len(string_split(text, ' ')), 6) AS avg_tok_len,
+                   round(len(list_filter(string_split(text, ' '),
+                        x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) * 1.0
+                         / len(string_split(text, ' ')), 6) AS stop_ratio
+            FROM documents ORDER BY doc_id"""))
+
+  /** L: language ID heuristic (fixed stopword profiles; spec-checked). */
+  val l8LangId = Q(
+    "l8_langid",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"), col("lang"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** L: FNV-1a content fingerprint (spec-checked determinism). */
+  val l9Fingerprint = Q(
+    "l9_fingerprint",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** L: tf-idf top term per document (ln is libm-rounded identically on
+    * identical doubles; ties break on term). */
+  val l10Tfidf = Q(
+    "l10_tfidf_topterm",
+    (s, dir) => TextAnalysis.tfidfTopTerm(Tables(s, dir, "documents"), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+                 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+                 df AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) t GROUP BY tok),
+                 n AS (SELECT count(*) AS n FROM documents),
+                 scored AS (SELECT doc_id, tok, tf * ln(n.n * 1.0 / df) AS score
+                            FROM tf JOIN df USING (tok), n),
+                 ranked AS (SELECT doc_id, tok, score,
+                                   row_number() OVER (PARTITION BY doc_id
+                                                      ORDER BY score DESC, tok) AS rn
+                            FROM scored)
+            SELECT doc_id, tok AS top_term, round(score, 6) AS score
+            FROM ranked WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** L: multimodal binary payload plumbing — pack → decode-stub →
+    * metadata; md5 proves byte-exact binary round-trip in both engines. */
+  val l11Multimodal = Q(
+    "l11_multimodal",
+    (s, dir) => {
+      val packed = Multimodal.pack(Tables(s, dir, "documents"), "text")
+      Multimodal.decodeStub(packed)
+        .select(col("doc_id"), col("media.n_bytes").as("n_bytes"),
+          md5(col("media.content")).as("content_md5"),
+          col("width"), col("height"), col("byte_sum"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   md5(text) AS content_md5,
+                   16 + octet_length(CAST(text AS BLOB)) % 64 AS width,
+                   16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS height,
+                   CAST(list_sum(list_transform(generate_series(1, CAST(octet_length(CAST(text AS BLOB)) AS INT)),
+                        i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_sum
+            FROM documents ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(
+    l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
+    l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
+    l11Multimodal)
 }

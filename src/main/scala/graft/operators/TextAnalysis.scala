@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline (SURVEY §2b L): quality
+  * scoring, language ID, token counting, fingerprinting, tf-idf.
+  * Everything except the fingerprint UDF is built-ins (codegen'd); all of
+  * it is row-local or single-shuffle aggregation — no driver loops.
+  */
+object TextAnalysis {
+
+  /** Per-document quality stats: lengths, token counts, punctuation and
+    * non-alpha ratios, stopword ratio. Ratios are single divisions of
+    * exact integers — engine-exact. */
+  def qualityStats(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val stop = array(Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with").map(lit): _*)
+    docs.withColumns(Map(
+      "n_chars_m" -> length(t),
+      "n_tokens" -> size(toks),
+      "n_punct" -> (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))),
+      "n_nonalpha" -> (length(t) - length(regexp_replace(t, "[^a-zA-Z ]", ""))),
+      "n_stop" -> size(filter(toks, x => array_contains(stop, x))),
+      "avg_tok_len" -> round(
+        (length(t) - size(toks) + 1).cast("double") / size(toks), 6),
+      "stop_ratio" -> round(
+        size(filter(toks, x => array_contains(stop, x))).cast("double") / size(toks), 6)))
+  }
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den", "mit", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "est", "en", "que"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "为"))
+
+  /** Heuristic language ID: stopword-hit score per language, argmax with
+    * a fixed preference order on ties ('und' = undetermined when no
+    * stopword hits at all). Deterministic. */
+  def langId(textCol: Column): Column = {
+    val toks = split(lower(textCol), " ")
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, x => array_contains(array(words.map(lit): _*), x)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, sc), els) =>
+      when(sc > 0 && sc === best, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Rolling 64-bit FNV-1a document fingerprint — the exact-content
+    * identity for dedup ledgers; row-local UDF, wrapping arithmetic is
+    * well-defined on Long. */
+  val fingerprint = udf { (text: String) =>
+    if (text == null) 0L
+    else {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < text.length) {
+        h ^= text.charAt(i).toLong
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+  }
+
+  /** Per-document top term by tf-idf (ln(N/df)); ties broken by term. */
+  def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select("id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("tok").as("top_term"), round(col("score"), 6).as("score"))
+  }
+}
