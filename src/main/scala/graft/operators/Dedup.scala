@@ -27,11 +27,35 @@ object Dedup {
       i => concat_ws(" ", slice(tokens, i, lit(n))))
 
   /** k seeded minhashes of a shingle array: min over shingles of
-    * xxhash64(shingle, seed). */
+    * xxhash64(shingle, seed). Pure-built-ins reference form — correct but
+    * interpreted (k × |shingles| boxed lambda evals per row); the hot
+    * path uses [[minhashSignatureFast]]. */
   def minhashSignature(sh: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       s => array_min(transform(sh, x => xxhash64(x, s))))
+
+  /** Tight-loop signature UDF: FNV-1a base hash per shingle (computed
+    * once), then k splitmix64-style seed mixes — one JVM call per row,
+    * all primitive arithmetic. Deterministic (fixed constants). */
+  def minhashSignatureFast(k: Int) = udf { (shingles: Seq[String]) =>
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (shingles != null) shingles.foreach { s =>
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      var seed = 0
+      while (seed < k) {
+        var z = h + 0x9e3779b97f4a7c15L * (seed + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= z >>> 31
+        if (z < sig(seed)) sig(seed) = z
+        seed += 1
+      }
+    }
+    sig.toSeq
+  }
 
   /** LSH banding: hash each of `bands` contiguous `rowsPerBand`-slices of
     * the signature into a bucket key. */
@@ -58,9 +82,14 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = docs.select(
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    // repartition (with an EXPLICIT count — AQE would coalesce a
+    // small-byte shuffle to one task) before the per-row signature work:
+    // a small single-file scan is ONE task otherwise (a parquet row
+    // group can't be split), and row-local compute must spread
+    val sigs = docs.repartition(n, col(idCol)).select(
       col(idCol).as("id"),
-      minhashSignature(shingles(split(col(textCol), " "), shingleN), k).as("sig"))
+      minhashSignatureFast(k)(shingles(split(col(textCol), " "), shingleN)).as("sig"))
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -69,11 +98,15 @@ object Dedup {
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
 
-    a.join(b, Seq("band", "bkey"))
+    a.repartition(n, col("band"), col("bkey"))
+      .join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      // dedup candidate PAIRS first: a pair colliding in m bands would
+      // otherwise be signature-compared m times
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), k).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -137,9 +170,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val hashed = docs.select(
-      col(idCol).as("id"),
-      simhash64(split(col(textCol), " ")).as("sh"))
+    val hashed = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol).as("id"),
+        simhash64(split(col(textCol), " ")).as("sh"))
     val banded = hashed.select(
       col("id"), col("sh"),
       explode(expr(

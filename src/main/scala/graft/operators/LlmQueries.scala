@@ -102,10 +102,15 @@ object LlmQueries {
     "l6_cosine_neardup",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("na"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("cos", VectorFunctions.cosineScaled(col("va"), col("vb")))
+        .withColumn("cos",
+          when(col("na") === 0 || col("nb") === 0, lit(0.0))
+            .otherwise(VectorFunctions.dotScaledFast(col("va"), col("vb")).cast("double") /
+              sqrt((col("na") * col("nb")).cast("double"))))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))

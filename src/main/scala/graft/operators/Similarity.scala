@@ -20,13 +20,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact top-k neighbors (cosineScaled for cross-engine determinism).
-    * Excludes self-matches. */
+  /** Exact top-k neighbors (scaled-integer cosine for cross-engine
+    * determinism). Excludes self-matches.
+    *
+    * Norms are computed ONCE per vector before the pairwise join — the
+    * pairwise hot loop does a single dot product instead of re-deriving
+    * both norms per pair (3× less work, and the shape that matters when
+    * the pair count is |Q|·|C|). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val dotF = VectorFunctions.dotScaledFast
+    val n = queries.sparkSession.sparkContext.defaultParallelism
+    // spread the pairwise work: a single-file scan is one task, and an
+    // EXPLICIT partition count is required — AQE's coalescer folds a
+    // small-byte shuffle back to one task even when the per-row compute
+    // downstream is the actual cost
+    val q = queries.repartition(n, col("vec_id")).select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      dotF(col("embedding"), col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      dotF(col("embedding"), col("embedding")).as("nn"))
     val scored = q.join(broadcast(c), col("qid") =!= col("nid"))
-      .withColumn("cos", VectorFunctions.cosineScaled(col("qv"), col("nv")))
+      .withColumn("cos",
+        when(col("qn") === 0 || col("nn") === 0, lit(0.0))
+          .otherwise(dotF(col("qv"), col("nv")).cast("double") /
+            sqrt((col("qn") * col("nn")).cast("double"))))
+      // shed the vectors BEFORE the window shuffle: 30× fewer bytes moved
+      .select(col("qid"), col("nid"), col("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -83,15 +102,23 @@ object Similarity {
             s"transform(sequence(0, ${bands - 1}), i -> shiftright(sig, i * $bitsPerBand) & ${(1 << bitsPerBand) - 1})"))
             .as(Seq("band", "bkey")))
 
+    val n = queries.sparkSession.sparkContext.defaultParallelism
     val q = banded(queries, "qid", "qv")
     val c = banded(corpus, "nid", "nv")
-    val candidates = q.join(c, Seq("band", "bkey"))
+    val candidates = q.repartition(n, col("band"), col("bkey"))
+      .join(c, Seq("band", "bkey"))
       .filter(col("qid") =!= col("nid"))
       .select("qid", "qv", "nid", "nv").distinct()
+      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
+      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     candidates
-      .withColumn("cos", VectorFunctions.cosineScaled(col("qv"), col("nv")))
+      .withColumn("cos",
+        when(col("qn") === 0 || col("nn") === 0, lit(0.0))
+          .otherwise(VectorFunctions.dotScaledFast(col("qv"), col("nv")).cast("double") /
+            sqrt((col("qn") * col("nn")).cast("double"))))
+      .select(col("qid"), col("nid"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))

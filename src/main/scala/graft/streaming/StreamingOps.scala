@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2b group S).
+  *
+  * Each transform takes a (possibly streaming) DataFrame and returns the
+  * aggregated streaming plan; callers pick source (`readStream` /
+  * MemoryStream) and sink. State stays in the streaming state store —
+  * partitioned by group key, so it scales horizontally; watermarks bound
+  * state size (late data beyond the watermark is dropped, matching the
+  * declared semantics, and state for closed windows is evicted).
+  */
+object StreamingOps {
+
+  /** Tumbling window counts with a watermark (append mode: a window is
+    * emitted once finalized by the watermark, then its state is freed). */
+  def tumblingCounts(events: DataFrame, window_ : String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Sliding window counts. */
+  def slidingCounts(events: DataFrame, window_ : String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** Session windows per user (30-min gap by default). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"))
+
+  /** Stream dedup within the watermark horizon (bounded state). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** The §2a#10 counter at scale: a ±1 delta stream folded into one
+    * running value per counter key via mapGroupsWithState — exactly-once
+    * state updates, emitted in update mode. */
+  def runningCounter(deltas: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, values: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val cur = state.getOption.getOrElse(0L) + values.map(_._2).sum
+          state.update(cur)
+          (key, cur)
+      }
+  }
+}

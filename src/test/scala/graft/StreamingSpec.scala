@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming behavior tests (SURVEY §5.2): watermark late-data drop,
+  * windowed aggregation, session merge, stream dedup, stateful counter —
+  * all via MemoryStream so the event-time clock is fully controlled. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  private def runBatches[T](name: String, stream: MemoryStream[T],
+      out: org.apache.spark.sql.DataFrame, mode: String)(batches: Seq[T]*): Unit = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("tumbling window + watermark: late event beyond watermark is dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = StreamingOps.tumblingCounts(stream.toDF(), "10 minutes", "10 minutes")
+    runBatches("tumble", stream, agg, "append")(
+      Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(5), 1, "a", 1.0)),   // window 10:00
+      Seq(Ev(3, ts(40), 1, "a", 1.0)),                              // watermark -> 10:30
+      Seq(Ev(4, ts(2), 1, "a", 1.0)),                               // LATE: 10:02 < wm -> dropped
+      Seq(Ev(5, ts(70), 1, "a", 1.0))                               // advance wm, flush
+    )
+    val rows = spark.table("tumble")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("10:00") == 2, s"late event must not be counted: $rows")
+    assert(rows("10:40") == 1)
+  }
+
+  test("session window merges events within gap, splits across it") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = StreamingOps.sessionCounts(stream.toDF(), "30 minutes", "30 minutes")
+    runBatches("sess", stream, agg, "append")(
+      Seq(Ev(1, ts(0), 7, "a", 0), Ev(2, ts(10), 7, "a", 0),  // one session
+          Ev(3, ts(60), 7, "a", 0)),                          // gap > 30m -> new session
+      Seq(Ev(9, ts(600), 7, "a", 0))                          // push watermark, finalize
+    )
+    val rows = spark.table("sess").orderBy($"session_start")
+      .select($"n").as[Long].collect().toSeq
+    assert(rows == Seq(2, 1), s"got $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicate ids") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val dedup = StreamingOps.dedupWithinWatermark(stream.toDF(), "10 minutes")
+    runBatches("dedup", stream, dedup, "append")(
+      Seq(Ev(1, ts(0), 1, "a", 0), Ev(1, ts(1), 1, "a", 0), Ev(2, ts(2), 1, "a", 0)),
+      Seq(Ev(1, ts(3), 1, "a", 0), Ev(3, ts(4), 1, "a", 0))
+    )
+    val ids = spark.table("dedup").select($"event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+
+  test("stateful running counter folds +1/-1 deltas per key (§2a#10)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[(String, Long)]
+    val counter = StreamingOps.runningCounter(stream.toDS())
+    runBatches("cnt", stream, counter.toDF("key", "value"), "update")(
+      Seq(("plan-joined-count", 1L), ("plan-joined-count", 1L)),
+      Seq(("plan-joined-count", -1L), ("other", 5L))
+    )
+    // update mode emits one row per batch per key
+    val byKey = spark.table("cnt").orderBy($"value").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+    assert(byKey("plan-joined-count").map(_._2).contains(1L))
+    assert(byKey("other").map(_._2).sameElements(Array(5L)))
+  }
+}
