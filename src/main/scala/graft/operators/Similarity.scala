@@ -28,7 +28,7 @@ object Similarity {
     * both norms per pair (3× less work, and the shape that matters when
     * the pair count is |Q|·|C|). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val dotF = VectorFunctions.dotScaledFast
+    val dotF = VectorFunctions.dotScaledFast _
     val n = queries.sparkSession.sparkContext.defaultParallelism
     // spread the pairwise work: a single-file scan is one task, and an
     // EXPLICIT partition count is required — AQE's coalescer folds a

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.execution.{ExtendedMode, FormattedMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan quality gates: the properties that matter at 100 TB —
+  * pushdown reaching the scan, column pruning, broadcast selection,
+  * whole-stage codegen, partial aggregation — asserted on the actual
+  * executed plans so regressions fail loudly. */
+class ExplainSpec extends SparkSpec {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("a1: filter is pushed into the parquet scan and columns are pruned") {
+    val p = formatted("a1_scan_project")
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(l_returnflag,R)"), p)
+    // projection pruning: the scan must not read unused measures
+    assert(!p.contains("l_extendedprice"), "scan reads an unused column")
+  }
+
+  test("c7: dimension join is a broadcast hash join; fact side not shuffled for the join") {
+    val p = formatted("c7_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("c11: multi-join chain broadcasts the small dims") {
+    val p = formatted("c11_multi_join")
+    val n = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(n >= 2, s"expected >=2 broadcast joins, got $n\n$p")
+  }
+
+  test("d1: whole-stage codegen with partial+final hash aggregation") {
+    val df = SparkEntry.queries("d1_q1_pricing")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("codegen id"), p)
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs\n$p")
+  }
+
+  test("c5/c6: semi and anti joins stay joins (no subquery materialization)") {
+    assert(formatted("c5_semi_join").contains("LeftSemi"))
+    assert(formatted("c6_anti_join").contains("LeftAnti"))
+  }
+
+  test("DotScaledExpr codegen equals the interpreted built-ins form") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").limit(100)
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("vb")))
+      .filter($"ia" < $"ib")
+    val mismatches = pairs.select(
+      VectorFunctions.dotScaled($"va", $"vb").as("slow"),
+      VectorFunctions.dotScaledFast($"va", $"vb").as("fast"))
+      .filter($"slow" =!= $"fast").count()
+    assert(mismatches == 0)
+    // and the codegen path is actually codegen (no fallback marker)
+    val p = pairs.select(VectorFunctions.dotScaledFast($"va", $"vb"))
+      .queryExecution.explainString(ExtendedMode)
+    assert(p.contains("dotscaledexpr") || !p.contains("CodegenFallback"), p.take(2000))
+  }
+
+  test("approx_count_distinct (HLL) lands within 5% of exact") {
+    import spark.implicits._
+    val li = Tables(spark, sf, "lineitem")
+    val Array(approx, exact) = li.agg(
+      approx_count_distinct($"l_orderkey", 0.01).cast("double"),
+      countDistinct($"l_orderkey").cast("double")).as[(Double, Double)].head() match {
+      case (a, e) => Array(a, e)
+    }
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}

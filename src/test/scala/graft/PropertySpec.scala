@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based algebraic laws (SURVEY §5.2) — scalacheck driving small
+  * Spark jobs. Few cases per law (each case is a full Spark job), but the
+  * generators hit negatives, duplicates, and the 64-bit mask edge. */
+class PropertySpec extends SparkSpec {
+
+  private def holds(p: Prop, cases: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("union count = sum of counts; filter partitions a null-free set") {
+    import spark.implicits._
+    val gen = Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
+    holds(Prop.forAll(gen, gen) { (xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val unionOk = a.unionAll(b).count() == xs.size + ys.size
+      val part = a.filter($"v" > 0).count() + a.filter(!($"v" > 0)).count()
+      unionOk && part == xs.size
+    })
+  }
+
+  test("dedup is idempotent and bounded by distinct size") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.chooseNum(0L, 10L)) // force duplicates
+    holds(Prop.forAll(gen) { xs =>
+      val df = xs.toDF("v")
+      val once = df.dropDuplicates("v").count()
+      val twice = df.dropDuplicates("v").dropDuplicates("v").count()
+      once == twice && once == xs.distinct.size
+    })
+  }
+
+  test("bitmask explode reconstructs any mask, including sign bit") {
+    import spark.implicits._
+    holds(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { mask =>
+      val back = Seq(mask).toDF("mask")
+        .withColumn("bit",
+          explode(expr("filter(sequence(0, 63), i -> (shiftleft(CAST(1 AS BIGINT), i) & mask) != 0)")))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)"))).head()
+      val got = if (back.isNullAt(0)) 0L else back.getLong(0)
+      got == mask
+    }, cases = 12)
+  }
+
+  test("top-k per group: rank bounded by group size, k rows max per group") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(-100, 100)))
+    holds(Prop.forAll(gen) { xs =>
+      val df = xs.toDF("g", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v".desc, monotonically_increasing_id())
+      val top2 = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+      val perGroup = top2.groupBy($"g").count().collect().map(_.getLong(1))
+      perGroup.forall(_ <= 2) && top2.count() <= df.select($"g").distinct().count() * 2
+    }, cases = 6)
+  }
+
+  test("as-of join: attached value is never from the future") {
+    import spark.implicits._
+    val genL = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L)))
+    val genR = Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L)))
+    holds(Prop.forAll(genL, genR) { (ls, rs) =>
+      val left = ls.toDF("k", "lt")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "rid")
+      val out = operators.AsOfJoin.backward(left, right, "k", "k", "lt", "t", Seq("t", "rid"))
+      out.filter($"t".isNotNull && $"t" > $"lt").count() == 0
+    }, cases = 6)
+  }
+}
