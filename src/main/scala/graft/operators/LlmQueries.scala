@@ -215,8 +215,27 @@ object LlmQueries {
                         i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_sum
             FROM documents ORDER BY doc_id"""))
 
+  /** L: regex ("BPE-ish") tokenization stats — class-based patterns that
+    * mean the same thing in Java regex and RE2, so DuckDB oracles it. */
+  val l12TokenRegex = Q(
+    "l12_token_regex",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
+        size(expr("regexp_extract_all(text, '[^a-z0-9 ]+', 0)")).as("n_other"),
+        size(expr("regexp_extract_all(text, '[a-z]{8,}', 0)")).as("n_long_words"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num,
+                   CAST(len(regexp_extract_all(text, '[^a-z0-9 ]+')) AS INT) AS n_other,
+                   CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS INT) AS n_long_words
+            FROM documents ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
-    l11Multimodal)
+    l11Multimodal, l12TokenRegex)
 }

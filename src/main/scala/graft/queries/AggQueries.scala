@@ -160,7 +160,21 @@ object AggQueries {
             FROM lineitem WHERE l_orderkey < 3000
             GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
+  /** D: approx distinct (HLL sketch) — mergeable across partitions, the
+    * 100 TB cardinality answer. No SQL oracle (sketches differ between
+    * engines by design); ExplainSpec bounds the error vs exact. */
+  val d8ApproxDistinct = Q(
+    "d8_approx_distinct",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     d1Pricing, d2Distinct, d3CountDistinct, d4Rollup, d5Cube,
-    d6GroupingSets, d7CollectNested)
+    d6GroupingSets, d7CollectNested, d8ApproxDistinct)
 }

@@ -164,6 +164,33 @@ object CoreQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
 
+  /** A: bucketed tables + co-located join — both sides bucketed on the
+    * join key, so the join itself needs NO shuffle (only the later
+    * re-aggregation does). This is the layout strategy for repeated big
+    * joins at 100 TB: pay the partitioning once at write time.
+    * ExplainSpec asserts the exchange count. */
+  val a5BucketedJoin = Q(
+    "a5_bucketed_join",
+    (s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft_a5_bucket").toString
+      Tables(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("graft_orders_b")
+      Tables(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("graft_customer_b")
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), Canon.dsumD($"o_totalprice").as("sum_price"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   /** F: top-k per group — window row_number + filter (the composable form;
     * Spark's TakeOrderedAndProject kicks in for the global case in f1). */
   val f2TopkPerGroup = Q(
@@ -233,6 +260,7 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(
     a1ScanProject, a2CsvRoundtrip, a3JsonRoundtrip, a4PartitionedWrite,
+    a5BucketedJoin,
     b1ProjectCompute, b2FilterPredicates, b3ExplodeTokens, b4BitmaskExplode,
     f1TopkGlobal, f2TopkPerGroup, f3UnionAll, f4Intersect, f5Except)
 }

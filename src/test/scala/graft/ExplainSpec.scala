@@ -62,6 +62,34 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("dotscaledexpr") || !p.contains("CodegenFallback"), p.take(2000))
   }
 
+  test("a5: bucketed sort-merge join shuffles neither input") {
+    import spark.implicits._
+    SparkEntry.queries("a5_bucketed_join")(spark, sf).collect() // creates tables
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val j = spark.table("graft_orders_b")
+        .join(spark.table("graft_customer_b"), $"o_custkey" === $"c_custkey")
+      j.collect()
+      val p = j.queryExecution.explainString(FormattedMode)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      val shuffles = "Exchange \\(".r.findAllIn(p).size -
+        "BroadcastExchange \\(".r.findAllIn(p).size
+      assert(shuffles == 0, s"bucketed join must not shuffle its inputs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted skew join returns exactly the plain join result") {
+    import spark.implicits._
+    val orders = Tables(spark, sf, "orders")
+    val customer = Tables(spark, sf, "customer")
+    val plain = orders.join(customer, $"o_custkey" === $"c_custkey").count()
+    val salted = operators.SkewJoin
+      .saltedInnerJoin(orders, customer, "o_custkey", "c_custkey").count()
+    assert(plain == salted)
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")
