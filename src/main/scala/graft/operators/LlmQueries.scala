@@ -79,14 +79,14 @@ object LlmQueries {
     Some("""WITH scored AS (
               SELECT e1.vec_id AS qid, e2.vec_id AS nid,
                      (list_sum(list_transform(generate_series(1, 64),
-                        i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
-                           * CAST(round(e2.embedding[i] * 1000) AS BIGINT))) * 1.0)
+                        i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                           * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) * 1.0)
                      / sqrt((list_sum(list_transform(generate_series(1, 64),
-                          i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
-                             * CAST(round(e1.embedding[i] * 1000) AS BIGINT)))
+                          i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                             * CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
                         * list_sum(list_transform(generate_series(1, 64),
-                          i -> CAST(round(e2.embedding[i] * 1000) AS BIGINT)
-                             * CAST(round(e2.embedding[i] * 1000) AS BIGINT)))) * 1.0)
+                          i -> CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                             * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))) * 1.0)
                      AS cos
               FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id != e2.vec_id),
             ranked AS (
@@ -117,24 +117,24 @@ object LlmQueries {
     },
     Some("""SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
                    round((list_sum(list_transform(generate_series(1, 64),
-                        i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
-                           * CAST(round(e2.embedding[i] * 1000) AS BIGINT))) * 1.0)
+                        i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                           * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) * 1.0)
                    / sqrt((list_sum(list_transform(generate_series(1, 64),
-                        i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
-                           * CAST(round(e1.embedding[i] * 1000) AS BIGINT)))
+                        i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                           * CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
                       * list_sum(list_transform(generate_series(1, 64),
-                        i -> CAST(round(e2.embedding[i] * 1000) AS BIGINT)
-                           * CAST(round(e2.embedding[i] * 1000) AS BIGINT)))) * 1.0), 6) AS cos
+                        i -> CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                           * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))) * 1.0), 6) AS cos
             FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE (list_sum(list_transform(generate_series(1, 64),
-                     i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
-                        * CAST(round(e2.embedding[i] * 1000) AS BIGINT))) * 1.0)
+                     i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                        * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) * 1.0)
                   / sqrt((list_sum(list_transform(generate_series(1, 64),
-                       i -> CAST(round(e1.embedding[i] * 1000) AS BIGINT)
-                          * CAST(round(e1.embedding[i] * 1000) AS BIGINT)))
+                       i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                          * CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
                      * list_sum(list_transform(generate_series(1, 64),
-                       i -> CAST(round(e2.embedding[i] * 1000) AS BIGINT)
-                          * CAST(round(e2.embedding[i] * 1000) AS BIGINT)))) * 1.0) >= 0.4
+                       i -> CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                          * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))) * 1.0) >= 0.4
             ORDER BY id_a, id_b"""))
 
   /** L: per-document quality stats — integer counts + exact ratios. */

@@ -80,6 +80,73 @@ object Similarity {
       }
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer
+    * alternative to LSH. `nlist` centroids are chosen deterministically
+    * from the corpus (every stride-th vector — k-means would drift per
+    * run; determinism matters more here than a few recall points), every
+    * corpus vector is assigned to its nearest centroid cell, and each
+    * query probes its `nprobe` nearest cells. The only join is an
+    * equality join on cell id: candidates per query are O(corpus/nlist ×
+    * nprobe), never O(corpus). Centroids are tiny (nlist × dim floats)
+    * and ride along as a broadcast closure — the classic small-dimension
+    * pattern. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val n = queries.sparkSession.sparkContext.defaultParallelism
+    // deterministic coarse quantizer: every stride-th corpus vector by id;
+    // ONLY nlist rows ever reach the driver (count + filtered collect)
+    val total = corpus.count()
+    val stride = math.max(1L, total / nlist)
+    val centroids: Array[(Int, Array[Float])] = corpus
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(nlist)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+      .zipWithIndex
+      .map { case (v, i) => (i, v) }
+
+    def cells(vec: Seq[Float], m: Int): Seq[Int] =
+      centroids.map { case (cid, c) =>
+        var dot = 0.0; var nc = 0.0; var nv = 0.0
+        var i = 0
+        val len = math.min(c.length, vec.length)
+        while (i < len) { dot += c(i) * vec(i); nc += c(i) * c(i); nv += vec(i) * vec(i); i += 1 }
+        val cos = if (nc == 0 || nv == 0) 0.0 else dot / math.sqrt(nc * nv)
+        (cid, cos)
+      }.sortBy { case (cid, cos) => (-cos, cid) }.take(m).map(_._1).toSeq
+
+    val probeUdf = udf((v: Seq[Float]) => if (v == null) Seq(0) else cells(v, nprobe))
+    val assignUdf = udf((v: Seq[Float]) => if (v == null) 0 else cells(v, 1).head)
+
+    val q = queries.repartition(n, col("vec_id")).select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      explode(probeUdf(col("embedding"))).as("cell"))
+    val c = corpus.select(
+      col("vec_id").as("nid"), col("embedding").as("nv"),
+      assignUdf(col("embedding")).as("cell"))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
+      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
+      .withColumn("cos",
+        when(col("qn") === 0 || col("nn") === 0, lit(0.0))
+          .otherwise(VectorFunctions.dotScaledFast(col("qv"), col("nv")).cast("double") /
+            sqrt((col("qn") * col("nn")).cast("double"))))
+      .select(col("qid"), col("nid"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed approximate top-k: `bands` signature bands of
     * `bitsPerBand` bits; rank candidates by exact cosine within the
     * union of matching buckets. */

@@ -29,6 +29,22 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh1.nonEmpty)
   }
 
+  test("IVF top-k recall@1 vs brute force is reasonable and pruned") {
+    val bf1 = Similarity.bruteForceTopK(emb, emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ivf1 = Similarity.ivfTopK(emb, emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = bf1.count { case (q, n) => ivf1.get(q).contains(n) }
+    val recall = hits.toDouble / bf1.size
+    // near-orthogonal fixture = adversarial for any coarse quantizer;
+    // random guessing is ~1/500
+    assert(recall >= 0.3, s"IVF recall@1 = $recall")
+    // determinism: same centroids, same answer
+    val again = Similarity.ivfTopK(emb, emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivf1 == again)
+  }
+
   test("langid: deterministic and sane on clear-cut samples") {
     import spark.implicits._
     val t = Seq(
