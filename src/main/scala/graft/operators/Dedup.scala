@@ -35,23 +35,44 @@ object Dedup {
       sequence(lit(0), lit(k - 1)),
       s => array_min(transform(sh, x => xxhash64(x, s))))
 
-  /** Tight-loop signature UDF: FNV-1a base hash per shingle (computed
-    * once), then k splitmix64-style seed mixes — one JVM call per row,
-    * all primitive arithmetic. Deterministic (fixed constants). */
-  def minhashSignatureFast(k: Int) = udf { (shingles: Seq[String]) =>
+  /** Tight-loop signature UDF over token arrays: n-gram shingle hashes
+    * are ROLLED from per-token FNV-1a hashes (each token hashed once, no
+    * shingle strings materialized), then k splitmix64-style seed mixes
+    * take the min. One JVM call per row, all primitive arithmetic,
+    * deterministic (fixed constants). */
+  def minhashSignatureFast(k: Int, shingleN: Int = 3) = udf { (tokens: Seq[String]) =>
     val sig = Array.fill(k)(Long.MaxValue)
-    if (shingles != null) shingles.foreach { s =>
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-      var seed = 0
-      while (seed < k) {
-        var z = h + 0x9e3779b97f4a7c15L * (seed + 1)
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^= z >>> 31
-        if (z < sig(seed)) sig(seed) = z
-        seed += 1
+    if (tokens != null && tokens.nonEmpty) {
+      val th = new Array[Long](tokens.length)
+      var t = 0
+      while (t < tokens.length) {
+        val s = tokens(t)
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        th(t) = h
+        t += 1
+      }
+      val nSh = math.max(tokens.length - shingleN + 1, 1)
+      var p = 0
+      while (p < nSh) {
+        // combine the n token hashes positionally into one shingle hash
+        var h = 0x9e3779b97f4a7c15L
+        var j = 0
+        while (j < shingleN && p + j < tokens.length) {
+          h = (h ^ th(p + j)) * 0x100000001b3L
+          j += 1
+        }
+        var seed = 0
+        while (seed < k) {
+          var z = h + 0x9e3779b97f4a7c15L * (seed + 1)
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^= z >>> 31
+          if (z < sig(seed)) sig(seed) = z
+          seed += 1
+        }
+        p += 1
       }
     }
     sig.toSeq
@@ -89,7 +110,7 @@ object Dedup {
     // group can't be split), and row-local compute must spread
     val sigs = docs.repartition(n, col(idCol)).select(
       col(idCol).as("id"),
-      minhashSignatureFast(k)(shingles(split(col(textCol), " "), shingleN)).as("sig"))
+      minhashSignatureFast(k, shingleN)(split(col(textCol), " ")).as("sig"))
 
     val banded = sigs.select(
       col("id"), col("sig"),
