@@ -227,7 +227,26 @@ object JoinQueries {
             JOIN orders ON c_custkey = o_custkey
             GROUP BY r_name ORDER BY r_name"""))
 
+  /** C: banded tolerance join — the scalable (equi-join) decomposition
+    * of the |a-b|<=w theta predicate; oracle is the naive predicate
+    * form, proving the decomposition is exact. */
+  val c12Band = Q(
+    "c12_band_join",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.BandJoin.toleranceJoin(
+        Tables(s, dir, "supplier").select($"s_suppkey", $"s_acctbal"),
+        Tables(s, dir, "customer").select($"c_custkey", $"c_acctbal"),
+        "s_acctbal", "c_acctbal", tol = 50.0)
+        .groupBy($"s_suppkey")
+        .agg(count(lit(1)).as("n_close"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, count(*) AS n_close
+            FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 50.0
+            GROUP BY s_suppkey ORDER BY s_suppkey"""))
+
   def all: Seq[Q] = Seq(
     c1Inner, c2Left, c3Right, c4Full, c5Semi, c6Anti,
-    c7Broadcast, c8Theta, c9Range, c10Asof, c11MultiJoin)
+    c7Broadcast, c8Theta, c9Range, c10Asof, c11MultiJoin, c12Band)
 }

@@ -80,6 +80,20 @@ class ExplainSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("c10: as-of join shuffles once on the key (no pairwise blowup)") {
+    val df = SparkEntry.queries("c10_asof_join")(spark, sf)
+    df.collect()
+    // only the Final Plan section (the formatted string repeats the
+    // pre-AQE Initial Plan below it, double-counting exchanges)
+    val p = df.queryExecution.explainString(FormattedMode)
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"as-of must be union+window, not a join:\n${p.take(800)}")
+    // exchanges: one hash partition on the key + one for the final sort
+    val shuffles = "Exchange \\(".r.findAllIn(p).size -
+      "BroadcastExchange \\(".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles\n$p")
+  }
+
   test("salted skew join returns exactly the plain join result") {
     import spark.implicits._
     val orders = Tables(spark, sf, "orders")
