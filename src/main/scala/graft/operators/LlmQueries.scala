@@ -158,13 +158,36 @@ object LlmQueries {
                          / len(string_split(text, ' ')), 6) AS stop_ratio
             FROM documents ORDER BY doc_id"""))
 
-  /** L: language ID heuristic (fixed stopword profiles; spec-checked). */
+  /** L: language ID heuristic — stopword-hit scores are integer counts
+    * and the argmax tie order is pinned (en,es,de,fr,zh), so the whole
+    * heuristic is reproducible in SQL and oracle-checked. */
   val l8LangId = Q(
     "l8_langid",
     (s, dir) => Tables(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"), col("lang"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""WITH scores AS (
+              SELECT doc_id, lang,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS s_en,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> list_contains(['el','la','de','que','y','en','un','los','se','por'], x))) AS s_es,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> list_contains(['der','die','und','das','ist','ein','zu','den','mit','von'], x))) AS s_de,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> list_contains(['le','la','de','et','un','les','des','est','en','que'], x))) AS s_fr,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> list_contains(['的','是','在','了','和','有','我','不','这','为'], x))) AS s_zh
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                        WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                        WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                        WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+                        WHEN s_zh > 0 THEN 'zh'
+                        ELSE 'und' END AS lang_pred,
+                   lang
+            FROM scores ORDER BY doc_id"""))
 
   /** L: FNV-1a content fingerprint (spec-checked determinism). */
   val l9Fingerprint = Q(

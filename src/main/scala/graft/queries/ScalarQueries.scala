@@ -177,5 +177,30 @@ object ScalarQueries {
                    s_suppkey >> 1 AS shr1
             FROM supplier ORDER BY s_suppkey"""))
 
-  def all: Seq[Q] = Seq(g1String, g2Datetime, g3MathCond, g4ArrayMap, g5Json, g6Bitwise)
+  /** G: NULL semantics — fixtures carry no NULLs, so nullif manufactures
+    * them; exercises IS NULL, null-safe equality (<=>), coalesce/nvl. */
+  val g7NullSemantics = Q(
+    "g7_null_semantics",
+    (s, dir) => {
+      import s.implicits._
+      val st = expr("nullif(o_orderstatus, 'O')")
+      Tables(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          coalesce(st, lit("open")).as("status_or_open"),
+          isnull(st).cast("int").as("is_open"),
+          expr("nullif(o_orderstatus, 'O') <=> 'F'").cast("int").as("null_safe_is_f"),
+          expr("nvl(nullif(o_orderpriority, '1-URGENT'), 'was-urgent')").as("prio_or_flag"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+                   CAST(nullif(o_orderstatus, 'O') IS NULL AS INT) AS is_open,
+                   CAST(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS INT) AS null_safe_is_f,
+                   coalesce(nullif(o_orderpriority, '1-URGENT'), 'was-urgent') AS prio_or_flag
+            FROM orders ORDER BY o_orderkey"""))
+
+  def all: Seq[Q] = Seq(
+    g1String, g2Datetime, g3MathCond, g4ArrayMap, g5Json, g6Bitwise,
+    g7NullSemantics)
 }
