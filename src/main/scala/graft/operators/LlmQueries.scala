@@ -164,6 +164,7 @@ object LlmQueries {
   val l8LangId = Q(
     "l8_langid",
     (s, dir) => Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"), col("lang"))
       .orderBy(col("doc_id")),
     Some("""WITH scores AS (

@@ -38,16 +38,29 @@ object TextAnalysis {
 
   /** Heuristic language ID: stopword-hit score per language, argmax with
     * a fixed preference order on ties ('und' = undetermined when no
-    * stopword hits at all). Deterministic. */
-  def langId(textCol: Column): Column = {
-    val toks = split(lower(textCol), " ")
-    val scores = langStopwords.map { case (lang, words) =>
-      lang -> size(filter(toks, x => array_contains(array(words.map(lit): _*), x)))
+    * stopword hits at all). Deterministic integer scores, so the DuckDB
+    * CASE-cascade oracle reproduces it exactly. Implemented as one
+    * tight-loop UDF: the per-token × per-language scoring is row-local,
+    * and the interpreted higher-order form cost ~100× more in the hot
+    * path (it turned a 5k-doc scan into minutes on one core). */
+  val langId: Column => Column = {
+    val profiles = langStopwords.map { case (lang, words) => (lang, words.toSet) }
+    val f = udf { (text: String) =>
+      if (text == null) "und"
+      else {
+        val toks = text.toLowerCase.split(" ", -1)
+        val scores = profiles.map { case (lang, stop) =>
+          var n = 0
+          var i = 0
+          while (i < toks.length) { if (stop.contains(toks(i))) n += 1; i += 1 }
+          (lang, n)
+        }
+        val best = scores.map(_._2).max
+        scores.collectFirst { case (lang, s) if s > 0 && s == best => lang }
+          .getOrElse("und")
+      }
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, sc), els) =>
-      when(sc > 0 && sc === best, lit(lang)).otherwise(els)
-    }
+    (c: Column) => f(c)
   }
 
   /** Rolling 64-bit FNV-1a document fingerprint — the exact-content
