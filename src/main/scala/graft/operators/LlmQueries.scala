@@ -102,8 +102,10 @@ object LlmQueries {
     "l6_cosine_neardup",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("na"))
+      val a = emb
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"),
+          VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("na"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
         VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))

@@ -140,6 +140,8 @@ object ScalarQueries {
     (s, dir) => {
       import s.implicits._
       Tables(s, dir, "events")
+        // single-row-group scan = one task; JSON parsing is per-row CPU
+        .repartition(s.sparkContext.defaultParallelism, $"event_id")
         .select(
           $"event_id",
           coalesce(get_json_object($"props", "$.k").cast("long"), lit(-1L)).as("k_path"),

@@ -68,13 +68,19 @@ object WindowQueries {
             ORDER BY o_orderkey"""))
 
   /** E: frames — running sum + moving (4-row) sum, exact decimal inside
-    * the frame so results don't drift with partitioning. */
+    * the frame so results don't drift with partitioning.
+    *
+    * lineitem has NO unique key in the fixtures ((orderkey, linenumber)
+    * repeats at sf0.1), so the sort includes the summed measure and two
+    * more columns: residual ties then carry equal l_quantity, making
+    * every frame sum invariant under tie reordering. */
   val e3Frames = Q(
     "e3_frames",
     (s, dir) => {
       import s.implicits._
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_partkey", $"l_extendedprice")
       Tables(s, dir, "lineitem")
         .select(
           $"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -90,7 +96,8 @@ object WindowQueries {
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov4_qty
             FROM lineitem
-            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+            WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                                         l_quantity, l_partkey, l_extendedprice)
             ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
   def all: Seq[Q] = Seq(e1Ranking, e2Analytic, e3Frames)
