@@ -131,28 +131,52 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle —
+  /** Exact n-gram Jaccard similarity for pairs sharing >= 1 rare shingle —
     * the shingle-equality join IS the candidate pruning (no cross join).
     * Integer intersection/union counts, one double division: exact in any
-    * engine, so this one is DuckDB-oracle-checkable. */
+    * engine, so this one is DuckDB-oracle-checkable.
+    *
+    * Skew bound (`dfCap`): a ubiquitous shingle ("of the and") appearing in
+    * d documents creates a d²-pair bucket in the self-join — at corpus
+    * scale one stopword trigram in 10⁶ docs is a 10¹²-pair bucket.
+    * Candidate generation therefore drops shingles with document frequency
+    * > dfCap (the CCNet/Gopher-style frequency cut), which caps every join
+    * bucket at dfCap² pairs. Scores stay EXACT: candidate pairs re-fetch
+    * both FULL shingle sets and intersect them, so a detected pair's
+    * jaccard is identical to the uncapped one. The only approximation is
+    * one-sided recall: a pair is missed iff every shared shingle has
+    * df > dfCap (DedupSpec checks the subset + score-equality laws, and
+    * that capped == uncapped whenever max df <= dfCap — the fixture
+    * regime: max fixture df is 25 at sf0.1, dfCap default 128). */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      dfCap: Int = 128): DataFrame = {
     val sets = docs
       .select(col(idCol).as("id"),
         explode(shingles(split(col(textCol), " "), shingleN)).as("s"))
       .distinct()
-    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sets.as("x").join(sets.as("y"),
+    // rare shingles only — the df histogram is one extra agg on data
+    // already shuffled by shingle, and it bounds the worst join bucket
+    val rare = sets.join(
+      sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap)
+        .select(col("s")),
+      "s")
+    val cand = rare.as("x").join(rare.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    // exact re-score: full (uncapped) shingle sets per doc, intersected
+    val shSets = sets.groupBy(col("id"))
+      .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
+    cand
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("na")), "id_a")
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("nb")), "id_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("ni") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

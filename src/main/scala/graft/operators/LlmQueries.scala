@@ -1,9 +1,7 @@
 package graft.operators
 
-import graft.functions.VectorFunctions
 import graft.sources.Multimodal
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2b group L — the LLM training-data pipeline operators, as
@@ -97,24 +95,17 @@ object LlmQueries {
             FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
 
   /** L: embedding-cosine near-duplicate pairs (threshold on exact
-    * quantized cosine — the "same content, different encode" detector). */
+    * quantized cosine — the "same content, different encode" detector).
+    * Declared plan is the LSH-banded candidate form (narrow id-pair
+    * equi-join, vectors re-attached by key, NO corpus broadcast and NO
+    * nested-loop join — ExplainSpec pins that); the same DuckDB all-pairs
+    * oracle still hash-matches because banding never changes a reported
+    * score, and at 94 bands the per-pair miss probability is <= 1e-7. */
   val l6CosineNearDup = Q(
     "l6_cosine_neardup",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val a = emb
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id").as("id_a"), col("embedding").as("va"),
-          VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("na"))
-      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .withColumn("cos",
-          when(col("na") === 0 || col("nb") === 0, lit(0.0))
-            .otherwise(VectorFunctions.dotScaledFast(col("va"), col("vb")).cast("double") /
-              sqrt((col("na") * col("nb")).cast("double"))))
-        .filter(col("cos") >= 0.4)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
@@ -260,8 +251,56 @@ object LlmQueries {
                    CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS INT) AS n_long_words
             FROM documents ORDER BY doc_id"""))
 
+  /** L: LSH ANN top-3 — the similarity-search SCALE path, declared. The
+    * plan is band-bucket equi-join candidates + exact cosine re-rank:
+    * O(bucket) work per query, no corpus broadcast, no nested-loop join
+    * (ExplainSpec pins the plan; SimilaritySpec pins recall vs l5's
+    * brute-force oracle). Seeded hyperplanes → deterministic, but not
+    * SQL-expressible, so the driver records a rows-only check. */
+  val l13LshTopk = Q(
+    "l13_lsh_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb, 3).orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  /** L: IVF ANN top-3 — coarse-quantizer scale path (stride centroids,
+    * cell equi-join, exact re-rank). Deterministic; rows-only check. */
+  val l14IvfTopk = Q(
+    "l14_ivf_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb, 3).orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  /** L: video-frame sampling plumbing over binary payloads — every
+    * stride-th byte window, oracled in DuckDB via substring windows. */
+  val l15FrameSample = Q(
+    "l15_frame_sample",
+    (s, dir) => {
+      val packed = Multimodal.pack(
+        Tables(s, dir, "documents").filter(col("doc_id") < 200), "text")
+      Multimodal.frameSample(packed, frameBytes = 32, stride = 64)
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame_bytes")).as("frame_md5"),
+          octet_length(col("frame_bytes")).as("frame_len"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""WITH frames AS (
+              SELECT doc_id, i AS frame_idx,
+                     substring(text, i * 64 + 1, 32) AS frame
+              FROM documents,
+                   LATERAL unnest(generate_series(0,
+                     greatest(octet_length(CAST(text AS BLOB)) // 64 - 1, 0))) t(i)
+              WHERE doc_id < 200)
+            SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+                   octet_length(CAST(frame AS BLOB)) AS frame_len
+            FROM frames ORDER BY doc_id, frame_idx"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
-    l11Multimodal, l12TokenRegex)
+    l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample)
 }

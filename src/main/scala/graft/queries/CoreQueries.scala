@@ -258,9 +258,44 @@ object CoreQueries {
             SELECT o_custkey FROM orders WHERE o_totalprice > 300000
             ORDER BY o_custkey"""))
 
+  /** F: INTERSECT ALL (multiset semantics) — each nationkey survives
+    * min(customer copies, supplier copies) times, unlike f4's distinct
+    * form. Spark plans this as a counted aggregate + generate, not a
+    * join-per-duplicate: one shuffle per side, same as any agg. */
+  val f6IntersectAll = Q(
+    "f6_intersect_all",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+        .intersectAll(Tables(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL
+            SELECT s_nationkey FROM supplier
+            ORDER BY nationkey"""))
+
+  /** F: EXCEPT ALL (multiset semantics) — bag-difference on a duplicated
+    * projection: each o_custkey keeps (total copies - copies above the
+    * price cut), the shape a user diffing duplicated logs hits. */
+  val f7ExceptAll = Q(
+    "f7_except_all",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      orders.select($"o_custkey")
+        .exceptAll(orders.filter($"o_totalprice" > 150000).select($"o_custkey"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey FROM orders
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+            ORDER BY o_custkey"""))
+
   def all: Seq[Q] = Seq(
     a1ScanProject, a2CsvRoundtrip, a3JsonRoundtrip, a4PartitionedWrite,
     a5BucketedJoin,
     b1ProjectCompute, b2FilterPredicates, b3ExplodeTokens, b4BitmaskExplode,
-    f1TopkGlobal, f2TopkPerGroup, f3UnionAll, f4Intersect, f5Except)
+    f1TopkGlobal, f2TopkPerGroup, f3UnionAll, f4Intersect, f5Except,
+    f6IntersectAll, f7ExceptAll)
 }
