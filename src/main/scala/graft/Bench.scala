@@ -22,7 +22,11 @@ object Bench {
     "s3_session_window",    // session windows over events
     "m3_plan_group_entities", // bitmask explode + broadcast + nest
     "l2_minhash_lsh",       // minhash + LSH banding
-    "l5_cosine_topk")       // brute-force ANN baseline
+    "l4_ngram_jaccard",     // shingle-join dedup + dfCap skew bound
+    "l5_cosine_topk",       // brute-force ANN baseline
+    "l6_cosine_neardup",    // banded near-dup on the doubled corpus
+    "l13_lsh_topk",         // LSH ANN (sqrt-scaled buckets)
+    "l14_ivf_topk")         // IVF ANN (sqrt-scaled cells)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

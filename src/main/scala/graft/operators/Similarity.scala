@@ -8,17 +8,30 @@ import org.apache.spark.sql.functions._
 /** Approximate/exact nearest-neighbor search over an embedding column
   * (SURVEY §2b L — similarity search).
   *
-  * Two tiers:
+  * Three tiers:
   *   - [[bruteForceTopK]]: exact cosine top-k via join + window. The
   *     corpus side is broadcast when it fits (dimension-table pattern);
   *     this is the baseline and the recall oracle.
-  *   - [[lshTopK]]: random-hyperplane LSH — each vector gets a `nBits`
-  *     signature; candidates share a signature band. The scale path: the
-  *     only shuffle is the equality join on band keys, candidates per
-  *     query are O(bucket size), never O(corpus). Hyperplanes are
-  *     generated from a fixed seed, so results are deterministic.
+  *   - [[lshTopK]]: random-hyperplane LSH — candidates share a signature
+  *     band; the only shuffle is the equality join on band keys.
+  *   - [[ivfTopK]]: inverted-file coarse quantizer — candidates share a
+  *     centroid cell.
+  *
+  * Scale parameterization (NOT fixture-tuned — derived from corpus size):
+  *   - LSH band width defaults to ceil(log2(n)/2) bits, so buckets hold
+  *     ~sqrt(n) vectors and candidates per query are O(bands * sqrt(n)).
+  *   - IVF nlist defaults to ceil(sqrt(n)), so cells hold ~sqrt(n)
+  *     vectors and candidates per query are O(nprobe * sqrt(n)).
+  *   - Near-dup band width defaults to ceil(log2(n)) bits — the
+  *     total-work optimum (see [[cosineNearDup]]).
+  * SimilaritySpec asserts the candidate bounds on a doubled fixture, so
+  * the sqrt scaling is pinned by test, not just by this comment.
   */
 object Similarity {
+
+  /** ceil(log2(n)), floored at 2. */
+  private def log2ceil(n: Long): Int =
+    math.ceil(math.log(math.max(n, 4L).toDouble) / math.log(2.0)).toInt
 
   /** Exact top-k neighbors (scaled-integer cosine for cross-engine
     * determinism). Excludes self-matches.
@@ -59,26 +72,42 @@ object Similarity {
     Array.fill(nBits, dim)(rng.nextGaussian())
   }
 
-  /** Sign-of-projection signature as an Int bucket key per band. */
-  private val signatureUdf = {
-    (planes: Array[Array[Double]]) =>
-      udf { (v: Seq[Float]) =>
-        if (v == null) 0L
-        else {
-          var sig = 0L
+  /** Per-row LSH band keys from seeded hyperplane projections: `bands`
+    * keys of `bitsPerBand` sign bits each, as a long array (band widths
+    * up to 63 bits — a single packed-long signature caps total bits at
+    * 64, which breaks once band width scales with log n). One tight-loop
+    * UDF call per row, all primitive arithmetic — the interpreted
+    * higher-order form costs ~100× on single-task scans. */
+  private def bandKeysUdf(planes: Array[Array[Double]], bands: Int, bitsPerBand: Int) =
+    udf { (v: Seq[Float]) =>
+      val keys = new Array[Long](bands)
+      if (v != null) {
+        var b = 0
+        while (b < bands) {
+          var key = 0L
           var i = 0
-          while (i < planes.length) {
+          while (i < bitsPerBand) {
+            val p = planes(b * bitsPerBand + i)
             var dot = 0.0
-            val p = planes(i)
             var j = 0
-            while (j < math.min(p.length, v.length)) { dot += p(j) * v(j); j += 1 }
-            if (dot > 0) sig |= (1L << i)
+            val len = math.min(p.length, v.length)
+            while (j < len) { dot += p(j) * v(j); j += 1 }
+            if (dot > 0) key |= (1L << i)
             i += 1
           }
-          sig
+          keys(b) = key
+          b += 1
         }
       }
-  }
+      keys
+    }
+
+  /** Exact quantized cosine between two attached vectors, as a column. */
+  private def cosCol(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
+      na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+    when(na === 0 || nb === 0, lit(0.0))
+      .otherwise(VectorFunctions.dotScaledFast(va, vb).cast("double") /
+        sqrt((na * nb).cast("double")))
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer
     * alternative to LSH. `nlist` centroids are chosen deterministically
@@ -87,19 +116,45 @@ object Similarity {
     * corpus vector is assigned to its nearest centroid cell, and each
     * query probes its `nprobe` nearest cells. The only join is an
     * equality join on cell id: candidates per query are O(corpus/nlist ×
-    * nprobe), never O(corpus). Centroids are tiny (nlist × dim floats)
-    * and ride along as a broadcast closure — the classic small-dimension
-    * pattern. */
+    * nprobe), never O(corpus).
+    *
+    * nlist defaults to ceil(sqrt(n)) so cells hold ~sqrt(n) vectors and
+    * the candidate count per query is ~nprobe·sqrt(n) — the balance
+    * point between centroid-scan work (nlist per row) and cell-scan work
+    * (n/nlist per probe); a FIXED nlist would grow cells linearly with
+    * the corpus and quietly stop pruning. Centroids are tiny (nlist ×
+    * dim floats) and ride along as a broadcast closure; exactly nlist
+    * rows ever reach the driver (documented scalar-collect). */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      nlist: Int = 16,
+      nlist: Option[Int] = None,
+      nprobe: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    ivfCandidates(queries, corpus, nlist, nprobe)
+      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
+      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF candidate stage: (qid, qv, nid, nv) pairs sharing a probed
+    * centroid cell, pair-distinct. Exposed so SimilaritySpec can assert
+    * the per-query candidate bound (≤ c·nprobe·sqrt(n)) directly. */
+  private[graft] def ivfCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      nlistOpt: Option[Int] = None,
       nprobe: Int = 4): DataFrame = {
     val n = queries.sparkSession.sparkContext.defaultParallelism
     // deterministic coarse quantizer: every stride-th corpus vector by id;
     // ONLY nlist rows ever reach the driver (count + filtered collect)
     val total = corpus.count()
+    val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
     val stride = math.max(1L, total / nlist)
     val centroids: Array[(Int, Array[Float])] = corpus
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
@@ -130,21 +185,9 @@ object Similarity {
     val c = corpus.select(
       col("vec_id").as("nid"), col("embedding").as("nv"),
       assignUdf(col("embedding")).as("cell"))
-
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     q.join(c, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
-      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
-      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
-      .withColumn("cos",
-        when(col("qn") === 0 || col("nn") === 0, lit(0.0))
-          .otherwise(VectorFunctions.dotScaledFast(col("qv"), col("nv")).cast("double") /
-            sqrt((col("qn") * col("nn")).cast("double"))))
-      .select(col("qid"), col("nid"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
   /** Bands needed so a pair at cosine >= `threshold` is missed with
@@ -161,7 +204,8 @@ object Similarity {
     *
     * Plan shape (this is the point, vs. the naive `id_a < id_b` theta
     * join, which is a BroadcastNestedLoopJoin over n²/2 pairs with the
-    * whole corpus broadcast):
+    * whole corpus broadcast; ExplainSpec pins the executed l6 plan to
+    * contain no nested-loop or cartesian join):
     *   1. per-vector seeded hyperplane signatures, split into `bands`
     *      band keys — row-local, one pass;
     *   2. candidates = equi-join on (band, key) carrying ONLY ids — a
@@ -170,119 +214,129 @@ object Similarity {
     *      cosine filter (scores identical to brute force — banding only
     *      affects which pairs are EXAMINED, never a reported score).
     *
-    * Recall: a qualifying pair is missed with prob (1-p^b)^B where
-    * p = 1-θ/π; defaults come from [[bandsForRecall]](threshold, b, 1e-7)
-    * so even 10⁴ borderline pairs survive w.h.p., and the seeded planes
-    * make any given run deterministic. Caveat, measured on the isotropic
-    * unit-vector fixtures: at threshold 0.4 the qualifying angle (66°) is
-    * so close to the background that full-recall banding keeps ~94% of
-    * pairs as candidates — the win there is the no-broadcast no-NLJ plan
-    * shape alone; at realistic near-dup thresholds (>= 0.8) the same code
-    * prunes aggressively (SimilaritySpec pins both properties). */
+    * Parameters and the candidate-volume math (also in SCALE.md):
+    * a pair at cosine c agrees per hyperplane with p(c) = 1 - acos(c)/π,
+    * so B bands of b bits retain it with 1-(1-p^b)^B. Total work =
+    * signatures O(n·B·b) + candidates O(B·n²/2^b); the sum is minimized
+    * at b ≈ log2(n), which `bitsPerBand = None` selects — giving
+    * O(n^(1+ρ)) candidates with ρ = log2(1/p(τ)). At τ = 0.8 (real
+    * near-dup regime) ρ ≈ 0.33: genuinely subquadratic, and background
+    * (cosine≈0) retention is B/2^b — e.g. 14% at n = 1000. At τ = 0.4,
+    * p = 0.63 ⇒ ρ ≈ 0.66 and B = bandsForRecall grows as 16·n^0.66:
+    * formally subquadratic but the band count is impractical at scale —
+    * low-threshold FULL-recall cosine join is intrinsically near-
+    * quadratic, which is why the declared l6 query runs at τ = 0.8 and
+    * τ = 0.4 is a SimilaritySpec stress case with fixed narrow bands.
+    *
+    * Recall: miss probability (1-p^b)^B <= 1e-7 at the threshold itself
+    * (bandsForRecall), and exact duplicates (cosine 1.0) have identical
+    * signatures in every band — zero miss risk, not even probabilistic. */
   def cosineNearDup(
       emb: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
-      bitsPerBand: Int = 4,
+      bitsPerBand: Option[Int] = None,
       bandsOverride: Option[Int] = None,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val bands = bandsOverride.getOrElse(bandsForRecall(threshold, bitsPerBand, 1e-7))
-    val nBits = bands * bitsPerBand
-    require(nBits <= 1024, s"too many hyperplanes ($nBits) — raise bitsPerBand")
-    val planes = hyperplanes(nBits, dim, seed)
-    val n = emb.sparkSession.sparkContext.defaultParallelism
-
-    // 64-bit band keys straight from the projection signs (long-array UDF:
-    // one JVM call per row, primitive loops — the interpreted higher-order
-    // form costs ~100x on single-task scans)
-    val bandKeysUdf = udf { (v: Seq[Float]) =>
-      val keys = new Array[Long](bands)
-      if (v != null) {
-        var b = 0
-        while (b < bands) {
-          var key = 0L
-          var i = 0
-          while (i < bitsPerBand) {
-            val p = planes(b * bitsPerBand + i)
-            var dot = 0.0
-            var j = 0
-            val len = math.min(p.length, v.length)
-            while (j < len) { dot += p(j) * v(j); j += 1 }
-            if (dot > 0) key |= (1L << i)
-            i += 1
-          }
-          keys(b) = key
-          b += 1
-        }
-      }
-      keys
-    }
-
-    val banded = emb
-      .repartition(n, col(idCol))
-      .select(col(idCol).as("id"),
-        posexplode(bandKeysUdf(col(embCol))).as(Seq("band", "bkey")))
-    // ids only through the band join: the shuffle is narrow rows, the
-    // vectors never fan out with the candidate multiplicity
-    val cand = banded.as("x").repartition(n, col("band"), col("bkey"))
-      .join(banded.as("y"), Seq("band", "bkey"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-
+      seed: Long = 42L,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val cand = cosineNearDupCandidates(emb, idCol, embCol, threshold,
+      bitsPerBand, bandsOverride, dim, seed, corpusSize)
     val vecs = emb.select(col(idCol).as("id"), col(embCol).as("v"),
       VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cos",
-        when(col("na") === 0 || col("nb") === 0, lit(0.0))
-          .otherwise(VectorFunctions.dotScaledFast(col("va"), col("vb")).cast("double") /
-            sqrt((col("na") * col("nb")).cast("double"))))
+      .withColumn("cos", cosCol(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
-  /** LSH-bucketed approximate top-k: `bands` signature bands of
-    * `bitsPerBand` bits; rank candidates by exact cosine within the
-    * union of matching buckets. */
+  /** Candidate stage of [[cosineNearDup]]: distinct (id_a < id_b) pairs
+    * sharing at least one band key. Exposed so SimilaritySpec can assert
+    * the pruning ratio (candidates ≪ n²/2 at τ=0.8) directly. */
+  private[graft] def cosineNearDupCandidates(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      bitsPerBandOpt: Option[Int] = None,
+      bandsOverride: Option[Int] = None,
+      dim: Int = 64,
+      seed: Long = 42L,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val n0 = corpusSize.getOrElse(emb.count())
+    val bitsPerBand = bitsPerBandOpt.getOrElse(math.max(4, log2ceil(n0)))
+    val bands = bandsOverride.getOrElse(bandsForRecall(threshold, bitsPerBand, 1e-7))
+    val nBits = bands * bitsPerBand
+    require(nBits <= 16384,
+      s"too many hyperplanes ($nBits = $bands bands × $bitsPerBand bits) — " +
+        "this threshold/recall combination is not banding-friendly; raise the threshold")
+    val planes = hyperplanes(nBits, dim, seed)
+    val n = emb.sparkSession.sparkContext.defaultParallelism
+    val keysUdf = bandKeysUdf(planes, bands, bitsPerBand)
+
+    val banded = emb
+      .repartition(n, col(idCol))
+      .select(col(idCol).as("id"),
+        posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
+    // ids only through the band join: the shuffle is narrow rows, the
+    // vectors never fan out with the candidate multiplicity
+    banded.as("x").repartition(n, col("band"), col("bkey"))
+      .join(banded.as("y"), Seq("band", "bkey"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH candidate stage: (qid, qv, nid, nv) pairs sharing at least one
+    * band key, pair-distinct. Band width defaults to ceil(log2(n)/2)
+    * bits ⇒ ~sqrt(n) vectors per bucket ⇒ ~bands·sqrt(n) candidates per
+    * query; a FIXED band width (the round-2 defect) makes buckets — and
+    * thus per-query work — grow linearly with the corpus. Exposed so
+    * SimilaritySpec can assert the bound on a doubled fixture. */
+  private[graft] def lshCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      bands: Int = 8,
+      bitsPerBand: Option[Int] = None,
+      dim: Int = 64,
+      seed: Long = 42L,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val n0 = corpusSize.getOrElse(corpus.count())
+    val b = bitsPerBand.getOrElse(math.max(4, (log2ceil(n0) + 1) / 2))
+    val keysUdf = bandKeysUdf(hyperplanes(bands * b, dim, seed), bands, b)
+
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+        posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
+
+    val n = queries.sparkSession.sparkContext.defaultParallelism
+    val q = banded(queries.repartition(n, col("vec_id")), "qid", "qv")
+    val c = banded(corpus, "nid", "nv")
+    q.repartition(n, col("band"), col("bkey"))
+      .join(c, Seq("band", "bkey"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "qv", "nid", "nv").distinct()
+  }
+
+  /** LSH-bucketed approximate top-k: rank candidates by exact cosine
+    * within the union of matching buckets (see [[lshCandidates]] for the
+    * band-width scaling). Seeded hyperplanes → deterministic. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       bands: Int = 8,
-      bitsPerBand: Int = 4,
+      bitsPerBand: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val nBits = bands * bitsPerBand
-    val sigUdf = signatureUdf(hyperplanes(nBits, dim, seed))
-
-    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
-          sigUdf(col("embedding")).as("sig"))
-        .select(col(idAs), col(vecAs),
-          posexplode(expr(
-            s"transform(sequence(0, ${bands - 1}), i -> shiftright(sig, i * $bitsPerBand) & ${(1 << bitsPerBand) - 1})"))
-            .as(Seq("band", "bkey")))
-
-    val n = queries.sparkSession.sparkContext.defaultParallelism
-    val q = banded(queries, "qid", "qv")
-    val c = banded(corpus, "nid", "nv")
-    val candidates = q.repartition(n, col("band"), col("bkey"))
-      .join(c, Seq("band", "bkey"))
-      .filter(col("qid") =!= col("nid"))
-      .select("qid", "qv", "nid", "nv").distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    lshCandidates(queries, corpus, bands, bitsPerBand, dim, seed)
       .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
       .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
-
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    candidates
-      .withColumn("cos",
-        when(col("qn") === 0 || col("nn") === 0, lit(0.0))
-          .otherwise(VectorFunctions.dotScaledFast(col("qv"), col("nv")).cast("double") /
-            sqrt((col("qn") * col("nn")).cast("double"))))
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

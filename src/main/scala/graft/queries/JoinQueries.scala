@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: equi-joins are left to Catalyst (sort-merge or broadcast;
   * AQE re-plans at runtime and handles skew). Dimension sides small enough
-  * to broadcast are hinted explicitly (c7). The theta join (c8) is a
-  * genuine BNLJ — quadratic by nature; at 100 TB it would be banded into
-  * an equi-join on value buckets first. The as-of join (c10) uses the
-  * union+window form precisely because the join-then-aggregate form
-  * explodes on skewed keys.
+  * to broadcast are hinted explicitly (c7). The counting theta join (c8)
+  * is decomposed into histogram suffix-sums + a within-bucket equi-join
+  * (operators/InequalityJoin.scala) — no nested-loop join in the plan.
+  * The as-of join (c10) uses the union+window form precisely because the
+  * join-then-aggregate form explodes on skewed keys. c13 is the explicit
+  * salt-scatter form for hot-key skew (operators/SkewJoin.scala).
   */
 object JoinQueries {
 
@@ -144,15 +145,21 @@ object JoinQueries {
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand"""))
 
-  /** C: theta (non-equi) join — BNLJ; banded into buckets at real scale. */
+  /** C: theta (non-equi) counting join — per supplier, how many customers
+    * have a strictly larger balance. Routed through the histogram-prefix
+    * decomposition (InequalityJoin.countGreater): bucket suffix-sums are
+    * broadcast, the only per-row join is a within-bucket EQUI-join, and
+    * the plan contains no nested loop (ExplainSpec pins that). The oracle
+    * is the naive `ON c_acctbal > s_acctbal` form — proving the
+    * decomposition exact. */
   val c8Theta = Q(
     "c8_theta_join",
     (s, dir) => {
       import s.implicits._
-      Tables(s, dir, "supplier")
-        .join(Tables(s, dir, "customer"), $"c_acctbal" > $"s_acctbal")
-        .groupBy($"s_suppkey")
-        .agg(count(lit(1)).as("n_richer_cust"))
+      graft.operators.InequalityJoin.countGreater(
+        Tables(s, dir, "supplier"), "s_suppkey", "s_acctbal",
+        Tables(s, dir, "customer"), "c_acctbal", bucketWidth = 100.0)
+        .select($"s_suppkey", $"n_gt".as("n_richer_cust"))
         .orderBy($"s_suppkey")
     },
     Some("""SELECT s_suppkey, count(*) AS n_richer_cust
@@ -246,7 +253,29 @@ object JoinQueries {
             FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 50.0
             GROUP BY s_suppkey ORDER BY s_suppkey"""))
 
+  /** C: manual salt-scatter skew join — the big side scatters each key
+    * across 8 salts, the small side replicates 8×, so one hot key spreads
+    * over 8 shuffle partitions instead of one. Salting is result-
+    * invariant (ExplainSpec proves count-equality with the plain join);
+    * the oracle is the PLAIN join, so the whole query hash-matching is
+    * the invariance proof at value level. */
+  val c13Skew = Q(
+    "c13_skew_join",
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.SkewJoin.saltedInnerJoin(
+        Tables(s, dir, "orders"), Tables(s, dir, "customer"),
+        "o_custkey", "c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), Canon.dsumD($"o_totalprice").as("sum_price"))
+        .orderBy($"c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   def all: Seq[Q] = Seq(
     c1Inner, c2Left, c3Right, c4Full, c5Semi, c6Anti,
-    c7Broadcast, c8Theta, c9Range, c10Asof, c11MultiJoin, c12Band)
+    c7Broadcast, c8Theta, c9Range, c10Asof, c11MultiJoin, c12Band, c13Skew)
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{Canon, Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2b group S — event-time windowing, exercised in BATCH mode:
@@ -8,6 +9,15 @@ import org.apache.spark.sql.functions._
   * streaming path evaluates, so their bucketing/merging semantics are
   * oracle-checkable here; streaming-only behavior (watermarks, late-data
   * drop, incremental state) is covered by StreamingSpec via MemoryStream.
+  *
+  * s4–s6 are deterministic BATCH REPLAYS of the three stateful streaming
+  * semantics (stream dedup, watermark late-drop, running counter): each
+  * re-expresses the per-key state machine as a window function over
+  * arrival order (event_id), which DuckDB can also run — giving the
+  * spec-only streaming operators hash-checked CORRECTNESS rows. The
+  * replays are partitioned by their state key (event_id / user_id), so
+  * the window shuffle is the same hash partitioning the streaming state
+  * store uses — scale-shaped, not a driver-side simulation.
   */
 object WindowBatchQueries {
 
@@ -86,5 +96,104 @@ object WindowBatchQueries {
             GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
-  def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session)
+  /** S: stream-dedup replay — the corpus is doubled with each copy's ts
+    * shifted +1 minute (a duplicate delivery inside the watermark
+    * horizon); keep-first-arrival semantics = row_number over (event_id,
+    * arrival ts) — exactly what dropDuplicatesWithinWatermark does to
+    * in-horizon duplicates (StreamingSpec covers the streaming run). */
+  val s4DedupReplay = Q(
+    "s4_stream_dedup_replay",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").select($"event_id", $"ts", $"event_type")
+      val replayed = ev.unionAll(ev.select(
+        $"event_id", ($"ts" + expr("INTERVAL 1 MINUTE")).as("ts"), $"event_type"))
+      val w = Window.partitionBy($"event_id").orderBy($"ts")
+      replayed
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("first_ts"), $"event_type")
+        .orderBy($"event_id")
+    },
+    Some("""WITH replayed AS (
+              SELECT event_id, ts, event_type FROM events
+              UNION ALL
+              SELECT event_id, ts + INTERVAL 1 MINUTE, event_type FROM events),
+            ranked AS (
+              SELECT event_id, ts, event_type,
+                     row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+              FROM replayed)
+            SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts, event_type
+            FROM ranked WHERE rn = 1 ORDER BY event_id"""))
+
+  /** S: watermark late-drop replay — per user, events arrive in event_id
+    * order; the watermark is the running max event time over PRIOR
+    * arrivals minus 10 minutes, and an event older than the watermark at
+    * its arrival is late. Counts per user are the deterministic batch
+    * image of `withWatermark(...)`'s drop rule (StreamingSpec pins the
+    * streaming run; the real watermark is global, the replay keys it per
+    * user so the window shuffle stays hash-partitioned). */
+  val s5LateDropReplay = Q(
+    "s5_late_drop_replay",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .withColumn("wm", max($"ts").over(w) - expr("INTERVAL 10 MINUTES"))
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when($"wm".isNotNull && $"ts" < $"wm", 1L).otherwise(0L)).as("n_late"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       - INTERVAL 10 MINUTE AS wm
+              FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CASE WHEN wm IS NOT NULL AND ts < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM marked GROUP BY user_id ORDER BY user_id"""))
+
+  /** S: running-counter replay (§2a#10 at scale) — ±1 deltas folded in
+    * arrival order per key, exactly what mapGroupsWithState accumulates
+    * batch-by-batch (StreamingSpec pins the streaming run); final value
+    * plus the running extrema prove the whole trajectory, not just the
+    * sum. */
+  val s6CounterReplay = Q(
+    "s6_counter_replay",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, dir, "events")
+        .withColumn("delta", when($"event_type" === "click", 1L).otherwise(-1L))
+        .withColumn("run", sum($"delta").over(w))
+        .groupBy($"user_id")
+        .agg(
+          sum($"delta").as("final_count"),
+          min($"run").as("min_run"),
+          max($"run").as("max_run"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH deltas AS (
+              SELECT user_id, event_id,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE -1 END AS delta
+              FROM events),
+            runs AS (
+              SELECT user_id, delta,
+                     sum(delta) OVER (PARTITION BY user_id ORDER BY event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              FROM deltas)
+            SELECT user_id,
+                   CAST(sum(delta) AS BIGINT) AS final_count,
+                   CAST(min(run) AS BIGINT) AS min_run,
+                   CAST(max(run) AS BIGINT) AS max_run
+            FROM runs GROUP BY user_id ORDER BY user_id"""))
+
+  def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
+    s4DedupReplay, s5LateDropReplay, s6CounterReplay)
 }

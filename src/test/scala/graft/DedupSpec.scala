@@ -52,6 +52,43 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("n_copies") =!= 2).count() == 0)
   }
 
+  test("dfCap law: capped == uncapped whenever every shingle's df <= cap") {
+    // fixture regime: max document frequency of any shingle is far below
+    // the default cap, so the frequency cut must be a no-op
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5, dfCap = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
+      dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+    assert(capped.nonEmpty)
+  }
+
+  test("dfCap laws: capped pairs are a subset with identical exact scores") {
+    import spark.implicits._
+    // synthetic corpus: docs 1..10 are identical (every shingle df=10,
+    // above the cap) and docs 21/22 overlap only through rare shingles
+    val hot = (1L to 10L).map(i => (i, "x y z x y z x y z"))
+    val rare = Seq((21L, "a b c d e f"), (22L, "a b c d e g"))
+    val t = (hot ++ rare).toDF("doc_id", "text")
+    def pairs(cap: Int) =
+      Dedup.ngramJaccard(t, "doc_id", "text", threshold = 0.5, dfCap = cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = pairs(8)
+    val uncapped = pairs(Int.MaxValue)
+    // subset law: the cut can only LOSE pairs, never invent them
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    // score-equality law: a detected pair re-scores from FULL shingle
+    // sets, so its jaccard is identical to the uncapped run's
+    capped.foreach { case (k, j) => assert(uncapped(k) == j, s"$k: $j vs ${uncapped(k)}") }
+    // the rare-overlap pair survives the cut (its shingles have df=2)
+    assert(capped.contains((21L, 22L)))
+    // the one-sided recall loss is real: identical docs share only
+    // hot (df=10 > 8) shingles, so all 45 of those pairs are dropped
+    assert(uncapped.count { case ((a, _), _) => a <= 10L } == 45)
+    assert(capped.count { case ((a, _), _) => a <= 10L } == 0)
+  }
+
   test("fingerprint: deterministic, distinct texts -> distinct fps here") {
     val fp1 = LlmQueries.l9Fingerprint.run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val fp2 = LlmQueries.l9Fingerprint.run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))

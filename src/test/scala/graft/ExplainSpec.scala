@@ -94,6 +94,24 @@ class ExplainSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <=2 shuffles, got $shuffles\n$p")
   }
 
+  test("l6/l13: banded similarity plans have no nested-loop or cartesian join") {
+    for (name <- Seq("l6_cosine_neardup", "l13_lsh_topk")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize the adaptive plan — gate the EXECUTED plan
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must stay on banded equi-joins:\n${p.take(1500)}")
+    }
+  }
+
+  test("c8: counting theta join plan has no nested-loop or cartesian join") {
+    val df = SparkEntry.queries("c8_theta_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"c8 must use the histogram decomposition, not a BNLJ:\n${p.take(1500)}")
+  }
+
   test("salted skew join returns exactly the plain join result") {
     import spark.implicits._
     val orders = Tables(spark, sf, "orders")

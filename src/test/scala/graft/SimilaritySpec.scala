@@ -1,11 +1,33 @@
 package graft
 
+import graft.functions.VectorFunctions
 import graft.operators.{LlmQueries, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = Tables(spark, sf, "embeddings")
+
+  /** corpus doubled with exact duplicates at offset ids — the planted
+    * near-dup population the l6 query detects. */
+  private lazy val doubled = emb.select(col("vec_id"), col("embedding")).unionAll(
+    emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+
+  /** exact all-pairs quantized-cosine reference (same math as the engine). */
+  private def bfPairs(df: DataFrame, threshold: Double): Map[(Long, Long), Double] = {
+    val v = df.select(col("vec_id").as("id"), col("embedding").as("v"),
+      VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nrm"))
+    v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos",
+        when(col("a.nrm") === 0 || col("b.nrm") === 0, lit(0.0))
+          .otherwise(VectorFunctions.dotScaledFast(col("a.v"), col("b.v")).cast("double") /
+            sqrt((col("a.nrm") * col("b.nrm")).cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id"), col("b.id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+  }
 
   test("brute-force top-k: k rows per query, no self matches, cos in [-1,1]") {
     val got = Similarity.bruteForceTopK(emb, emb, 3)
@@ -43,6 +65,54 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.ivfTopK(emb, emb, 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(ivf1 == again)
+  }
+
+  test("cosineNearDup @ 0.8: equals brute force, candidates genuinely pruned") {
+    val got = Similarity.cosineNearDup(doubled, "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = bfPairs(doubled, 0.8)
+    assert(got == want, s"banded=${got.size} brute=${want.size}")
+    assert(got.nonEmpty) // the planted duplicate pairs
+    // pruning: at τ=0.8 with log2(n)-bit bands the candidate set must be
+    // a small fraction of the n(n-1)/2 pairs brute force examines
+    val n = doubled.count()
+    val cands = Similarity.cosineNearDupCandidates(
+      doubled, "vec_id", "embedding", threshold = 0.8).count()
+    assert(cands <= n * (n - 1) / 2 * 35 / 100,
+      s"candidates $cands vs all-pairs ${n * (n - 1) / 2}")
+  }
+
+  test("cosineNearDup @ 0.4 (stress): banding still exact where it can't prune") {
+    // low-threshold full-recall banding is intrinsically near-quadratic
+    // (see Similarity.cosineNearDup docstring) — kept as a correctness
+    // stress case with the round-2 fixed-width bands, NOT a declared query
+    val got = Similarity.cosineNearDup(emb, "vec_id", "embedding",
+      threshold = 0.4, bitsPerBand = Some(4))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = bfPairs(emb, 0.4)
+    assert(got == want, s"banded=${got.size} brute=${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("LSH candidates stay O(sqrt(n)) per query on the doubled fixture") {
+    val n = doubled.count()
+    val perQuery = Similarity.lshCandidates(doubled, doubled, corpusSize = Some(n))
+      .groupBy(col("qid")).agg(count(lit(1)).as("c"))
+      .agg(avg(col("c"))).head().getDouble(0)
+    // bands=8, buckets≈sqrt(n) ⇒ expect ≈8·sqrt(n); assert 2× headroom
+    assert(perQuery <= 16 * math.sqrt(n.toDouble),
+      s"avg candidates/query $perQuery at n=$n — bucket keys not scaling")
+  }
+
+  test("IVF candidates stay O(sqrt(n)) per query on the doubled fixture") {
+    val n = doubled.count()
+    val perQuery = Similarity.ivfCandidates(doubled, doubled)
+      .groupBy(col("qid")).agg(count(lit(1)).as("c"))
+      .agg(avg(col("c"))).head().getDouble(0)
+    // nlist≈sqrt(n), nprobe=4 ⇒ expect ≈4·sqrt(n); assert headroom for
+    // uneven cell sizes
+    assert(perQuery <= 16 * math.sqrt(n.toDouble),
+      s"avg candidates/query $perQuery at n=$n — nlist not scaling")
   }
 
   test("langid: deterministic and sane on clear-cut samples") {

@@ -40,6 +40,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows("10:40") == 1)
   }
 
+  test("sliding window: one event lands in 4 overlapping windows; late event in none") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = StreamingOps.slidingCounts(stream.toDF(), "20 minutes", "5 minutes", "10 minutes")
+    runBatches("slide", stream, agg, "append")(
+      Seq(Ev(1, ts(17), 1, "a", 1.0)),  // 10:17 -> windows 10:00/10:05/10:10/10:15
+      Seq(Ev(2, ts(60), 1, "a", 1.0)),  // watermark -> 10:50, finalizes them
+      Seq(Ev(3, ts(18), 1, "a", 1.0)),  // LATE: 10:18 < 10:50 -> dropped everywhere
+      Seq(Ev(4, ts(120), 1, "a", 1.0))  // advance watermark, flush the rest
+    )
+    val rows = spark.table("slide")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (w <- Seq("10:00", "10:05", "10:10", "10:15"))
+      assert(rows(w) == 1, s"window $w: late event must not be counted: $rows")
+    assert(!rows.values.exists(_ > 1), s"late event leaked into a window: $rows")
+  }
+
   test("session window merges events within gap, splits across it") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
