@@ -141,13 +141,15 @@ object Dedup {
     * scale one stopword trigram in 10⁶ docs is a 10¹²-pair bucket.
     * Candidate generation therefore drops shingles with document frequency
     * > dfCap (the CCNet/Gopher-style frequency cut), which caps every join
-    * bucket at dfCap² pairs. Scores stay EXACT: candidate pairs re-fetch
-    * both FULL shingle sets and intersect them, so a detected pair's
-    * jaccard is identical to the uncapped one. The only approximation is
-    * one-sided recall: a pair is missed iff every shared shingle has
-    * df > dfCap (DedupSpec checks the subset + score-equality laws, and
-    * that capped == uncapped whenever max df <= dfCap — the fixture
-    * regime: max fixture df is 25 at sf0.1, dfCap default 128). */
+    * bucket at dfCap² pairs. Scores stay EXACT: the capped self-join
+    * counts shared rare shingles per pair in its own aggregation, and a
+    * second (candidate-bounded) join adds back any shared df>cap
+    * shingles, so a detected pair's jaccard is identical to the uncapped
+    * one. The only approximation is one-sided recall: a pair is missed
+    * iff every shared shingle has df > dfCap (DedupSpec checks the
+    * subset + score-equality laws, and that capped == uncapped whenever
+    * max df <= dfCap — the fixture regime: max fixture df is 25 at
+    * sf0.1, dfCap default 128). */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
@@ -159,24 +161,40 @@ object Dedup {
       .select(col(idCol).as("id"),
         explode(shingles(split(col(textCol), " "), shingleN)).as("s"))
       .distinct()
-    // rare shingles only — the df histogram is one extra agg on data
-    // already shuffled by shingle, and it bounds the worst join bucket
-    val rare = sets.join(
-      sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= dfCap)
-        .select(col("s")),
-      "s")
-    val cand = rare.as("x").join(rare.as("y"),
+    val dfs = sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // rare shingles only through the self-join — the df histogram is one
+    // extra agg on data already shuffled by shingle, and it bounds the
+    // worst join bucket at dfCap²
+    val rare = sets.join(dfs.filter(col("df") <= dfCap).select(col("s")), "s")
+    // candidate generation AND the rare-shingle intersection count are the
+    // SAME join+agg: count shared rare shingles per (id_a, id_b) directly.
+    // No pair-distinct, no per-pair array ops, no candidate re-fanout —
+    // whole-stage codegen end to end. (Round-2's collect_set +
+    // array_intersect rescore did interpreted O(|sh_a|·|sh_b|) work per
+    // pair and measured 10× slower at sf0.1's 1.1M candidate pairs.)
+    // set sizes ride along the self-join rows (2 extra longs) instead of
+    // two more 1M-pair joins afterwards; n is constant per doc, so max()
+    // in the pair agg just reads it back
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val rareN = rare.join(sizes, "id")
+    val nc = rareN.as("x").join(rareN.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    // exact re-score: full (uncapped) shingle sets per doc, intersected
-    val shSets = sets.groupBy(col("id"))
-      .agg(collect_set(col("s")).as("sh"), count(lit(1)).as("n"))
-    cand
-      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("na")), "id_a")
-      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("nb")), "id_b")
-      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("nc"), max(col("x.n")).as("na"), max(col("y.n")).as("nb"))
+    // exactness correction: candidates may ALSO share df>cap shingles,
+    // which the capped join didn't count. Join those back per candidate
+    // pair — the hot set is empty whenever max df <= dfCap (the fixture
+    // regime), and tiny otherwise (stopword-grams), so this costs
+    // |candidates|·|hot shingles per doc|, never df² on a hot bucket.
+    val hot = sets.join(dfs.filter(col("df") > dfCap).select(col("s")), "s")
+    val nh = nc.select(col("id_a"), col("id_b"))
+      .join(hot.select(col("id").as("id_a"), col("s")), "id_a")
+      .join(hot.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("nh"))
+    nc
+      .join(nh, Seq("id_a", "id_b"), "left")
+      .withColumn("ni", col("nc") + coalesce(col("nh"), lit(0L)))
       .withColumn("jaccard", col("ni") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -82,6 +82,7 @@ object Similarity {
     udf { (v: Seq[Float]) =>
       val keys = new Array[Long](bands)
       if (v != null) {
+        val a = v.toArray // one unboxing copy, then primitive access in the B·b·dim loop
         var b = 0
         while (b < bands) {
           var key = 0L
@@ -90,8 +91,8 @@ object Similarity {
             val p = planes(b * bitsPerBand + i)
             var dot = 0.0
             var j = 0
-            val len = math.min(p.length, v.length)
-            while (j < len) { dot += p(j) * v(j); j += 1 }
+            val len = math.min(p.length, a.length)
+            while (j < len) { dot += p(j) * a(j); j += 1 }
             if (dot > 0) key |= (1L << i)
             i += 1
           }
@@ -179,15 +180,21 @@ object Similarity {
     val probeUdf = udf((v: Seq[Float]) => if (v == null) Seq(0) else cells(v, nprobe))
     val assignUdf = udf((v: Seq[Float]) => if (v == null) 0 else cells(v, 1).head)
 
+    // ids only through the cell join + pair-distinct: the 64-float
+    // vectors never ride the candidate-multiplicity shuffle (measured 2×
+    // at sf0.1 vs the wide-row distinct) — re-attached by key after
     val q = queries.repartition(n, col("vec_id")).select(
-      col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("vec_id").as("qid"),
       explode(probeUdf(col("embedding"))).as("cell"))
     val c = corpus.select(
-      col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("vec_id").as("nid"),
       assignUdf(col("embedding")).as("cell"))
     q.join(c, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv")).distinct()
+      .select(col("qid"), col("nid")).distinct()
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
   }
 
   /** Bands needed so a pair at cosine >= `threshold` is missed with
@@ -308,17 +315,23 @@ object Similarity {
     val b = bitsPerBand.getOrElse(math.max(4, (log2ceil(n0) + 1) / 2))
     val keysUdf = bandKeysUdf(hyperplanes(bands * b, dim, seed), bands, b)
 
-    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs),
+    def banded(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
         posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
 
+    // ids only through the band join + pair-distinct (same shape as the
+    // near-dup path): vectors re-attached by key AFTER the candidate
+    // multiplicity is collapsed
     val n = queries.sparkSession.sparkContext.defaultParallelism
-    val q = banded(queries.repartition(n, col("vec_id")), "qid", "qv")
-    val c = banded(corpus, "nid", "nv")
+    val q = banded(queries.repartition(n, col("vec_id")), "qid")
+    val c = banded(corpus, "nid")
     q.repartition(n, col("band"), col("bkey"))
       .join(c, Seq("band", "bkey"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "qv", "nid", "nv").distinct()
+      .select("qid", "nid").distinct()
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
   }
 
   /** LSH-bucketed approximate top-k: rank candidates by exact cosine
