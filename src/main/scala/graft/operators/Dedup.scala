@@ -145,11 +145,22 @@ object Dedup {
     * counts shared rare shingles per pair in its own aggregation, and a
     * second (candidate-bounded) join adds back any shared df>cap
     * shingles, so a detected pair's jaccard is identical to the uncapped
-    * one. The only approximation is one-sided recall: a pair is missed
-    * iff every shared shingle has df > dfCap (DedupSpec checks the
-    * subset + score-equality laws, and that capped == uncapped whenever
-    * max df <= dfCap — the fixture regime: max fixture df is 25 at
-    * sf0.1, dfCap default 128). */
+    * one. The only approximation is one-sided recall: a NON-identical
+    * pair is missed iff every shared shingle has df > dfCap (DedupSpec
+    * checks the subset + score-equality laws, and that capped ==
+    * uncapped whenever max df <= dfCap — the fixture regime: max
+    * fixture df is 25 at sf0.1, dfCap default 128).
+    *
+    * Exact-dedup canonicalization runs FIRST (the standard pipeline
+    * ordering): texts are grouped, one representative per distinct text
+    * is scored, and result pairs expand back through group membership —
+    * identical docs pair at jaccard 1.0 regardless of shingle
+    * frequencies (immune to the dfCap cut), and on a duplicate-heavy
+    * corpus the scoring work collapses to the distinct-text count
+    * (measured 43 s → 4.7 s on a 4× replica whose every text has 4
+    * copies — BENCH_LOCAL.md). On a duplicate-free corpus the expansion
+    * is the identity and the output is byte-identical to scoring
+    * directly, at the cost of one extra text-hash aggregation. */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
@@ -157,9 +168,17 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       dfCap: Int = 128): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("id"),
-        explode(shingles(split(col(textCol), " "), shingleN)).as("s"))
+    // exact-dedup canonicalization: one representative id per distinct
+    // text; all shingle/candidate/scoring work below runs on reps only
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val groups = base.groupBy(col("txt"))
+      .agg(min(col("id")).as("rid"))
+    val members = base.join(groups, "txt").select(col("id"), col("rid"))
+    val reps = groups.select(col("rid").as("id"), col("txt"))
+
+    val sets = reps
+      .select(col("id"),
+        explode(shingles(split(col("txt"), " "), shingleN)).as("s"))
       .distinct()
     val dfs = sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rare shingles only through the self-join — the df histogram is one
@@ -192,12 +211,30 @@ object Dedup {
       .join(hot.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("nh"))
-    nc
+    val repPairs = nc
       .join(nh, Seq("id_a", "id_b"), "left")
       .withColumn("ni", col("nc") + coalesce(col("nh"), lit(0L)))
       .withColumn("jaccard", col("ni") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+    // expand back through group membership: a rep-pair score holds for
+    // every member cross-pair (identical texts ⇒ identical sets), and
+    // each dup group contributes its internal pairs at exactly 1.0. On a
+    // duplicate-free corpus both joins are the identity / empty.
+    val cross = repPairs
+      .join(members.select(col("rid").as("id_a"), col("id").as("ia")), "id_a")
+      .join(members.select(col("rid").as("id_b"), col("id").as("ib")), "id_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    if (threshold <= 1.0) {
+      val intra = members.as("m1")
+        .join(members.as("m2"),
+          col("m1.rid") === col("m2.rid") && col("m1.id") < col("m2.id"))
+        .select(col("m1.id").as("id_a"), col("m2.id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionAll(intra)
+    } else cross
   }
 
   /** 64-bit SimHash of a token array: per-bit votes weighted by token

@@ -174,7 +174,63 @@ object AggQueries {
     },
     None)
 
+  /** D: pivot — groupBy + pivot compiles to one hash aggregation with
+    * conditional measures (NO extra shuffle per pivot value); pivot
+    * values are pinned explicitly, both for determinism and because at
+    * scale an unpinned pivot first runs a distinct-values job. The
+    * oracle is the equivalent FILTERed aggregation. */
+  val d9Pivot = Q(
+    "d9_pivot",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select($"o_orderstatus",
+          coalesce($"1-URGENT", lit(0L)).as("n_urgent"),
+          coalesce($"2-HIGH", lit(0L)).as("n_high"),
+          coalesce($"3-MEDIUM", lit(0L)).as("n_medium"),
+          coalesce($"4-NOT SPECIFIED", lit(0L)).as("n_notspec"),
+          coalesce($"5-LOW", lit(0L)).as("n_low"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+                   count(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+                   count(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+                   count(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** D: exact percentiles with linear interpolation — Spark `percentile`
+    * and DuckDB `quantile_cont` both use index q·(n−1) with linear
+    * interpolation, and l_quantity is integer-valued with dyadic
+    * quantile fractions, so the interpolated doubles are bit-identical.
+    * (The sketch-based alternative is approx_percentile — mergeable at
+    * scale but engine-specific, like d8's HLL.) */
+  val d10Percentile = Q(
+    "d10_percentile",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.75) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Seq[Q] = Seq(
     d1Pricing, d2Distinct, d3CountDistinct, d4Rollup, d5Cube,
-    d6GroupingSets, d7CollectNested, d8ApproxDistinct)
+    d6GroupingSets, d7CollectNested, d8ApproxDistinct, d9Pivot, d10Percentile)
 }

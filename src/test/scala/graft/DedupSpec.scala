@@ -66,11 +66,15 @@ class DedupSpec extends SparkSpec {
 
   test("dfCap laws: capped pairs are a subset with identical exact scores") {
     import spark.implicits._
-    // synthetic corpus: docs 1..10 are identical (every shingle df=10,
-    // above the cap) and docs 21/22 overlap only through rare shingles
-    val hot = (1L to 10L).map(i => (i, "x y z x y z x y z"))
+    // synthetic corpus: docs 1..10 are near-identical with a unique tail
+    // token each, so their only SHARED shingles are hot (df=10 > cap);
+    // docs 21/22 overlap only through rare shingles; docs 31..33 are
+    // byte-identical (the exact-dedup canonicalization must find them
+    // no matter what the frequency cut drops)
+    val hot = (1L to 10L).map(i => (i, s"x y z x y z x y z w$i"))
     val rare = Seq((21L, "a b c d e f"), (22L, "a b c d e g"))
-    val t = (hot ++ rare).toDF("doc_id", "text")
+    val dup = (31L to 33L).map(i => (i, "p q r s t u"))
+    val t = (hot ++ rare ++ dup).toDF("doc_id", "text")
     def pairs(cap: Int) =
       Dedup.ngramJaccard(t, "doc_id", "text", threshold = 0.5, dfCap = cap)
         .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
@@ -78,15 +82,20 @@ class DedupSpec extends SparkSpec {
     val uncapped = pairs(Int.MaxValue)
     // subset law: the cut can only LOSE pairs, never invent them
     assert(capped.keySet.subsetOf(uncapped.keySet))
-    // score-equality law: a detected pair re-scores from FULL shingle
-    // sets, so its jaccard is identical to the uncapped run's
+    // score-equality law: a detected pair's jaccard counts ALL shared
+    // shingles (hot correction join), identical to the uncapped run's
     capped.foreach { case (k, j) => assert(uncapped(k) == j, s"$k: $j vs ${uncapped(k)}") }
     // the rare-overlap pair survives the cut (its shingles have df=2)
     assert(capped.contains((21L, 22L)))
-    // the one-sided recall loss is real: identical docs share only
-    // hot (df=10 > 8) shingles, so all 45 of those pairs are dropped
+    // the one-sided recall loss is real: the near-identical docs share
+    // only hot shingles, so all 45 of those pairs are dropped by the cut
     assert(uncapped.count { case ((a, _), _) => a <= 10L } == 45)
     assert(capped.count { case ((a, _), _) => a <= 10L } == 0)
+    // ...but EXACT duplicates are immune to it: canonicalization pairs
+    // them at exactly 1.0 in both runs
+    for (p <- Seq((31L, 32L), (31L, 33L), (32L, 33L))) {
+      assert(capped(p) == 1.0 && uncapped(p) == 1.0, s"$p")
+    }
   }
 
   test("fingerprint: deterministic, distinct texts -> distinct fps here") {
