@@ -206,8 +206,11 @@ object AggQueries {
 
   /** D: exact percentiles with linear interpolation — Spark `percentile`
     * and DuckDB `quantile_cont` both use index q·(n−1) with linear
-    * interpolation, and l_quantity is integer-valued with dyadic
-    * quantile fractions, so the interpolated doubles are bit-identical.
+    * interpolation. Cross-engine exactness needs INTEGER inputs: the
+    * dyadic fractions (.25/.5/.75) interpolate integers bit-identically,
+    * while interpolating raw doubles differs by 1 ulp between the two
+    * formulas and flips a round() at scale boundaries (measured at
+    * sf0.001) — so the price median runs over exact integer cents.
     * (The sketch-based alternative is approx_percentile — mergeable at
     * scale but engine-specific, like d8's HLL.) */
   val d10Percentile = Q(
@@ -215,19 +218,20 @@ object AggQueries {
     (s, dir) => {
       import s.implicits._
       Tables(s, dir, "lineitem")
+        .withColumn("price_cents", round($"l_extendedprice" * 100).cast("bigint"))
         .groupBy($"l_returnflag")
         .agg(
           expr("percentile(l_quantity, 0.25)").as("p25"),
           expr("percentile(l_quantity, 0.5)").as("p50"),
           expr("percentile(l_quantity, 0.75)").as("p75"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"))
+          expr("percentile(price_cents, 0.5)").as("p50_price_cents"))
         .orderBy($"l_returnflag")
     },
     Some("""SELECT l_returnflag,
                    quantile_cont(l_quantity, 0.25) AS p25,
                    quantile_cont(l_quantity, 0.5) AS p50,
                    quantile_cont(l_quantity, 0.75) AS p75,
-                   round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price
+                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_price_cents
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   def all: Seq[Q] = Seq(
