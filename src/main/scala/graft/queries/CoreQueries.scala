@@ -51,6 +51,25 @@ object CoreQueries {
     },
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"))
 
+  /** A: ORC write + read back — the second columnar format (predicate
+    * pushdown and column pruning work the same as parquet through
+    * DataSource V2). Oracle reads the original parquet: a lossless
+    * round-trip is exactly "same rows, same values". */
+  val a6OrcRoundtrip = Q(
+    "a6_orc_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      val customer = Tables(s, dir, "customer")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_a6_orc").toString
+      customer.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+        .filter($"c_acctbal" > 1000)
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+            FROM customer WHERE c_acctbal > 1000 ORDER BY c_custkey"""))
+
   /** A: partitioned parquet snapshot write (overwrite = the Redis-MULTI
     * analog, SURVEY §2a#8) + read-back aggregation. Partitioning by a
     * low-cardinality column is the layout a 100 TB materialized view
@@ -294,7 +313,7 @@ object CoreQueries {
 
   def all: Seq[Q] = Seq(
     a1ScanProject, a2CsvRoundtrip, a3JsonRoundtrip, a4PartitionedWrite,
-    a5BucketedJoin,
+    a5BucketedJoin, a6OrcRoundtrip,
     b1ProjectCompute, b2FilterPredicates, b3ExplodeTokens, b4BitmaskExplode,
     f1TopkGlobal, f2TopkPerGroup, f3UnionAll, f4Intersect, f5Except,
     f6IntersectAll, f7ExceptAll)

@@ -49,6 +49,29 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner interval join: pair each left event with right
+    * events of the same key arriving within `horizon` AFTER it. Both
+    * sides carry watermarks and the join condition time-bounds the match
+    * window, so each side's state store holds at most watermark+horizon
+    * of data — the canonical bounded-state stream join (click ⋈
+    * purchase-within-5-minutes). Columns are prefixed to keep the
+    * output schema unambiguous. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      horizon: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).select(
+      col(key).as("l_key"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark).select(
+      col(key).as("r_key"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   /** The §2a#10 counter at scale: a ±1 delta stream folded into one
     * running value per counter key via mapGroupsWithState — exactly-once
     * state updates, emitted in update mode. */

@@ -194,6 +194,35 @@ object WindowBatchQueries {
                    CAST(max(run) AS BIGINT) AS max_run
             FROM runs GROUP BY user_id ORDER BY user_id"""))
 
+  /** S: stream-stream interval-join replay — every (click, purchase)
+    * pair per user with the purchase inside an hour after the click,
+    * the batch image of StreamingOps.intervalJoin (StreamingSpec pins
+    * the streaming run with watermark-bounded state). The equi-key +
+    * time-band condition is exactly the c9 range-join shape, so
+    * Catalyst executes it as a hash join on user_id with a banded
+    * residual — no nested loop. */
+  val s7IntervalJoinReplay = Q(
+    "s7_interval_join_replay",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("l_ts"), $"event_id".as("l_id"))
+      val buys = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("r_ts"), $"event_id".as("r_id"))
+      clicks.join(buys,
+          Seq("user_id")).filter(
+          $"r_ts" >= $"l_ts" && $"r_ts" <= $"l_ts" + expr("INTERVAL 60 MINUTES"))
+        .select($"user_id", $"l_id".as("click_id"), $"r_id".as("purchase_id"))
+        .orderBy($"click_id", $"purchase_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+            ORDER BY click_id, purchase_id"""))
+
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
-    s4DedupReplay, s5LateDropReplay, s6CounterReplay)
+    s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay)
 }

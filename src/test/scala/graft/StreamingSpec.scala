@@ -87,6 +87,31 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
 
+  test("stream-stream interval join: in-horizon pairs matched, state bounded") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF(), buys.toDF(), "user_id", "5 minutes", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq(Ev(1, ts(0), 7, "click", 0), Ev(2, ts(0), 8, "click", 0)))
+      buys.addData(Seq(
+        Ev(10, ts(3), 7, "purchase", 0),   // in horizon for click 1
+        Ev(11, ts(8), 7, "purchase", 0),   // beyond 5-minute horizon
+        Ev(12, ts(2), 9, "purchase", 0)))  // no matching click key
+      q.processAllAvailable()
+      clicks.addData(Seq(Ev(3, ts(60), 7, "click", 0))) // advance watermark
+      buys.addData(Seq(Ev(13, ts(61), 7, "purchase", 0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("sjoin")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (3L, 13L)), s"got $pairs")
+  }
+
   test("stateful running counter folds +1/-1 deltas per key (§2a#10)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
