@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.InequalityJoin
+import org.apache.spark.sql.functions._
+
+/** Laws for the histogram-prefix counting theta join (c8's engine):
+  * exact equality with the nested-loop count on adversarial inputs —
+  * negative values, left values outside the right range (both clamping
+  * branches), ties on the strict inequality, and a bucket width that
+  * doesn't divide the data range evenly. */
+class InequalityJoinSpec extends SparkSpec {
+
+  test("countGreater equals the nested-loop theta count on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // left range is 2× wider than right, so some left rows clamp below
+    // the histogram (count = everything) and some above (count = 0/absent)
+    val left = (1L to 200L).map(i => (i, rng.nextDouble() * 4000 - 2000)).toDF("id", "v")
+    val right = (1L to 300L).map(i => (i, rng.nextDouble() * 2000 - 1000)).toDF("rid", "rv")
+    val got = InequalityJoin.countGreater(left, "id", "v", right, "rv", bucketWidth = 37.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = left.crossJoin(right).filter($"rv" > $"v")
+      .groupBy($"id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
+  test("countGreater: strict inequality — equal values never count") {
+    import spark.implicits._
+    val left = Seq((1L, 5.0), (2L, 10.0), (3L, -3.0)).toDF("id", "v")
+    val right = Seq((1L, 5.0), (2L, 5.0), (3L, 10.0), (4L, -3.0)).toDF("rid", "rv")
+    val got = InequalityJoin.countGreater(left, "id", "v", right, "rv", bucketWidth = 4.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id 1 (5.0): only 10.0 is strictly greater; id 2 (10.0): none ->
+    // absent (inner-join semantics); id 3 (-3.0): 5,5,10 qualify
+    assert(got == Map(1L -> 1L, 3L -> 3L), s"got $got")
+  }
+}
