@@ -39,6 +39,8 @@ object Bench {
       // ONE task and a broadcast-join pipeline runs on one core of 32
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+      // keep typed-Aggregator top-k hash-based (see Engine.session)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

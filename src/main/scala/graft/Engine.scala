@@ -25,6 +25,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed Aggregators (top-k, sketches) run as ObjectHashAggregate,
+      // which silently degrades to SORT-BASED aggregation after 128
+      // distinct keys per partition by default — a per-query-key top-k
+      // has thousands. Keep it hash-based; buffers here are k-row arrays
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
     shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
     val s = b.getOrCreate()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions
+import graft.functions.{TopKByScore, VectorFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,6 +33,35 @@ object Similarity {
   private def log2ceil(n: Long): Int =
     math.ceil(math.log(math.max(n, 4L).toDouble) / math.log(2.0)).toInt
 
+  /** (qid, nid, cos) → k best per qid via the heap Aggregator (see
+    * TopKByScore). Output ranks are 1-based in (cos desc, nid asc)
+    * order — row-identical to the window formulation, but the shuffle
+    * carries k rows per query per partition instead of every scored
+    * row. Used where the scored input is UNPRUNED (brute force:
+    * |Q|·|C| rows — measured 34 s → 7 s at 8k×8k vectors, where the
+    * rank window's full-table exchange spilled). The ANN paths keep the
+    * rank window: their candidate stages already bound the input to
+    * ~√n per query, and at that volume ObjectHashAggregate's
+    * per-row typed-buffer overhead measures ~2× slower than the
+    * window sort locally. */
+  private def rankTopKAgg(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k))
+    scored.groupBy(col("qid"))
+      .agg(topk(col("nid"), col("cos")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("p.nid").as("nid"), round(col("p.cos"), 6).as("cos"))
+  }
+
+  /** Window form of the same top-k — for candidate-pruned inputs. */
+  private def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact top-k neighbors (scaled-integer cosine for cross-engine
     * determinism). Excludes self-matches.
     *
@@ -57,13 +86,10 @@ object Similarity {
         when(col("qn") === 0 || col("nn") === 0, lit(0.0))
           .otherwise(dotF(col("qv"), col("nv")).cast("double") /
             sqrt((col("qn") * col("nn")).cast("double"))))
-      // shed the vectors BEFORE the window shuffle: 30× fewer bytes moved
+      // shed the vectors BEFORE the top-k aggregation: the partial
+      // buffers hold (nid, cos) pairs only
       .select(col("qid"), col("nid"), col("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+    rankTopKAgg(scored, k)
   }
 
   /** Deterministic random hyperplanes: nBits × dim, seeded. */
@@ -132,15 +158,12 @@ object Similarity {
       k: Int,
       nlist: Option[Int] = None,
       nprobe: Int = 4): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    ivfCandidates(queries, corpus, nlist, nprobe)
+    val scored = ivfCandidates(queries, corpus, nlist, nprobe)
       .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
       .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
       .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+    rankTopKWindow(scored, k)
   }
 
   /** IVF candidate stage: (qid, qv, nid, nv) pairs sharing a probed
@@ -345,14 +368,11 @@ object Similarity {
       bitsPerBand: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    lshCandidates(queries, corpus, bands, bitsPerBand, dim, seed)
+    val scored = lshCandidates(queries, corpus, bands, bitsPerBand, dim, seed)
       .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
       .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
       .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), round(col("cos"), 6).as("cos"))
+    rankTopKWindow(scored, k)
   }
 }
