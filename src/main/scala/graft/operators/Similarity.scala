@@ -190,15 +190,39 @@ object Similarity {
       .zipWithIndex
       .map { case (v, i) => (i, v) }
 
-    def cells(vec: Seq[Float], m: Int): Seq[Int] =
-      centroids.map { case (cid, c) =>
+    // primitive top-m selection — the per-row hot loop scans nlist≈√n
+    // centroids for EVERY corpus and query row, so a boxed sortBy here
+    // (tuple per centroid + full sort for m ≤ 4) is measurable; m passes
+    // over a primitive score array are not
+    def cells(vec: Seq[Float], m: Int): Seq[Int] = {
+      val v = vec.toArray
+      val scores = new Array[Double](centroids.length)
+      var ci = 0
+      while (ci < centroids.length) {
+        val c = centroids(ci)._2
         var dot = 0.0; var nc = 0.0; var nv = 0.0
         var i = 0
-        val len = math.min(c.length, vec.length)
-        while (i < len) { dot += c(i) * vec(i); nc += c(i) * c(i); nv += vec(i) * vec(i); i += 1 }
-        val cos = if (nc == 0 || nv == 0) 0.0 else dot / math.sqrt(nc * nv)
-        (cid, cos)
-      }.sortBy { case (cid, cos) => (-cos, cid) }.take(m).map(_._1).toSeq
+        val len = math.min(c.length, v.length)
+        while (i < len) { dot += c(i) * v(i); nc += c(i) * c(i); nv += v(i) * v(i); i += 1 }
+        scores(ci) = if (nc == 0 || nv == 0) 0.0 else dot / math.sqrt(nc * nv)
+        ci += 1
+      }
+      val picked = new Array[Int](math.min(m, scores.length))
+      val taken = new Array[Boolean](scores.length)
+      var p = 0
+      while (p < picked.length) {
+        var best = -1
+        var i = 0
+        while (i < scores.length) {
+          if (!taken(i) && (best < 0 || scores(i) > scores(best))) best = i
+          i += 1
+        }
+        taken(best) = true
+        picked(p) = best
+        p += 1
+      }
+      picked.toSeq
+    }
 
     val probeUdf = udf((v: Seq[Float]) => if (v == null) Seq(0) else cells(v, nprobe))
     val assignUdf = udf((v: Seq[Float]) => if (v == null) 0 else cells(v, 1).head)

@@ -112,6 +112,15 @@ class ExplainSpec extends SparkSpec {
       s"c8 must use the histogram decomposition, not a BNLJ:\n${p.take(1500)}")
   }
 
+  test("l5: brute-force top-k aggregates partial+final; no rank window") {
+    val df = SparkEntry.queries("l5_cosine_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"top-k must be the heap Aggregator, not a rank window:\n${p.take(1200)}")
+    val aggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, got $aggs\n${p.take(1200)}")
+  }
+
   test("salted skew join returns exactly the plain join result") {
     import spark.implicits._
     val orders = Tables(spark, sf, "orders")
