@@ -309,8 +309,26 @@ object LlmQueries {
                    octet_length(CAST(frame AS BLOB)) AS frame_len
             FROM frames ORDER BY doc_id, frame_idx"""))
 
+  /** L: winnowing fingerprints — the position-robust document
+    * fingerprint (MOSS scheme): shared substrings of length >= w+k-1
+    * guarantee shared fingerprints (DedupSpec pins the law). Wrapping
+    * 64-bit hash arithmetic isn't SQL-expressible → rows-only check;
+    * the aggregate projection keeps the output compact and
+    * order-invariant. */
+  val l16Winnow = Q(
+    "l16_winnow",
+    (s, dir) => Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.winnow()(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"))
+      .orderBy(col("doc_id")),
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
-    l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample)
+    l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
+    l16Winnow)
 }

@@ -80,6 +80,49 @@ object TextAnalysis {
     }
   }
 
+  /** Winnowing fingerprints (the Schleimer–Wilkerson–Aiken scheme):
+    * FNV k-gram hashes over characters, the rightmost minimum of each
+    * sliding window of `w` selected, deduplicated and sorted.
+    *
+    * The property that makes this the position-robust document
+    * fingerprint (vs the whole-content hash above): any substring of
+    * length >= w + k - 1 shared by two documents contributes at least
+    * one SHARED selected hash, no matter where it sits in either
+    * document — so fingerprint overlap detects partial/embedded
+    * duplication, not just exact identity. Density is ~2/(w+1) of all
+    * k-grams, a fixed compression knob. Row-local UDF, one pass,
+    * O(n·w) worst case; deterministic (fixed FNV constants), so
+    * DedupSpec pins the guarantee and the driver records a rows-only
+    * check (wrapping 64-bit multiplies are not SQL-expressible). */
+  def winnow(k: Int = 5, w: Int = 4) = udf { (text: String) =>
+    if (text == null || text.length < k) Seq.empty[Long]
+    else {
+      val n = text.length - k + 1
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < k) { h ^= text.charAt(i + j).toLong; h *= 0x100000001b3L; j += 1 }
+        hs(i) = h
+        i += 1
+      }
+      val out = scala.collection.mutable.SortedSet[Long]()
+      var s = 0
+      val windows = math.max(n - w + 1, 1)
+      val width = math.min(w, n)
+      while (s < windows) {
+        // rightmost minimum of hs[s, s+width)
+        var m = s
+        var t = s + 1
+        while (t < s + width) { if (hs(t) <= hs(m)) m = t; t += 1 }
+        out += hs(m)
+        s += 1
+      }
+      out.toSeq
+    }
+  }
+
   /** Per-document top term by tf-idf (ln(N/df)); ties broken by term. */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))

@@ -98,6 +98,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared-substring guarantee, locality, determinism") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val core = "the quick brown fox jumps over the lazy dog near the river bank"
+    val t = Seq(
+      (1L, s"AAAA bbbb cccc $core dddd eeee"),   // core embedded mid-doc
+      (2L, s"zz $core yy qq rr ss tt uu vv ww"), // same core, different position
+      (3L, "completely different text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val fps = t.select($"doc_id", TextAnalysis.winnow()($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // SWA guarantee: a shared substring of length >= w+k-1 (here |core|=63
+    // >> 8) forces at least one shared selected hash, wherever it sits
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // discrimination: the unrelated doc shares (at most incidental
+    // k-gram noise) far less than the core-sharing pair does
+    assert((fps(1L) & fps(3L)).size < (fps(1L) & fps(2L)).size)
+    assert((fps(2L) & fps(3L)).size < (fps(1L) & fps(2L)).size)
+    // density: selected fingerprints are a small fraction of all k-grams
+    assert(fps(1L).size < t.filter($"doc_id" === 1L).head.getString(1).length / 2)
+    // determinism on the fixture query
+    val a = LlmQueries.l16Winnow.run(spark, sf).collect()
+    val b = LlmQueries.l16Winnow.run(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
   test("fingerprint: deterministic, distinct texts -> distinct fps here") {
     val fp1 = LlmQueries.l9Fingerprint.run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val fp2 = LlmQueries.l9Fingerprint.run(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
