@@ -104,6 +104,16 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("c9/s7: range and interval joins stay keyed joins, no nested loop") {
+    for (name <- Seq("c9_range_join", "s7_interval_join_replay")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(FormattedMode)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name must join on the equi key with the band as residual:\n${p.take(1200)}")
+    }
+  }
+
   test("c8: counting theta join plan has no nested-loop or cartesian join") {
     val df = SparkEntry.queries("c8_theta_join")(spark, sf)
     df.collect()
