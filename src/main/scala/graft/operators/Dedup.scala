@@ -169,7 +169,11 @@ object Dedup {
       threshold: Double = 0.5,
       dfCap: Int = 128): DataFrame = {
     // exact-dedup canonicalization: one representative id per distinct
-    // text; all shingle/candidate/scoring work below runs on reps only
+    // text; all shingle/candidate/scoring work below runs on reps only.
+    // Grouping keys here are the raw texts — exact by construction; at
+    // 100 TB the same two aggregations would key on a 128-bit content
+    // hash instead (16-byte shuffle keys vs whole documents, collision
+    // odds ~n²/2¹²⁹), which changes bytes moved, not the plan shape.
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val groups = base.groupBy(col("txt"))
       .agg(min(col("id")).as("rid"))

@@ -44,7 +44,13 @@ object InequalityJoin {
       floor(col(rightVal) / bucketWidth).cast("long").as("__rb"))
     val hist = rb.groupBy(col("__rb")).agg(count(lit(1)).as("__cnt"))
 
-    val Row(lo: Long, hi: Long) = hist.agg(min("__rb"), max("__rb")).head()
+    val bounds = hist.agg(min("__rb"), max("__rb")).head()
+    if (bounds.isNullAt(0)) {
+      // empty right side: no value exceeds anything — inner-join
+      // semantics make the result empty
+      return left.select(col(leftId), lit(0L).as("n_gt")).limit(0)
+    }
+    val Row(lo: Long, hi: Long) = bounds
 
     // complete bucket axis [lo-1, hi]: left buckets below the range clamp
     // to lo-1 (everything on the right is above ⇒ suffix = total) and

@@ -26,6 +26,13 @@ class InequalityJoinSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("countGreater: empty right side yields an empty result") {
+    import spark.implicits._
+    val left = Seq((1L, 5.0)).toDF("id", "v")
+    val right = Seq.empty[(Long, Double)].toDF("rid", "rv")
+    assert(InequalityJoin.countGreater(left, "id", "v", right, "rv", 10.0).count() == 0)
+  }
+
   test("countGreater: strict inequality — equal values never count") {
     import spark.implicits._
     val left = Seq((1L, 5.0), (2L, 10.0), (3L, -3.0)).toDF("id", "v")
