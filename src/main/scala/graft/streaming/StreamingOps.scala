@@ -72,6 +72,40 @@ object StreamingOps {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
   }
 
+  /** Streaming near-duplicate candidates: the batch MinHash+LSH
+    * machinery (graft.operators.Dedup) composed with a watermarked
+    * stream-stream self-join. Each arriving document is banded into LSH
+    * bucket keys (row-local — the same seeded signature as the batch
+    * path), and candidates are pairs sharing a band key within the time
+    * horizon. State per side is bounded by watermark + horizon, and
+    * within it by the LSH bucket population — the streaming image of
+    * "dedup new documents against the recent corpus". Emits
+    * (id_a, id_b, band) candidate pairs; exact re-scoring joins the
+    * full texts back by id, exactly as the batch path re-attaches
+    * vectors. */
+  def streamNearDupCandidates(
+      docs: DataFrame,
+      horizon: String = "10 minutes",
+      watermark: String = "10 minutes",
+      k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    val rowsPerBand = k / bands
+    def banded(idAs: String, tsAs: String) = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").as(idAs), col("ts").as(tsAs),
+        Dedup.minhashSignatureFast(k)(split(col("text"), " ")).as("sig"))
+      .select(col(idAs), col(tsAs),
+        posexplode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+    banded("id_a", "ts_a").join(banded("id_b", "ts_b"),
+      Seq("band", "bkey")).where(
+        col("id_a") < col("id_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+      .select(col("id_a"), col("id_b"), col("band"))
+  }
+
   /** The §2a#10 counter at scale: a ±1 delta stream folded into one
     * running value per counter key via mapGroupsWithState — exactly-once
     * state updates, emitted in update mode. */

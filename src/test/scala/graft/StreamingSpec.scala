@@ -14,6 +14,7 @@ class StreamingSpec extends SparkSpec {
     Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
   private def runBatches[T](name: String, stream: MemoryStream[T],
       out: org.apache.spark.sql.DataFrame, mode: String)(batches: Seq[T]*): Unit = {
@@ -110,6 +111,31 @@ class StreamingSpec extends SparkSpec {
     val pairs = spark.table("sjoin")
       .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 10L), (3L, 13L)), s"got $pairs")
+  }
+
+  test("streaming near-dup: in-horizon near-duplicates surface as candidates") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base + " again" // one appended token: shingle jaccard ~0.93
+    val other = "completely unrelated content about databases and distributed query engines"
+    val stream = MemoryStream[Doc]
+    val cands = StreamingOps.streamNearDupCandidates(stream.toDF(), "10 minutes", "10 minutes")
+    val q = cands.writeStream.format("memory").queryName("snd").outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        Doc(1, ts(0), base),
+        Doc(2, ts(3), nearDup),   // in horizon, near-dup of 1
+        Doc(3, ts(4), other)))    // in horizon, unrelated
+      q.processAllAvailable()
+      stream.addData(Seq(Doc(4, ts(200), base))) // same text, but far outside horizon
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("snd").select($"id_a", $"id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc matched: $pairs")
+    assert(!pairs.contains((1L, 4L)), s"out-of-horizon pair must not match: $pairs")
   }
 
   test("stateful running counter folds +1/-1 deltas per key (§2a#10)") {
