@@ -234,7 +234,30 @@ object AggQueries {
                    quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50_price_cents
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** D: approx percentile (KLL-style mergeable quantile sketch) — the
+    * 100 TB quantile answer next to d10's exact form, the same pairing
+    * as d8 (HLL) next to d3 (exact count-distinct). No SQL oracle
+    * (sketches differ between engines by design); ExplainSpec bounds
+    * the error against the exact percentile, like the HLL bound. */
+  val d11ApproxPercentile = Q(
+    "d11_approx_percentile",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)")
+            .as("approx_iqr"))
+        .select($"l_returnflag", $"approx_p50",
+          element_at($"approx_iqr", 1).as("approx_p25"),
+          element_at($"approx_iqr", 2).as("approx_p75"))
+        .orderBy($"l_returnflag")
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     d1Pricing, d2Distinct, d3CountDistinct, d4Rollup, d5Cube,
-    d6GroupingSets, d7CollectNested, d8ApproxDistinct, d9Pivot, d10Percentile)
+    d6GroupingSets, d7CollectNested, d8ApproxDistinct, d9Pivot, d10Percentile,
+    d11ApproxPercentile)
 }

@@ -141,6 +141,19 @@ class ExplainSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("approx_percentile sketch lands within 1% of the exact percentile") {
+    import spark.implicits._
+    val li = Tables(spark, sf, "lineitem")
+    val rows = li.groupBy($"l_returnflag").agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact"))
+      .select($"approx".cast("double"), $"exact")
+      .as[(Double, Double)].collect()
+    rows.foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx=$a exact=$e")
+    }
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact") {
     import spark.implicits._
     val li = Tables(spark, sf, "lineitem")
