@@ -100,5 +100,27 @@ object WindowQueries {
                                                          l_quantity, l_partkey, l_extendedprice)
             ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
-  def all: Seq[Q] = Seq(e1Ranking, e2Analytic, e3Frames)
+  /** E: distribution ranks — percent_rank = (rank−1)/(n−1) and
+    * cume_dist = rank/n are exact rationals over a unique sort key, so
+    * both engines agree to the bit after 6-dp rounding. */
+  val e4Distribution = Q(
+    "e4_distribution",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+      Tables(s, dir, "customer")
+        .select(
+          $"c_custkey", $"c_nationkey",
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist()    OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_custkey"""))
+
+  def all: Seq[Q] = Seq(e1Ranking, e2Analytic, e3Frames, e4Distribution)
 }
