@@ -101,8 +101,11 @@ object WindowQueries {
             ORDER BY l_suppkey, l_orderkey, l_linenumber"""))
 
   /** E: distribution ranks — percent_rank = (rank−1)/(n−1) and
-    * cume_dist = rank/n are exact rationals over a unique sort key, so
-    * both engines agree to the bit after 6-dp rounding. */
+    * cume_dist = rank/n are single divisions of small exact integers,
+    * so both engines produce bit-identical doubles. Emitted RAW, no
+    * round(): rank/n can land exactly on a .5 at any fixed decimal
+    * (41/640 = 0.0640625) where Spark rounds half-up and DuckDB
+    * half-even — rounding in-query is what BREAKS the match here. */
   val e4Distribution = Q(
     "e4_distribution",
     (s, dir) => {
@@ -111,13 +114,13 @@ object WindowQueries {
       Tables(s, dir, "customer")
         .select(
           $"c_custkey", $"c_nationkey",
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
         .orderBy($"c_custkey")
     },
     Some("""SELECT c_custkey, c_nationkey,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist()    OVER w, 6) AS cume
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist()    OVER w AS cume
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
             ORDER BY c_custkey"""))
