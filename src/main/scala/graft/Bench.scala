@@ -15,11 +15,14 @@ object Bench {
     "c2_left_join",         // shuffle join + agg
     "c7_broadcast_join",    // broadcast join on the fact table
     "c11_multi_join",       // 4-table join chain
+    "c8_theta_join",        // histogram-decomposed counting theta join
+    "c13_skew_join",        // salt-scatter skew join
     "c10_asof_join",        // union + window as-of
     "d7_collect_nested",    // nesting aggregation
     "e3_frames",            // window frames over lineitem
     "f2_topk_per_group",    // rank + filter
     "s3_session_window",    // session windows over events
+    "s7_interval_join_replay", // stream-stream interval join, batch image
     "m3_plan_group_entities", // bitmask explode + broadcast + nest
     "l2_minhash_lsh",       // minhash + LSH banding
     "l4_ngram_jaccard",     // shingle-join dedup + dfCap skew bound
