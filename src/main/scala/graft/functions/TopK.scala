@@ -31,12 +31,45 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
   override def zero: Seq[Scored] = Seq.empty
 
+  /** Binary-search position of `a` in the (cos desc, nid asc)-sorted
+    * buffer — first index whose element is NOT better than `a`. */
+  private def insertAt(b: Seq[Scored], a: Scored): Int = {
+    var lo = 0
+    var hi = b.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (better(b(mid), a)) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  // buffer stays sorted at all times, so accept/reject is an O(1) check
+  // against the current k-th element and an accepted row costs one
+  // O(log k) search + one O(k) splice — not a full O(k log k) re-sort
+  // per input row (the buffer is a Vector via the encoder, so indexed
+  // access in the search is O(log k), not O(n))
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
     if (b.size >= k && better(b.last, a)) b
-    else (b :+ a).sortWith(better).take(k)
+    else {
+      val i = insertAt(b, a)
+      val withA = (b.take(i) :+ a) ++ b.drop(i)
+      if (withA.size > k) withA.take(k) else withA
+    }
 
-  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
-    (b1 ++ b2).sortWith(better).take(k)
+  /** Sorted-merge of two sorted buffers (the classic two-pointer walk),
+    * truncated at k — O(k), no comparison sort. */
+  override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Scored]
+    val i1 = b1.iterator.buffered
+    val i2 = b2.iterator.buffered
+    while (out.size < k && (i1.hasNext || i2.hasNext)) {
+      if (!i2.hasNext) out += i1.next()
+      else if (!i1.hasNext) out += i2.next()
+      else if (better(i1.head, i2.head)) out += i1.next()
+      else out += i2.next()
+    }
+    out.toSeq
+  }
 
   override def finish(r: Seq[Scored]): Seq[Scored] = r
 

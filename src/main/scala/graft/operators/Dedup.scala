@@ -102,6 +102,9 @@ object Dedup {
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    // k must split evenly into bands — integer division would silently
+    // ignore the last k % bands minhash rows of every signature
+    require(k % bands == 0, s"signature length k=$k must be a multiple of bands=$bands")
     val rowsPerBand = k / bands
     val n = docs.sparkSession.sparkContext.defaultParallelism
     // repartition (with an EXPLICIT count — AQE would coalesce a

@@ -26,9 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object InequalityJoin {
 
-  /** Per-left-row count of right values strictly greater than the left
-    * value. Returns (leftId, n_gt) for rows with n_gt > 0 — inner-join
-    * semantics, matching `left JOIN right ON r > l GROUP BY leftId`.
+  /** Per-left-ID count of right values strictly greater than each left
+    * row's value, summed over the id's rows. Returns (leftId, n_gt) for
+    * ids with n_gt > 0 — exactly `left JOIN right ON r.v > l.v GROUP BY
+    * l.id` inner-join semantics, including when leftId is NOT unique:
+    * every left ROW gets its own bucket lookup + within-bucket count
+    * (keyed by a synthetic row id), and the per-row counts then sum per
+    * leftId. Grouping by (leftId, bucket) directly would merge same-id
+    * rows sharing a bucket (adding the suffix count once instead of per
+    * row) and split an id spanning buckets into multiple output rows.
     *
     * The two histogram bounds are the only driver-side reads (2 scalars,
     * by design — the same documented pattern as the IVF centroid fetch). */
@@ -66,15 +72,19 @@ object InequalityJoin {
       .withColumn("__gt_high", coalesce(sum(col("__cnt")).over(w), lit(0L)))
       .select(col("__rb"), col("__gt_high"))
 
+    // __rk makes each LEFT ROW its own aggregation key; leftId rides
+    // along (functionally dependent) for the final per-id rollup
     val lhs = left.select(col(leftId), col(leftVal).as("__lv"))
+      .withColumn("__rk", monotonically_increasing_id())
       .withColumn("__rb",
         least(greatest(floor(col("__lv") / bucketWidth).cast("long"), lit(lo - 1)), lit(hi)))
 
     lhs.join(broadcast(suffix), Seq("__rb"))
       .join(rb, Seq("__rb"), "left")
-      .groupBy(col(leftId), col("__gt_high"))
+      .groupBy(col("__rk"), col(leftId), col("__gt_high"))
       .agg(sum(when(col("__rv") > col("__lv"), 1L).otherwise(0L)).as("__gt_same"))
-      .select(col(leftId), (col("__gt_high") + col("__gt_same")).as("n_gt"))
+      .groupBy(col(leftId))
+      .agg(sum(col("__gt_high") + col("__gt_same")).as("n_gt"))
       .filter(col("n_gt") > 0)
   }
 }

@@ -150,8 +150,10 @@ object Similarity {
     * point between centroid-scan work (nlist per row) and cell-scan work
     * (n/nlist per probe); a FIXED nlist would grow cells linearly with
     * the corpus and quietly stop pruning. Centroids are tiny (nlist ×
-    * dim floats) and ride along as a broadcast closure; exactly nlist
-    * rows ever reach the driver (documented scalar-collect). */
+    * dim floats) and ride along as a broadcast closure; AT MOST nlist
+    * rows ever reach the driver — the stride filter is limit-capped, and
+    * collects fewer when the corpus itself is smaller than nlist
+    * (documented scalar-collect). */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -175,8 +177,10 @@ object Similarity {
       nlistOpt: Option[Int] = None,
       nprobe: Int = 4): DataFrame = {
     val n = queries.sparkSession.sparkContext.defaultParallelism
-    // deterministic coarse quantizer: every stride-th corpus vector by id;
-    // ONLY nlist rows ever reach the driver (count + filtered collect)
+    // deterministic coarse quantizer: every stride-th corpus vector by
+    // id; AT MOST nlist rows reach the driver (count + limit-capped
+    // collect — when total < nlist the whole corpus passes the stride
+    // filter and the limit is what bounds the fetch)
     val total = corpus.count()
     val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
     val stride = math.max(1L, total / nlist)
@@ -348,19 +352,28 @@ object Similarity {
     * band key, pair-distinct. Band width defaults to ceil(log2(n)/2)
     * bits ⇒ ~sqrt(n) vectors per bucket ⇒ ~bands·sqrt(n) candidates per
     * query; a FIXED band width (the round-2 defect) makes buckets — and
-    * thus per-query work — grow linearly with the corpus. Exposed so
-    * SimilaritySpec can assert the bound on a doubled fixture. */
+    * thus per-query work — grow linearly with the corpus. The band COUNT
+    * scales too: per-band agreement for a true neighbor is p^b, so wider
+    * bands (growing with log n) shrink it, and a fixed band count would
+    * let recall decay silently as the corpus grows (the round-3 advisor
+    * finding). Default bands = bandsForRecall(0.9, b, 0.05): a neighbor
+    * at cosine ≥ 0.9 survives banding with ≥ 95% probability at ANY
+    * corpus size — the recall target is the invariant, the band count is
+    * derived (8 at fixture scale, 13 at n = 10⁶, 30 at n = 10⁹; work
+    * per query stays ~bands·sqrt(n)). Exposed so SimilaritySpec can
+    * assert the candidate bound on a doubled fixture. */
   private[graft] def lshCandidates(
       queries: DataFrame,
       corpus: DataFrame,
-      bands: Int = 8,
+      bands: Option[Int] = None,
       bitsPerBand: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L,
       corpusSize: Option[Long] = None): DataFrame = {
     val n0 = corpusSize.getOrElse(corpus.count())
     val b = bitsPerBand.getOrElse(math.max(4, (log2ceil(n0) + 1) / 2))
-    val keysUdf = bandKeysUdf(hyperplanes(bands * b, dim, seed), bands, b)
+    val nBands = bands.getOrElse(math.max(8, bandsForRecall(0.9, b, 0.05)))
+    val keysUdf = bandKeysUdf(hyperplanes(nBands * b, dim, seed), nBands, b)
 
     def banded(df: DataFrame, idAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
@@ -382,13 +395,16 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: rank candidates by exact cosine
-    * within the union of matching buckets (see [[lshCandidates]] for the
-    * band-width scaling). Seeded hyperplanes → deterministic. */
+    * within the union of matching buckets (see [[lshCandidates]] for
+    * both scaling laws: band WIDTH ~ log2(n)/2 keeps buckets ~sqrt(n),
+    * band COUNT = bandsForRecall(0.9, width, 0.05) keeps recall at
+    * cosine ≥ 0.9 from decaying as the corpus grows). Seeded
+    * hyperplanes → deterministic. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
-      bands: Int = 8,
+      bands: Option[Int] = None,
       bitsPerBand: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {

@@ -90,6 +90,10 @@ object StreamingOps {
       k: Int = 32,
       bands: Int = 8): DataFrame = {
     import graft.operators.Dedup
+    // integer division would silently drop the trailing k % bands
+    // signature rows from every band split, weakening banding with no
+    // signal — reject the misconfiguration instead
+    require(k % bands == 0, s"signature length k=$k must be a multiple of bands=$bands")
     val rowsPerBand = k / bands
     def banded(idAs: String, tsAs: String) = docs
       .withWatermark("ts", watermark)

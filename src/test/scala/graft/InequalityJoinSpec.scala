@@ -26,6 +26,25 @@ class InequalityJoinSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("countGreater sums per id when leftId is NOT unique (round-3 advisor)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 40 distinct ids × ~5 rows each — same-id rows land in the same
+    // bucket AND in different buckets, the two failure modes of the old
+    // (leftId, bucket) grouping: suffix counted once per group instead
+    // of once per row, and multi-bucket ids split into multiple rows
+    val left = (1L to 200L).map(i => (i % 40, rng.nextDouble() * 3000 - 1500)).toDF("id", "v")
+    val right = (1L to 250L).map(i => (i, rng.nextDouble() * 2000 - 1000)).toDF("rid", "rv")
+    val res = InequalityJoin.countGreater(left, "id", "v", right, "rv", bucketWidth = 50.0)
+    val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.count() == got.size, "one output row per left id")
+    val want = left.crossJoin(right).filter($"rv" > $"v")
+      .groupBy($"id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
   test("countGreater: empty right side yields an empty result") {
     import spark.implicits._
     val left = Seq((1L, 5.0)).toDF("id", "v")

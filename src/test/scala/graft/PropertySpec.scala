@@ -13,6 +13,28 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("TopKByScore: any reduce/merge tree equals global sort-take-k (pure JVM law)") {
+    import graft.functions.{Scored, TopKByScore}
+    val gen = for {
+      k <- Gen.choose(1, 6)
+      rows <- Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 10).map(_ / 10.0)))
+      cut <- Gen.choose(0, math.max(rows.size, 1))
+    } yield (k, rows.map { case (id, c) => Scored(id, c) }, cut)
+    holds(Prop.forAll(gen) { case (k, rows, cut) =>
+      val agg = new TopKByScore(k)
+      // two partials reduced row-by-row, then merged — the shape Spark's
+      // partial+final aggregation actually runs; duplicate (nid, cos)
+      // rows and score ties are generated on purpose
+      val (p1, p2) = rows.splitAt(cut)
+      val merged = agg.merge(
+        p1.foldLeft(agg.zero)(agg.reduce),
+        p2.foldLeft(agg.zero)(agg.reduce))
+      val want = rows.sortWith((a, b) =>
+        a.cos > b.cos || (a.cos == b.cos && a.nid < b.nid)).take(k)
+      agg.finish(merged) == want
+    }, cases = 200)
+  }
+
   test("union count = sum of counts; filter partitions a null-free set") {
     import spark.implicits._
     val gen = Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
