@@ -26,6 +26,7 @@ object Bench {
     "m3_plan_group_entities", // bitmask explode + broadcast + nest
     "l2_minhash_lsh",       // minhash + LSH banding
     "l4_ngram_jaccard",     // shingle-join dedup + dfCap skew bound
+    "l17_decontaminate",    // benchmark n-gram overlap anti-join
     "l5_cosine_topk",       // brute-force ANN baseline
     "l6_cosine_neardup",    // banded near-dup on the doubled corpus
     "l13_lsh_topk",         // LSH ANN (sqrt-scaled buckets)
@@ -50,7 +51,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration; the
+    // driver leaves it unset and gets the full headline set
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val fn = qs(name)
       System.err.println(s"[bench] warm-up $name")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up

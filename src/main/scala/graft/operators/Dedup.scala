@@ -180,13 +180,35 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val groups = base.groupBy(col("txt"))
       .agg(min(col("id")).as("rid"))
+    // members is read by FOUR downstream joins (both sides of the
+    // rep-pair expansion + both sides of the intra-group self-join),
+    // each of which would re-run the whole-text grouping otherwise —
+    // materialize the narrow (id, rid) table once per invocation
     val members = base.join(groups, "txt").select(col("id"), col("rid"))
+      .localCheckpoint()
     val reps = groups.select(col("rid").as("id"), col("txt"))
 
+    // materialize the (id, shingle-key) sets ONCE: four downstream
+    // branches (df histogram, rare join, size agg, hot join) would each
+    // re-run the scan → text-dedup → shingle-explode → distinct lineage
+    // otherwise. localCheckpoint (per-invocation, block-manager-backed,
+    // spills to disk) — NOT .cache(), whose plan-keyed entry would
+    // survive the call and make a re-run read stale warm state instead
+    // of doing its own work.
+    // Shingles are keyed by xxhash64, not the string: the self-join
+    // shuffles ~|sets| rows twice and the distinct/df aggs key on it, so
+    // 8-byte keys vs ~20-char strings roughly halve the bytes moved and
+    // make every compare primitive. Two distinct shingles colliding
+    // would overcount one intersection — odds ~|shingles|²/2⁶⁵ (≈3e-8
+    // at 10⁶ distinct shingles), the standard fingerprint trade every
+    // shingle pipeline makes; the DuckDB oracle hash-match would surface
+    // a collision at fixture scale (none exists).
     val sets = reps
       .select(col("id"),
-        explode(shingles(split(col("txt"), " "), shingleN)).as("s"))
+        explode(shingles(split(col("txt"), " "), shingleN)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("s"))
       .distinct()
+      .localCheckpoint()
     val dfs = sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rare shingles only through the self-join — the df histogram is one
     // extra agg on data already shuffled by shingle, and it bounds the
@@ -242,6 +264,38 @@ object Dedup {
           lit(1.0).as("jaccard"))
       cross.unionAll(intra)
     } else cross
+  }
+
+  /** Benchmark decontamination — drop corpus documents sharing any word
+    * n-gram with a held-out benchmark set (the standard training-data
+    * hygiene pass: a doc containing an eval set's n-gram leaks the
+    * benchmark into training).
+    *
+    * Shape at scale: both sides shingle row-locally into 64-bit keys,
+    * the overlap test is ONE equi-join on shingle key (benchmark side is
+    * the small one — Catalyst broadcasts it when it fits, hash-shuffles
+    * otherwise), and the final filter is a left_anti join on doc id.
+    * Nothing is pairwise in document space; cost is O(shingles), same
+    * family as [[ngramJaccard]]'s candidate stage. Shingles are
+    * xxhash64-keyed (8-byte join keys, ~n²/2⁶⁵ collision odds — a
+    * collision could only OVER-drop, never leak a benchmark n-gram). */
+  def decontaminate(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 8): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    def keys(df: DataFrame) = df
+      .repartition(n, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(shingles(split(col(textCol), " "), shingleN)).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("s"))
+      .distinct()
+    val benchKeys = keys(bench).select(col("s")).distinct()
+    val contaminated = keys(docs).join(benchKeys, "s")
+      .select(col("id").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash of a token array: per-bit votes weighted by token

@@ -326,9 +326,100 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** L: benchmark decontamination — drop corpus docs sharing any 8-gram
+    * with the held-out "benchmark" slice (doc_id % 50 == 0, ~2% of the
+    * corpus). One shingle-key equi-join + one anti-join; nothing
+    * pairwise (see Dedup.decontaminate). Oracle reproduces the n-gram
+    * overlap in SQL, so the survivor set is hash-checked exactly. */
+  val l17Decontaminate = Q(
+    "l17_decontaminate",
+    (s, dir) => {
+      val all = Tables(s, dir, "documents")
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      Dedup.decontaminate(corpus, bench, "doc_id", "text", shingleN = 8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 7, 1)),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 bench AS (SELECT DISTINCT s FROM sets WHERE doc_id % 50 = 0),
+                 bad AS (SELECT DISTINCT doc_id FROM sets
+                         WHERE doc_id % 50 != 0 AND s IN (SELECT s FROM bench))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id"""))
+
+  /** L: overlapping token chunking (64-token windows, stride 48) — the
+    * RAG/pretraining windowing pass, entirely row-local (see
+    * TextAnalysis.chunk). md5 of each chunk proves byte-exact window
+    * boundaries against DuckDB's list slicing. */
+  val l18Chunk = Q(
+    "l18_chunk",
+    (s, dir) => TextAnalysis.chunk(
+      Tables(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id < 200),
+                 chunks AS (
+                   SELECT doc_id, i AS chunk_idx,
+                          array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk,
+                          len(t[i*48+1 : i*48+64]) AS n_tok
+                   FROM toks,
+                        LATERAL unnest(generate_series(0, (len(t)-1)//48)) u(i))
+            SELECT doc_id, chunk_idx, n_tok, md5(chunk) AS chunk_md5
+            FROM chunks ORDER BY doc_id, chunk_idx"""))
+
+  /** L: deterministic train/val/test assignment by content hash — the
+    * split that stays stable under re-partitioning, re-ordering, and
+    * incremental corpus growth (hash the CONTENT, never the row
+    * position). First md5 nibble: 0-b train (12/16), c-d val, e-f test.
+    * md5 is byte-identical in both engines, so the full assignment is
+    * hash-checked row by row. */
+  val l19HashSplit = Q(
+    "l19_hash_split",
+    (s, dir) => {
+      val nibble = substring(md5(col("text")), 1, 1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(nibble <= "b", "train")
+            .when(nibble <= "d", "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                        WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
+  /** L: redaction — the text-TRANSFORM pass (every other text query
+    * only measures): digit runs masked with '#', md5 proving the
+    * rewritten bytes match across engines (Java regex and RE2 agree on
+    * these class-based patterns, as in l12). */
+  val l20Redact = Q(
+    "l20_redact",
+    (s, dir) => Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(regexp_replace(col("text"), "[0-9]+", "#")).as("redacted_md5"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+                   md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+            FROM documents ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
-    l16Winnow)
+    l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact)
 }

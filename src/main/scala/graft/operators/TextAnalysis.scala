@@ -123,6 +123,36 @@ object TextAnalysis {
     }
   }
 
+  /** Fixed-size overlapping token chunks — the RAG/pretraining windowing
+    * pass (chunkSize-token windows every stride tokens; stride <
+    * chunkSize gives the overlap that keeps context at boundaries).
+    *
+    * Entirely row-local: the chunk index axis comes from `sequence`
+    * over the document's own token count and windows are `slice`s of
+    * the one tokens array — no shuffle, no UDF, whole-stage codegen.
+    * A document with n tokens yields floor((n-1)/stride)+1 chunks; the
+    * final chunks are shorter where the window runs off the end (the
+    * same clamping rule as DuckDB's list slicing, which oracles this). */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0)
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), floor((size(col("__toks")) - 1) / lit(stride)).cast("int")),
+          i => struct(
+            i.cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(chunkSize))).as("chunk"),
+            size(slice(col("__toks"), i * stride + 1, lit(chunkSize))).cast("long").as("n_tok"))))
+          .as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.n_tok"), col("c.chunk"))
+  }
+
   /** Per-document top term by tf-idf (ln(N/df)); ties broken by term. */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))

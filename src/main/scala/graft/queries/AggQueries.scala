@@ -256,8 +256,58 @@ object AggQueries {
     },
     None)
 
+  /** D: correlation + covariance per group — built from exact integer
+    * co-moments (Σx, Σy, Σx², Σy², Σxy over decimal-cast integers), not
+    * the native `corr`/`covar_pop` aggregates, whose streaming double
+    * updates depend on partial-merge order and cannot hash-match across
+    * engines or even across shuffles. The five sums are exact in any
+    * aggregation tree; each statistic is then ONE double expression over
+    * them (sqrt and divide are IEEE correctly-rounded in both engines),
+    * emitted RAW — the comparator rounds both sides consistently, and
+    * in-query rounding of exact-half quotients is the known Spark
+    * half-up / DuckDB half-even trap. */
+  val d12CorrCovar = Q(
+    "d12_corr_covar",
+    (s, dir) => {
+      import s.implicits._
+      val x = $"l_quantity".cast("decimal(38,0)")
+      val y = round($"l_extendedprice" * 100).cast("decimal(38,0)")
+      val m = Tables(s, dir, "lineitem")
+        .select($"l_returnflag", x.as("x"), y.as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
+          sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+          sum($"x" * $"y").as("sxy"))
+      val nD = $"n".cast("decimal(38,0)")
+      val covNum = (nD * $"sxy" - $"sx" * $"sy").cast("double")
+      val dx = (nD * $"sxx" - $"sx" * $"sx").cast("double")
+      val dy = (nD * $"syy" - $"sy" * $"sy").cast("double")
+      m.select($"l_returnflag", $"n",
+        (covNum / sqrt(dx * dy)).as("corr_qty_cents"),
+        (covNum / ($"n".cast("double") * $"n".cast("double"))).as("covar_pop_cents"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""WITH m AS (
+              SELECT l_returnflag, count(*) AS n,
+                     sum(CAST(l_quantity AS BIGINT)) AS sx,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+                     sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+                     sum(CAST(l_quantity AS BIGINT)
+                         * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)) AS corr_qty_cents,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS covar_pop_cents
+            FROM m ORDER BY l_returnflag"""))
+
   def all: Seq[Q] = Seq(
     d1Pricing, d2Distinct, d3CountDistinct, d4Rollup, d5Cube,
     d6GroupingSets, d7CollectNested, d8ApproxDistinct, d9Pivot, d10Percentile,
-    d11ApproxPercentile)
+    d11ApproxPercentile, d12CorrCovar)
 }

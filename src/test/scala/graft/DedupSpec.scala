@@ -130,4 +130,60 @@ class DedupSpec extends SparkSpec {
     assert(fp1.sameElements(fp2))
     assert(fp1.map(_._2).distinct.length == fp1.length) // 500 distinct texts
   }
+
+  test("decontaminate: drops exactly the docs sharing an n-gram with the bench set") {
+    import spark.implicits._
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    def text(seed: Int, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+    }
+    val benchText = text(1, 30)
+    // doc 10 embeds an 8-gram of the benchmark verbatim; 11/12 are
+    // independent (an accidental 8-gram match over a 10-word alphabet is
+    // ~10^-8 per position); 13 shares only a 7-gram — must survive
+    val gram8 = benchText.split(" ").slice(5, 13)
+    val docs = Seq(
+      (10L, text(2, 10) + " " + gram8.mkString(" ") + " " + text(3, 10)),
+      (11L, text(4, 40)),
+      (12L, text(5, 40)),
+      (13L, text(6, 15) + " " + gram8.take(7).mkString(" ") + " " + text(7, 15))
+    ).toDF("doc_id", "text")
+    val bench = Seq((1000L, benchText)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(docs, bench, "doc_id", "text", shingleN = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L, 13L), s"kept $kept")
+    // empty benchmark drops nothing
+    val all = Dedup.decontaminate(docs, bench.limit(0), "doc_id", "text", shingleN = 8)
+      .count()
+    assert(all == 4)
+  }
+
+  test("chunk laws: coverage, stride starts, exact reconstruction at stride==size") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val toks = (1 to 150).map(i => s"w$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "solo"), (3L, toks.take(48).mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = rows.groupBy(_._1)
+    // doc 1: 150 tokens -> chunks at 0,48,96,144 (floor(149/48)=3, +1)
+    assert(byDoc(1L).map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // full coverage with overlap: every token appears in some chunk
+    val covered = byDoc(1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == toks.toSet)
+    // chunk i starts at token i*stride and has min(64, n - i*48) tokens
+    byDoc(1L).foreach { case (_, i, nTok, chunk) =>
+      assert(chunk.split(" ").head == s"w${i * 48 + 1}")
+      assert(nTok == math.min(64L, 150 - i * 48))
+    }
+    // single-token and exactly-one-stride docs yield one chunk each
+    assert(byDoc(2L).map(_._4).toSeq == Seq("solo"))
+    assert(byDoc(3L).length == 1 && byDoc(3L).head._3 == 48L)
+    // stride == chunkSize: disjoint chunks concatenate back to the doc
+    val flat = TextAnalysis.chunk(docs.filter($"doc_id" === 1L), "doc_id", "text", 50, 50)
+      .orderBy("chunk_idx").collect().map(_.getString(3)).mkString(" ")
+    assert(flat == toks.mkString(" "))
+  }
 }
