@@ -114,6 +114,15 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("l17: decontamination is shingle equi-join + anti-join, no nested loop") {
+    val df = SparkEntry.queries("l17_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"l17 must test n-gram overlap via equi-joins, never pairwise:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"), s"l17 survivor filter must be an anti-join:\n${p.take(1500)}")
+  }
+
   test("c8: counting theta join plan has no nested-loop or cartesian join") {
     val df = SparkEntry.queries("c8_theta_join")(spark, sf)
     df.collect()
