@@ -48,6 +48,23 @@ object VectorFunctions {
       .otherwise(d.cast("double") / sqrt((na * nb).cast("double")))
   }
 
+  /** Int8 scalar-quantization codes of a float vector given its
+    * per-vector max-abs (symmetric SQ — the storage-compression tier of
+    * an ANN index: 4× smaller vectors, dequantize as code·m/127).
+    * `floor(x·127/m + 0.5)` is round-half-up built from ops with
+    * identical IEEE semantics in Spark and DuckDB, so the codes are
+    * cross-engine exact; a zero vector (m = 0) codes to all zeros.
+    * Pass the max-abs as a COLUMN computed once per row ([[maxAbs]]) —
+    * inlining it here would re-reduce the array per element. */
+  def int8Codes(v: Column, m: Column): Column =
+    transform(v, x =>
+      when(m === 0, lit(0L))
+        .otherwise(floor(x.cast("double") * 127 / m + 0.5)))
+
+  /** Per-vector max absolute value (double), the SQ scale factor. */
+  def maxAbs(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
   /** [[dotScaled]] on the fast path: a native codegen Expression
     * ([[DotScaledExpr]]) — identical integer result, inlined into
     * whole-stage codegen (no boxing, no value conversion), ~100× faster

@@ -417,9 +417,46 @@ object LlmQueries {
                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
             FROM documents ORDER BY doc_id"""))
 
+  /** L: int8 scalar quantization of embeddings — the storage-compression
+    * tier under an ANN index (4× smaller vectors; dequantize as
+    * code·m/127). Codes are round-half-up from ops with identical IEEE
+    * semantics in both engines, so the per-vector code statistics are
+    * hash-checked exactly; SimilaritySpec bounds the dequantized-cosine
+    * error against the exact cosine. */
+  val l21Quantize = Q(
+    "l21_quantize",
+    (s, dir) => {
+      import graft.functions.VectorFunctions._
+      Tables(s, dir, "embeddings")
+        .withColumn("m", maxAbs(col("embedding")))
+        .withColumn("codes", int8Codes(col("embedding"), col("m")))
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + abs(x)).as("code_l1"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH q AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+              FROM embeddings),
+            c AS (
+              SELECT vec_id, len(embedding) AS n_dims,
+                     list_transform(embedding, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / m + 0.5) AS BIGINT) END) AS codes
+              FROM q)
+            SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+                   list_min(codes) AS code_min, list_max(codes) AS code_max,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1
+            FROM c ORDER BY vec_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
-    l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact)
+    l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
+    l21Quantize)
 }

@@ -110,6 +110,18 @@ object StreamingOps {
       .select(col("id_a"), col("id_b"), col("band"))
   }
 
+  /** Stream-static enrichment: join each arriving event against a
+    * static (batch) dimension table. The dim side is broadcast, so the
+    * stream NEVER shuffles for the join and no state store is involved —
+    * Spark re-plans the static side per micro-batch, which is also what
+    * picks up a refreshed dimension snapshot between batches. Inner
+    * join: events with no dim row are dropped (enrichment-or-discard;
+    * use a left join at the call site for enrichment-or-null). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col(key) === col(dimKey))
+
   /** The §2a#10 counter at scale: a ±1 delta stream folded into one
     * running value per counter key via mapGroupsWithState — exactly-once
     * state updates, emitted in update mode. */

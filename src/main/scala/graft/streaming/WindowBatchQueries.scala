@@ -223,6 +223,37 @@ object WindowBatchQueries {
              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
             ORDER BY click_id, purchase_id"""))
 
+  /** S: stream-static enrichment — the canonical "join the event stream
+    * against a slowly-changing dimension" pattern: events ⋈ customer ⋈
+    * nation (both dims broadcast — the stream side NEVER shuffles for
+    * the join, which is what makes this shape safe at any stream rate),
+    * then a tumbling-window count per nation. Batch image of
+    * StreamingOps.enrich, whose streaming run (MemoryStream + static
+    * dim) StreamingSpec pins. */
+  val s8EnrichReplay = Q(
+    "s8_enrich_replay",
+    (s, dir) => {
+      import s.implicits._
+      val cust = Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+      val nation = Tables(s, dir, "nation").select($"n_nationkey", $"n_name")
+      Tables(s, dir, "events")
+        .join(broadcast(cust), $"user_id" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .groupBy(window($"ts", "1 hour").as("w"), $"n_name")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"n_name", $"n")
+        .orderBy($"window_start", $"n_name")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   n_name, count(*) AS n
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2 ORDER BY window_start, n_name"""))
+
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
-    s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay)
+    s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
+    s8EnrichReplay)
 }

@@ -130,6 +130,43 @@ class SimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("int8 quantization: codes bounded, zero-vector safe, dequantized cosine close") {
+    import spark.implicits._
+    val rows = emb.limit(40)
+      .withColumn("m", VectorFunctions.maxAbs(col("embedding")))
+      .withColumn("codes", VectorFunctions.int8Codes(col("embedding"), col("m")))
+      .select($"vec_id", $"embedding", $"m", $"codes")
+      .collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2),
+        r.getSeq[Long](3).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    rows.foreach { case (v, m, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"code out of int8 range")
+      assert(codes.length == v.length)
+      assert(m > 0)
+    }
+    // dequantized cosine tracks the exact cosine — the property that
+    // makes SQ usable as an ANN pre-filter
+    val (v0, m0, c0) = rows.head
+    val dq0 = c0.map(_ * m0 / 127.0)
+    rows.tail.take(20).foreach { case (v, m, c) =>
+      val dq = c.map(_ * m / 127.0)
+      val err = math.abs(cos(v0, v) - cos(dq0, dq))
+      assert(err <= 0.05, s"dequantized cosine drifted by $err")
+    }
+    // zero vector codes to all zeros, no division blowup
+    val z = Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding")
+      .withColumn("m", VectorFunctions.maxAbs(col("embedding")))
+      .withColumn("codes", VectorFunctions.int8Codes(col("embedding"), col("m")))
+      .select($"codes").head().getSeq[Long](0)
+    assert(z.forall(_ == 0L))
+  }
+
   test("multimodal: pack -> decode stub -> frame sample plumbing") {
     val packed = graft.sources.Multimodal.pack(Tables(spark, sf, "documents"), "text")
     val decoded = graft.sources.Multimodal.decodeStub(packed)

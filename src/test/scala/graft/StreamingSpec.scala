@@ -138,6 +138,21 @@ class StreamingSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)), s"out-of-horizon pair must not match: $pairs")
   }
 
+  test("stream-static enrich: dim attributes attach per event, no-dim events drop") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val dim = Seq((1L, "US"), (2L, "DE")).toDF("cust_id", "country")
+    val enriched = StreamingOps.enrich(stream.toDF(), dim, "user_id", "cust_id")
+      .select($"event_id", $"country")
+    runBatches("enr", stream, enriched, "append")(
+      Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 2, "a", 1.0)),
+      Seq(Ev(3, ts(2), 99, "a", 1.0)) // no dim row -> dropped (inner)
+    )
+    val rows = spark.table("enr").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "US"), (2L, "DE")), s"got $rows")
+  }
+
   test("stateful running counter folds +1/-1 deltas per key (§2a#10)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
