@@ -126,5 +126,41 @@ object PlanPipeline {
             FROM groups g LEFT JOIN nested n ON g.gid = n.gid
             ORDER BY g.gid"""))
 
-  def all: Seq[Q] = Seq(m3Plans, m3Groups)
+  /** M: MERGE/upsert — the incremental form of the reference's
+    * materialization refresh (full Redis-hash rewrite per refresh in
+    * the reference; here only the delta ships). Updates double the
+    * price on every 10th order, inserts clone every 7th order at an
+    * offset key; merge semantics checked row-for-row (change wins
+    * wholesale, base passes through, inserts append). One full-outer
+    * equi-join — see graft.operators.MergeUpsert. */
+  val m4MergeUpsert = Q(
+    "m4_merge_upsert",
+    (s, dir) => {
+      import s.implicits._
+      val base = graft.Tables(s, dir, "orders")
+      val updates = base.filter($"o_orderkey" % 10 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2)
+      val inserts = base.filter($"o_orderkey" % 7 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+      val merged = graft.operators.MergeUpsert.upsert(
+        base, updates.unionByName(inserts), "o_orderkey")
+      merged.select($"o_orderkey",
+        round($"o_totalprice", 2).as("o_totalprice"), $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH changes AS (
+              SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 7 = 0)
+            SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   round(CASE WHEN c.o_orderkey IS NOT NULL
+                              THEN c.o_totalprice ELSE b.o_totalprice END, 2) AS o_totalprice,
+                   CASE WHEN c.o_orderkey IS NOT NULL
+                        THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+            FROM orders b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+            ORDER BY o_orderkey"""))
+
+  def all: Seq[Q] = Seq(m3Plans, m3Groups, m4MergeUpsert)
 }

@@ -311,10 +311,41 @@ object CoreQueries {
             SELECT o_custkey FROM orders WHERE o_totalprice > 150000
             ORDER BY o_custkey"""))
 
+  /** F: the `spark.sql` TEXT interface end-to-end — temp views + a
+    * TPC-H Q3-style revenue query written as a SQL string, parsed and
+    * planned by Spark's own parser/analyzer rather than the DataFrame
+    * DSL. Same Catalyst plan either way; this query pins that the
+    * engine's SQL front door works (a reference user would type SQL),
+    * with the usual decimal-cast revenue for cross-engine hashing and
+    * an orderkey tiebreak so the LIMIT edge is deterministic. */
+  val f8SqlRevenue = Q(
+    "f8_sql_revenue",
+    (s, dir) => {
+      graft.Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      graft.Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderkey, o_orderpriority,
+               round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 100""")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+                   round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 100"""))
+
   def all: Seq[Q] = Seq(
     a1ScanProject, a2CsvRoundtrip, a3JsonRoundtrip, a4PartitionedWrite,
     a5BucketedJoin, a6OrcRoundtrip,
     b1ProjectCompute, b2FilterPredicates, b3ExplodeTokens, b4BitmaskExplode,
     f1TopkGlobal, f2TopkPerGroup, f3UnionAll, f4Intersect, f5Except,
-    f6IntersectAll, f7ExceptAll)
+    f6IntersectAll, f7ExceptAll, f8SqlRevenue)
 }

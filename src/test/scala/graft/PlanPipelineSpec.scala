@@ -56,4 +56,27 @@ class PlanPipelineSpec extends SparkSpec {
     val c2 = new Counter(spark, path) // fresh handle, same snapshot
     assert(c2.get() == 41L)
   }
+
+  test("merge upsert laws: identity, idempotence, NULL-carrying change wins") {
+    import spark.implicits._
+    import graft.operators.MergeUpsert.upsert
+    val base = Seq((1L, Option("a"), 10), (2L, Option("b"), 20), (3L, Option("c"), 30))
+      .toDF("id", "name", "v")
+    val changes = Seq((2L, None: Option[String], 99), (4L, Option("d"), 40))
+      .toDF("id", "name", "v")
+    // empty changes -> base unchanged
+    val same = upsert(base, changes.limit(0), "id")
+    assert(same.orderBy("id").collect().toSeq ==
+      base.orderBy("id").collect().toSeq)
+    val once = upsert(base, changes, "id")
+    val got = once.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2))).toSeq
+    // matched key 2 takes the change WHOLESALE (its NULL name included),
+    // unmatched key 4 inserts, keys 1/3 pass through
+    assert(got == Seq((1L, Some("a"), 10), (2L, None, 99),
+      (3L, Some("c"), 30), (4L, Some("d"), 40)), s"got $got")
+    // idempotence: re-applying the same changes is a no-op
+    val twice = upsert(once, changes, "id")
+    assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq)
+  }
 }
