@@ -52,8 +52,16 @@ object Bench {
 
     val qs = SparkEntry.queries
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration; the
-    // driver leaves it unset and gets the full headline set
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // driver leaves it unset and gets the full headline set. Unknown or
+    // empty names fail LOUDLY — a typo that silently benched nothing
+    // would print total=0 and read as a perfect run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- headline.toSet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in Bench.headline: ${unknown.mkString(", ")}")
+    }
     val results = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n))).map { name =>
       val fn = qs(name)

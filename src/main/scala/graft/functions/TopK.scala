@@ -29,7 +29,10 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   private def better(a: Scored, b: Scored): Boolean =
     a.cos > b.cos || (a.cos == b.cos && a.nid < b.nid)
 
-  override def zero: Seq[Scored] = Seq.empty
+  // Vector, not List: the buffer is probed by index in the binary
+  // search and by .last on the reject path every row — List would make
+  // both O(k) walks
+  override def zero: Seq[Scored] = Vector.empty
 
   /** Binary-search position of `a` in the (cos desc, nid asc)-sorted
     * buffer — first index whose element is NOT better than `a`. */
@@ -43,11 +46,11 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     lo
   }
 
-  // buffer stays sorted at all times, so accept/reject is an O(1) check
+  // buffer stays sorted at all times, so accept/reject is a cheap check
   // against the current k-th element and an accepted row costs one
-  // O(log k) search + one O(k) splice — not a full O(k log k) re-sort
-  // per input row (the buffer is a Vector via the encoder, so indexed
-  // access in the search is O(log k), not O(n))
+  // binary search + one O(k) splice — not a full O(k log k) re-sort per
+  // input row. The splice ops (take/:+/++/drop) on a Vector return a
+  // Vector, so indexed access stays effectively O(1) across updates.
   override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] =
     if (b.size >= k && better(b.last, a)) b
     else {

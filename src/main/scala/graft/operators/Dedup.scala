@@ -292,7 +292,13 @@ object Dedup {
         explode(shingles(split(col(textCol), " "), shingleN)).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("s"))
       .distinct()
-    val benchKeys = keys(bench).select(col("s")).distinct()
+    // bench side only ever needs the distinct shingle-KEY set — going
+    // through keys() would shuffle (id, s) pairs and repartition by id
+    // first, two wasted shuffle rounds over every benchmark shingle
+    val benchKeys = bench
+      .select(explode(shingles(split(col(textCol), " "), shingleN)).as("sh"))
+      .select(xxhash64(col("sh")).as("s"))
+      .distinct()
     val contaminated = keys(docs).join(benchKeys, "s")
       .select(col("id").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")

@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   * coalesce, so a change row carrying a legitimate NULL field still
   * overwrites. Requires the key to be unique within `changes` (two
   * change rows for one key would be an ambiguous merge — the caller
-  * dedupes first, e.g. keep-latest by version).
+  * dedupes first, e.g. keep-latest by version). A NULL-key change row
+  * is dropped up front: under SQL join semantics it can never match a
+  * base row, and letting it through the full-outer join would fabricate
+  * an all-NULL output row. If the BASE has duplicate keys, every base
+  * row with a matched key takes the change — the "update all matching
+  * rows" reading of MERGE.
   */
 object MergeUpsert {
 
   def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
     val joined = base.alias("b").join(
-      changes.alias("c"), col("b." + key) === col("c." + key), "full_outer")
+      changes.filter(col(key).isNotNull).alias("c"),
+      col("b." + key) === col("c." + key), "full_outer")
     val merged = base.columns.map { name =>
       when(col("c." + key).isNotNull, col("c." + name))
         .otherwise(col("b." + name)).as(name)

@@ -116,11 +116,15 @@ object StreamingOps {
     * Spark re-plans the static side per micro-batch, which is also what
     * picks up a refreshed dimension snapshot between batches. Inner
     * join: events with no dim row are dropped (enrichment-or-discard;
-    * use a left join at the call site for enrichment-or-null). */
-  def enrich(events: DataFrame, dim: DataFrame, key: String, dimKey: String): DataFrame =
-    events.join(
-      org.apache.spark.sql.functions.broadcast(dim),
-      col(key) === col(dimKey))
+    * use a left join at the call site for enrichment-or-null). The join
+    * condition resolves each key against its OWN side, so `key` and
+    * `dimKey` may share a name; non-key columns present on both sides
+    * still appear twice in the output (standard join behavior — project
+    * or rename at the call site). */
+  def enrich(events: DataFrame, dim: DataFrame, key: String, dimKey: String): DataFrame = {
+    val d = org.apache.spark.sql.functions.broadcast(dim)
+    events.join(d, events(key) === d(dimKey))
+  }
 
   /** The §2a#10 counter at scale: a ±1 delta stream folded into one
     * running value per counter key via mapGroupsWithState — exactly-once

@@ -78,5 +78,11 @@ class PlanPipelineSpec extends SparkSpec {
     // idempotence: re-applying the same changes is a no-op
     val twice = upsert(once, changes, "id")
     assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq)
+    // a NULL-key change row is dropped, never fabricated as an all-NULL row
+    val withNullKey = changes.unionByName(
+      Seq(("x", 1)).toDF("name", "v")
+        .select(lit(null).cast("long").as("id"), $"name".cast("string").as("name"), $"v"))
+    val res = upsert(base, withNullKey, "id")
+    assert(res.count() == 4 && res.filter($"id".isNull).count() == 0)
   }
 }

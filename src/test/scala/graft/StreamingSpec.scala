@@ -151,6 +151,10 @@ class StreamingSpec extends SparkSpec {
     )
     val rows = spark.table("enr").as[(Long, String)].collect().toSet
     assert(rows == Set((1L, "US"), (2L, "DE")), s"got $rows")
+    // same-name key on both sides resolves per-side, no ambiguity
+    val ev = Seq((10L, 1L)).toDF("event_id", "cust_id")
+    val out = StreamingOps.enrich(ev, dim, "cust_id", "cust_id")
+    assert(out.select("country").head().getString(0) == "US")
   }
 
   test("stateful running counter folds +1/-1 deltas per key (§2a#10)") {
