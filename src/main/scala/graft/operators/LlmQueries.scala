@@ -116,7 +116,11 @@ object LlmQueries {
       val emb = Tables(s, dir, "embeddings")
       val doubled = emb.select(col("vec_id"), col("embedding")).unionAll(
         emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      Similarity.cosineNearDup(doubled, "vec_id", "embedding", threshold = 0.8)
+      // miss = 1e-7 here (not the production 1e-2 default): at fixture
+      // scale the stricter budget is ~200 extra hyperplanes, and it pins
+      // the all-pairs DuckDB oracle hash-match far below any flake risk
+      Similarity.cosineNearDup(doubled, "vec_id", "embedding", threshold = 0.8,
+          miss = 1e-7)
         .orderBy(col("id_a"), col("id_b"))
     },
     Some("""WITH all_emb AS (

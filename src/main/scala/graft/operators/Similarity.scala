@@ -103,9 +103,19 @@ object Similarity {
     * up to 63 bits — a single packed-long signature caps total bits at
     * 64, which breaks once band width scales with log n). One tight-loop
     * UDF call per row, all primitive arithmetic — the interpreted
-    * higher-order form costs ~100× on single-task scans. */
-  private def bandKeysUdf(planes: Array[Array[Double]], bands: Int, bitsPerBand: Int) =
+    * higher-order form costs ~100× on single-task scans.
+    *
+    * The plane matrix arrives as a broadcast HANDLE, not a captured
+    * array: closure bytes are re-shipped with every task of every
+    * stage, and at B·b ≈ 2000 hyperplanes × 64 dims the captured form
+    * measurably bloats task binaries (1.5 MiB "large task binary"
+    * warnings at sf0.1); a broadcast variable ships once per executor
+    * and the closure carries only the handle. */
+  private def bandKeysUdf(
+      planesBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      bands: Int, bitsPerBand: Int) =
     udf { (v: Seq[Float]) =>
+      val planes = planesBc.value
       val keys = new Array[Long](bands)
       if (v != null) {
         val a = v.toArray // one unboxing copy, then primitive access in the B·b·dim loop
@@ -257,6 +267,31 @@ object Similarity {
     math.ceil(math.log(miss) / math.log(1.0 - math.pow(p, bitsPerBand))).toInt
   }
 
+  /** Hyperplane budget ceiling: B·b sign-bit projections per row is the
+    * signature cost, and past ~16k the signature stage alone dominates. */
+  private[graft] val MaxPlaneBits = 16384
+
+  /** Band-width ceiling. Width b ≈ log2(n) is the total-work optimum,
+    * but an UNCAPPED width makes the derived band count B =
+    * bandsForRecall(τ, b, miss) grow as miss^... · n^ρ — at τ = 0.8 and
+    * miss = 1e-7 that is ≈16·n^0.33, which crosses [[MaxPlaneBits]] at
+    * n ≈ 2×10⁵ and made the operator REFUSE moderate corpora. Capping b
+    * at 20 bits (bucket collision floor 2⁻²⁰ ≈ 1e-6 of the corpus per
+    * band) keeps B flat past n = 10⁶: the trade is more candidates per
+    * band at 10⁹+ rows — the standard LSH-forest regime, documented in
+    * SCALE.md — instead of a hard failure. */
+  private[graft] val MaxBitsPerBand = 20
+
+  /** The (bitsPerBand, bands, totalBits) a [[cosineNearDup]] call would
+    * derive for a corpus of `n` vectors — pure arithmetic, exposed so
+    * SimilaritySpec can pin the n = 10⁶ / 10⁹ parameterizations under
+    * [[MaxPlaneBits]] without materializing such corpora. */
+  private[graft] def nearDupPlan(threshold: Double, n: Long, miss: Double): (Int, Int, Int) = {
+    val b = math.min(MaxBitsPerBand, math.max(4, log2ceil(n)))
+    val bands = bandsForRecall(threshold, b, miss)
+    (b, bands, b * bands)
+  }
+
   /** Embedding-cosine near-duplicate pairs on LSH-banded candidates — the
     * scale form of "all pairs with cosine >= threshold".
     *
@@ -286,21 +321,31 @@ object Similarity {
     * quadratic, which is why the declared l6 query runs at τ = 0.8 and
     * τ = 0.4 is a SimilaritySpec stress case with fixed narrow bands.
     *
-    * Recall: miss probability (1-p^b)^B <= 1e-7 at the threshold itself
-    * (bandsForRecall), and exact duplicates (cosine 1.0) have identical
-    * signatures in every band — zero miss risk, not even probabilistic. */
+    * Recall: miss probability (1-p^b)^B <= `miss` at the threshold
+    * itself (bandsForRecall), and exact duplicates (cosine 1.0) have
+    * identical signatures in every band — zero miss risk, not even
+    * probabilistic.
+    *
+    * `miss` is the per-pair miss budget and the SCALE lever: production
+    * dedup tolerates ~1e-2 (the default — a 99%-recall sweep still
+    * removes 99% of the duplicate mass, and B ≈ 4.6·n^0.33 bands at
+    * τ = 0.8 stays under [[MaxPlaneBits]] through n = 10⁹ with the
+    * [[MaxBitsPerBand]] cap). The fixture-scale l6 oracle query passes
+    * miss = 1e-7 explicitly — at 3k vectors the stricter budget is
+    * cheap and makes the all-pairs DuckDB hash-match a non-event. */
   def cosineNearDup(
       emb: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
+      miss: Double = 1e-2,
       bitsPerBand: Option[Int] = None,
       bandsOverride: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L,
       corpusSize: Option[Long] = None): DataFrame = {
     val cand = cosineNearDupCandidates(emb, idCol, embCol, threshold,
-      bitsPerBand, bandsOverride, dim, seed, corpusSize)
+      miss, bitsPerBand, bandsOverride, dim, seed, corpusSize)
     val vecs = emb.select(col(idCol).as("id"), col(embCol).as("v"),
       VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"))
     cand
@@ -319,21 +364,25 @@ object Similarity {
       idCol: String,
       embCol: String,
       threshold: Double,
+      miss: Double = 1e-2,
       bitsPerBandOpt: Option[Int] = None,
       bandsOverride: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L,
       corpusSize: Option[Long] = None): DataFrame = {
     val n0 = corpusSize.getOrElse(emb.count())
-    val bitsPerBand = bitsPerBandOpt.getOrElse(math.max(4, log2ceil(n0)))
-    val bands = bandsOverride.getOrElse(bandsForRecall(threshold, bitsPerBand, 1e-7))
+    val bitsPerBand = bitsPerBandOpt.getOrElse(math.min(MaxBitsPerBand, math.max(4, log2ceil(n0))))
+    val bands = bandsOverride.getOrElse(bandsForRecall(threshold, bitsPerBand, miss))
     val nBits = bands * bitsPerBand
-    require(nBits <= 16384,
+    require(nBits <= MaxPlaneBits,
       s"too many hyperplanes ($nBits = $bands bands × $bitsPerBand bits) — " +
-        "this threshold/recall combination is not banding-friendly; raise the threshold")
-    val planes = hyperplanes(nBits, dim, seed)
-    val n = emb.sparkSession.sparkContext.defaultParallelism
-    val keysUdf = bandKeysUdf(planes, bands, bitsPerBand)
+        "this threshold/miss combination is not banding-friendly; raise the " +
+        "threshold or relax the miss budget (the default 1e-2 stays under " +
+        s"$MaxPlaneBits bits through n = 1e9 at τ ≥ 0.8)")
+    val sc = emb.sparkSession.sparkContext
+    val planesBc = sc.broadcast(hyperplanes(nBits, dim, seed))
+    val n = sc.defaultParallelism
+    val keysUdf = bandKeysUdf(planesBc, bands, bitsPerBand)
 
     val banded = emb
       .repartition(n, col(idCol))
@@ -373,7 +422,9 @@ object Similarity {
     val n0 = corpusSize.getOrElse(corpus.count())
     val b = bitsPerBand.getOrElse(math.max(4, (log2ceil(n0) + 1) / 2))
     val nBands = bands.getOrElse(math.max(8, bandsForRecall(0.9, b, 0.05)))
-    val keysUdf = bandKeysUdf(hyperplanes(nBands * b, dim, seed), nBands, b)
+    val planesBc = queries.sparkSession.sparkContext
+      .broadcast(hyperplanes(nBands * b, dim, seed))
+    val keysUdf = bandKeysUdf(planesBc, nBands, b)
 
     def banded(df: DataFrame, idAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),

@@ -68,6 +68,10 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("cosineNearDup @ 0.8: equals brute force, candidates genuinely pruned") {
+    // production default miss budget (1e-2): the qualifying pairs are
+    // planted EXACT duplicates, whose signatures agree in every band —
+    // recall on them is 1 identically, so the exact-match assertion
+    // holds at any miss budget
     val got = Similarity.cosineNearDup(doubled, "vec_id", "embedding", threshold = 0.8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val want = bfPairs(doubled, 0.8)
@@ -92,6 +96,34 @@ class SimilaritySpec extends SparkSpec {
     val want = bfPairs(emb, 0.4)
     assert(got == want, s"banded=${got.size} brute=${want.size}")
     assert(got.nonEmpty)
+  }
+
+  test("near-dup parameterization stays under the plane cap at 1e6 and 1e9 vectors") {
+    // the round-4 scale-killer: at miss = 1e-7 the derived band count
+    // grows ~16·n^0.33 and crossed MaxPlaneBits at n ≈ 2×10⁵, so the
+    // DECLARED near-dup operator refused moderate corpora. The fix is
+    // two-fold — a practical default miss budget (1e-2) and a band-width
+    // cap (20 bits) — and this test pins both at the corpus sizes a
+    // 100 TB pipeline actually has.
+    for (n <- Seq(1000000L, 1000000000L)) {
+      val (b, bands, bits) = Similarity.nearDupPlan(0.8, n, 1e-2)
+      assert(bits <= Similarity.MaxPlaneBits,
+        s"n=$n: $bands bands × $b bits = $bits exceeds the cap")
+      assert(b <= Similarity.MaxBitsPerBand)
+      // and the recall the budget buys: (1-p^b)^bands <= 1e-2 at τ=0.8,
+      // i.e. >= 99% of true near-dup pairs are examined
+      val p = 1.0 - math.acos(0.8) / math.Pi
+      val missProb = math.pow(1.0 - math.pow(p, b), bands)
+      assert(missProb <= 1e-2, s"n=$n: miss probability $missProb")
+    }
+    // the old default is honestly documented as fixture-only: at 1e9 it
+    // still exceeds the cap and the require fires rather than degrading
+    val (_, _, strictBits) = Similarity.nearDupPlan(0.8, 1000000000L, 1e-7)
+    assert(strictBits > Similarity.MaxPlaneBits)
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupCandidates(doubled, "vec_id", "embedding",
+        threshold = 0.8, miss = 1e-7, corpusSize = Some(1000000000L)).count()
+    }
   }
 
   test("LSH candidates stay O(sqrt(n)) per query on the doubled fixture") {
