@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * untimed warm-up run first — codegen compilation and JVM JIT dominate
   * cold runs at local scale and would drown the signal the timings are
   * meant to carry.
+  *
+  * Contention gauge: this machine's bench history shows up to 18×
+  * run-to-run noise when another JVM (sbt test, a prior Spark session)
+  * shares the cores — BENCH_r04 recorded 13.2 s for a query that
+  * measures 2.8 s idle, and the artifact misrepresented the engine for
+  * a round. So the bench brackets the timed set with the SAME cheap
+  * query (d1, scan + hash agg) run first and last, and emits both
+  * timings plus the OS load average at start/end. A contaminated run is
+  * then self-identifying from the JSON alone: gauge drift ≫ 1 or a
+  * load average far above the bench's own parallelism means the numbers
+  * are machine noise, not code.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -62,21 +73,40 @@ object Bench {
       require(names.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in Bench.headline: ${unknown.mkString(", ")}")
     }
-    val results = headline.filter(qs.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
+    def timed(name: String): Double = {
       val fn = qs(name)
-      System.err.println(s"[bench] warm-up $name")
       try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    val gaugeQ = "d1_q1_pricing"
+    val loadStart = loadAvg()
+    val gaugeFirst = timed(gaugeQ)
+    System.err.println(f"[bench] gauge-first $gaugeQ $gaugeFirst%8.2f s (load $loadStart%.2f)")
+
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
+      System.err.println(s"[bench] warm-up $name")
+      val dt = timed(name)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
       name -> dt
     }
+
+    val gaugeLast = timed(gaugeQ)
+    val loadEnd = loadAvg()
+    val drift = if (gaugeFirst > 0) gaugeLast / gaugeFirst else -1.0
+    System.err.println(f"[bench] gauge-last  $gaugeQ $gaugeLast%8.2f s (load $loadEnd%.2f, drift $drift%.2f×)")
+
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val gaugeJson = s"""{"query":"$gaugeQ","first":$gaugeFirst,"last":$gaugeLast,"drift":$drift}"""
+    val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson}""")
     spark.stop()
   }
 }
