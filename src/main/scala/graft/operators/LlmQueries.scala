@@ -457,10 +457,26 @@ object LlmQueries {
                    CAST(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) AS code_l1
             FROM c ORDER BY vec_id"""))
 
+  /** L: IVF ANN with the candidate tier running over int8 SQ codes and
+    * an exact float re-rank — the end-to-end composition of l14 and
+    * l21. The candidate stage (centroid pick, cell assignment, probe,
+    * cell equi-join) touches ONLY the 4×-compressed codes; floats are
+    * re-attached per candidate for the exact re-rank, so reported
+    * scores are exact cosine. Deterministic (stride centroids,
+    * round-half-up codes) but not SQL-expressible; rows-only check
+    * here, recall bounds vs brute force in SimilaritySpec. */
+  val l22IvfInt8 = Q(
+    "l22_ivf_int8_topk",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopKInt8(emb, emb, 3).orderBy(col("qid"), col("rank"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
-    l21Quantize)
+    l21Quantize, l22IvfInt8)
 }

@@ -258,6 +258,119 @@ object Similarity {
       .select(col("qid"), col("qv"), col("nid"), col("nv"))
   }
 
+  /** IVF top-k with the candidate tier running entirely over int8
+    * scalar-quantization codes and an exact float re-rank — the
+    * composition that makes the l21 storage tier real. At 100 TB the
+    * point of SQ is that the ANN index (centroid assignments + code
+    * vectors) is 4× smaller than the float corpus, so candidate
+    * generation scans/shuffles codes and ONLY the ≈nprobe·√n candidate
+    * rows per query ever touch the float embeddings.
+    *
+    * Cosine is scale-invariant, so the per-vector SQ scale m cancels
+    * out of cell geometry entirely: cells are chosen from the raw codes
+    * (cos(code·m/127, c) = cos(code, c)) and the scale column never
+    * rides the candidate shuffle at all. Quantization only perturbs
+    * WHICH cells are probed (SimilaritySpec bounds the recall cost vs
+    * the float path and brute force); reported scores are exact float
+    * cosine, bit-identical to [[ivfTopK]] on the same candidate set. */
+  def ivfTopKInt8(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Option[Int] = None,
+      nprobe: Int = 4): DataFrame = {
+    val scored = ivfCandidatesInt8(queries, corpus, nlist, nprobe)
+      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
+      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+    rankTopKWindow(scored, k)
+  }
+
+  /** Nearest-`m` centroid indices by cosine — the same primitive-array
+    * selection loop as [[ivfCandidates]]'s inner `cells`, factored for
+    * the int8 path (boxed sortBy is measurable at nlist≈√n per row). */
+  private def nearestCells(centroids: Array[Array[Double]], v: Array[Double], m: Int): Seq[Int] = {
+    val scores = new Array[Double](centroids.length)
+    var ci = 0
+    while (ci < centroids.length) {
+      val c = centroids(ci)
+      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var i = 0
+      val len = math.min(c.length, v.length)
+      while (i < len) { dot += c(i) * v(i); nc += c(i) * c(i); nv += v(i) * v(i); i += 1 }
+      scores(ci) = if (nc == 0 || nv == 0) 0.0 else dot / math.sqrt(nc * nv)
+      ci += 1
+    }
+    val picked = new Array[Int](math.min(m, scores.length))
+    val taken = new Array[Boolean](scores.length)
+    var p = 0
+    while (p < picked.length) {
+      var best = -1
+      var i = 0
+      while (i < scores.length) {
+        if (!taken(i) && (best < 0 || scores(i) > scores(best))) best = i
+        i += 1
+      }
+      taken(best) = true
+      picked(p) = best
+      p += 1
+    }
+    picked.toSeq
+  }
+
+  /** Candidate stage of [[ivfTopKInt8]]: cell equi-join computed from
+    * int8 codes only, float vectors re-attached by id AFTER the
+    * pair-distinct. Exposed for SimilaritySpec's candidate bound. */
+  private[graft] def ivfCandidatesInt8(
+      queries: DataFrame,
+      corpus: DataFrame,
+      nlistOpt: Option[Int] = None,
+      nprobe: Int = 4): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    // the quantized view the whole candidate tier runs on: codes only —
+    // the scale factor is irrelevant to cell geometry (see docstring)
+    def codesOf(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        VectorFunctions.int8Codes(col("embedding"),
+          VectorFunctions.maxAbs(col("embedding"))).as("codes"))
+
+    val total = corpus.count()
+    val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
+    val stride = math.max(1L, total / nlist)
+    // stride-picked centroids from the QUANTIZED corpus (≤ nlist driver
+    // rows, limit-capped — same documented scalar collect as ivfCandidates)
+    val centroids: Array[Array[Double]] = codesOf(corpus, "nid")
+      .filter(pmod(col("nid"), lit(stride)) === 0)
+      .orderBy(col("nid"))
+      .limit(nlist)
+      .select(col("codes"))
+      .collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    val centroidsBc = sc.broadcast(centroids)
+
+    val probeUdf = udf { (codes: Seq[Long]) =>
+      if (codes == null) Seq(0)
+      else nearestCells(centroidsBc.value, codes.map(_.toDouble).toArray, nprobe)
+    }
+    val assignUdf = udf { (codes: Seq[Long]) =>
+      if (codes == null) 0
+      else nearestCells(centroidsBc.value, codes.map(_.toDouble).toArray, 1).head
+    }
+
+    val q = codesOf(queries, "qid").repartition(n, col("qid"))
+      .select(col("qid"), explode(probeUdf(col("codes"))).as("cell"))
+    val c = codesOf(corpus, "nid")
+      .select(col("nid"), assignUdf(col("codes")).as("cell"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+  }
+
   /** Bands needed so a pair at cosine >= `threshold` is missed with
     * probability <= `miss`: per-hyperplane agreement for angle θ is
     * 1 - θ/π (Goemans–Williamson), a b-bit band agrees with p^b, and
