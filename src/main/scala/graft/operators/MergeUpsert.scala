@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MERGE INTO / upsert: apply a changes table to a base snapshot —
@@ -12,23 +13,63 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: ONE full-outer equi-join on the key (sort-merge at
   * scale, hash-partitioned both sides) + a row-local column coalesce —
-  * no window, no per-key state. The change row wins WHOLESALE (all
-  * columns), keyed on change-side key presence rather than per-column
-  * coalesce, so a change row carrying a legitimate NULL field still
-  * overwrites. Requires the key to be unique within `changes` (two
-  * change rows for one key would be an ambiguous merge — the caller
-  * dedupes first, e.g. keep-latest by version). A NULL-key change row
-  * is dropped up front: under SQL join semantics it can never match a
-  * base row, and letting it through the full-outer join would fabricate
-  * an all-NULL output row. If the BASE has duplicate keys, every base
-  * row with a matched key takes the change — the "update all matching
-  * rows" reading of MERGE.
+  * no window over the BASE, no per-key state. The change row wins
+  * WHOLESALE (all columns), keyed on change-side key presence rather
+  * than per-column coalesce, so a change row carrying a legitimate NULL
+  * field still overwrites. A NULL-key change row is dropped up front:
+  * under SQL join semantics it can never match a base row, and letting
+  * it through the full-outer join would fabricate an all-NULL output
+  * row. If the BASE has duplicate keys, every base row with a matched
+  * key takes the change — the "update all matching rows" reading of
+  * MERGE.
+  *
+  * The key must be UNIQUE within `changes` — two change rows for one
+  * key is an ambiguous merge, and silently emitting both would be a
+  * data corruption. The contract is ENFORCED, not just documented:
+  *   - `versionCol = Some(v)`: keep-latest dedupe — per key, only the
+  *     change row(s) with the greatest version survive (a CDC delta
+  *     with several updates per key collapses to the newest);
+  *   - then any key still duplicated (no version column, or tied on
+  *     the max version — equally ambiguous) fails LOUDLY at execution
+  *     time via `raise_error`, naming the offending key.
+  * Both run on the DELTA only (one window shuffle on `changes`, which
+  * is ≪ base in any incremental-refresh workload — the base-side plan
+  * is untouched) and stay fully lazy/distributed: no driver-side
+  * pre-count job, the check rides the merge job itself.
   */
 object MergeUpsert {
 
-  def upsert(base: DataFrame, changes: DataFrame, key: String): DataFrame = {
+  def upsert(
+      base: DataFrame,
+      changes: DataFrame,
+      key: String,
+      versionCol: Option[String] = None): DataFrame = {
+    val cleaned = changes.filter(col(key).isNotNull)
+    // keep-latest: rank() (not row_number) so max-version TIES survive
+    // into the uniqueness check below instead of being resolved by an
+    // arbitrary, partitioning-dependent pick
+    val latest = versionCol.fold(cleaned) { v =>
+      val w = Window.partitionBy(col(key)).orderBy(col(v).desc)
+      cleaned.withColumn("__graft_rk", rank().over(w))
+        .filter(col("__graft_rk") === 1).drop("__graft_rk")
+    }
+    // loud uniqueness contract: the count-over-key window shares the
+    // keep-latest window's hash partitioning (one exchange for both),
+    // and the raise_error predicate is evaluated per surviving row
+    val checked = latest
+      .withColumn("__graft_n", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(
+        when(col("__graft_n") > 1,
+          raise_error(concat(
+            lit(s"MergeUpsert: duplicate change rows for key $key="),
+            col(key).cast("string"),
+            lit(versionCol.fold(" (no version column given)")(v =>
+              s" tied on max $v — ambiguous merge")))))
+          .otherwise(lit(true)))
+      .drop("__graft_n")
+
     val joined = base.alias("b").join(
-      changes.filter(col(key).isNotNull).alias("c"),
+      checked.alias("c"),
       col("b." + key) === col("c." + key), "full_outer")
     val merged = base.columns.map { name =>
       when(col("c." + key).isNotNull, col("c." + name))

@@ -85,4 +85,37 @@ class PlanPipelineSpec extends SparkSpec {
     val res = upsert(base, withNullKey, "id")
     assert(res.count() == 4 && res.filter($"id".isNull).count() == 0)
   }
+
+  test("merge upsert uniqueness contract: duplicate change keys fail loudly or dedupe by version") {
+    import spark.implicits._
+    import graft.operators.MergeUpsert.upsert
+    val base = Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "v")
+    val dupes = Seq((2L, "old", 1), (2L, "new", 2), (3L, "x", 1))
+      .toDF("id", "name", "v")
+    // no version column: two change rows for key 2 used to silently emit
+    // duplicate output rows — a latent data corruption; now the merge
+    // job itself fails, naming the key
+    val err = intercept[Exception] { upsert(base, dupes, "id").collect() }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      var m = Option(c.getMessage).getOrElse("")
+      while (c.getCause != null) { c = c.getCause; m += " " + Option(c.getMessage).getOrElse("") }
+      m
+    }
+    assert(rootMsg(err).contains("duplicate change rows"), rootMsg(err))
+    // keep-latest by version: key 2 collapses to the v=2 row, merge clean
+    val got = upsert(base, dupes, "id", versionCol = Some("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "new", 2), (3L, "x", 1)), s"got $got")
+    // ties on the max version are STILL ambiguous -> loud failure too
+    val tied = Seq((2L, "p", 7), (2L, "q", 7)).toDF("id", "name", "v")
+    val err2 = intercept[Exception] {
+      upsert(base, tied, "id", versionCol = Some("v")).collect()
+    }
+    assert(rootMsg(err2).contains("duplicate change rows"), rootMsg(err2))
+    // unique changes with a version column behave exactly as before
+    val clean = Seq((2L, "n", 5)).toDF("id", "name", "v")
+    assert(upsert(base, clean, "id", versionCol = Some("v")).count() == 2)
+  }
 }
