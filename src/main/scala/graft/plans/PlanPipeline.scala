@@ -162,5 +162,40 @@ object PlanPipeline {
             FROM orders b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
             ORDER BY o_orderkey"""))
 
-  def all: Seq[Q] = Seq(m3Plans, m3Groups, m4MergeUpsert)
+  /** M: dynamic partition overwrite — the FILE-LEVEL incremental
+    * refresh companion to m4's row-level merge. A 100 TB materialized
+    * view partitioned on a refresh key never rewrites in full; a
+    * recompute of one partition's rows with
+    * `partitionOverwriteMode=dynamic` replaces ONLY the partitions
+    * present in the written data and leaves every other partition's
+    * files physically untouched (PlanPipelineSpec asserts the surviving
+    * file paths; static overwrite mode would truncate the whole table
+    * root first). The read-back checks both halves: the refreshed
+    * partition carries the recomputed values, the untouched partitions
+    * carry the originals. */
+  val m5DynamicOverwrite = Q(
+    "m5_dynamic_overwrite",
+    (s, dir) => {
+      import s.implicits._
+      val orders = Tables(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_m5_dyn").toString
+      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+      // incremental refresh: recompute ONLY the 'F' partition
+      orders.filter($"o_orderstatus" === "F")
+        .withColumn("o_totalprice", $"o_totalprice" * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .select($"o_orderkey", round($"o_totalprice", 2).as("o_totalprice"),
+          $"o_orderstatus")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   round(CASE WHEN o_orderstatus = 'F'
+                              THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice,
+                   o_orderstatus
+            FROM orders ORDER BY o_orderkey"""))
+
+  def all: Seq[Q] = Seq(m3Plans, m3Groups, m4MergeUpsert, m5DynamicOverwrite)
 }

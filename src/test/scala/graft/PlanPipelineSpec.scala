@@ -86,6 +86,42 @@ class PlanPipelineSpec extends SparkSpec {
     assert(res.count() == 4 && res.filter($"id".isNull).count() == 0)
   }
 
+  test("dynamic partition overwrite: untouched partitions' files survive byte-identical") {
+    import spark.implicits._
+    val orders = Tables(spark, sf, "orders")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m5_spec").toString
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+    def partFiles(status: String): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/o_orderstatus=$status")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val oBefore = partFiles("O")
+    val pBefore = partFiles("P")
+    val fBefore = partFiles("F")
+    assert(oBefore.nonEmpty && fBefore.nonEmpty)
+    orders.filter($"o_orderstatus" === "F")
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(tmp)
+    // untouched partitions: same file names, same mtimes — physically
+    // not rewritten (static mode would truncate the whole table root)
+    assert(partFiles("O") == oBefore)
+    assert(partFiles("P") == pBefore)
+    // refreshed partition: new files
+    assert(partFiles("F").keySet.intersect(fBefore.keySet).isEmpty)
+    // and the data reads back merged: F doubled, O/P original
+    val got = spark.read.parquet(tmp)
+    val base = orders
+    assert(got.count() == base.count())
+    val fSum = got.filter($"o_orderstatus" === "F")
+      .agg(org.apache.spark.sql.functions.sum($"o_totalprice")).head().getDouble(0)
+    val fBase = base.filter($"o_orderstatus" === "F")
+      .agg(org.apache.spark.sql.functions.sum($"o_totalprice")).head().getDouble(0)
+    assert(math.abs(fSum - 2 * fBase) < 1e-6 * fBase)
+  }
+
   test("merge upsert uniqueness contract: duplicate change keys fail loudly or dedupe by version") {
     import spark.implicits._
     import graft.operators.MergeUpsert.upsert
