@@ -30,11 +30,17 @@ object InequalityJoin {
     * row's value, summed over the id's rows. Returns (leftId, n_gt) for
     * ids with n_gt > 0 — exactly `left JOIN right ON r.v > l.v GROUP BY
     * l.id` inner-join semantics, including when leftId is NOT unique:
-    * every left ROW gets its own bucket lookup + within-bucket count
-    * (keyed by a synthetic row id), and the per-row counts then sum per
-    * leftId. Grouping by (leftId, bucket) directly would merge same-id
-    * rows sharing a bucket (adding the suffix count once instead of per
-    * row) and split an id spanning buckets into multiple output rows.
+    * left rows are pre-aggregated to distinct (leftId, value) pairs
+    * carrying a multiplicity, each pair's exceed-count is computed once
+    * and multiplied back, and the per-pair products sum per leftId.
+    * Grouping by (leftId, bucket) directly would merge same-id rows
+    * sharing a bucket (adding the suffix count once instead of per row)
+    * and split an id spanning buckets into multiple output rows — the
+    * multiplicity factors that per-row accounting out exactly. The key
+    * is INPUT-DERIVED (no monotonically_increasing_id), so a stage
+    * retry that recomputes the left side under different partitioning
+    * reproduces identical keys — and duplicate-heavy inputs do the
+    * bucket join once per distinct value instead of once per row.
     *
     * The two histogram bounds are the only driver-side reads (2 scalars,
     * by design — the same documented pattern as the IVF centroid fetch). */
@@ -72,19 +78,21 @@ object InequalityJoin {
       .withColumn("__gt_high", coalesce(sum(col("__cnt")).over(w), lit(0L)))
       .select(col("__rb"), col("__gt_high"))
 
-    // __rk makes each LEFT ROW its own aggregation key; leftId rides
-    // along (functionally dependent) for the final per-id rollup
+    // distinct (leftId, value) pairs with multiplicity: the exceed
+    // count depends only on the value, so identical rows share one
+    // bucket lookup + within-bucket count and multiply back at the end
     val lhs = left.select(col(leftId), col(leftVal).as("__lv"))
-      .withColumn("__rk", monotonically_increasing_id())
+      .groupBy(col(leftId), col("__lv"))
+      .agg(count(lit(1)).as("__mult"))
       .withColumn("__rb",
         least(greatest(floor(col("__lv") / bucketWidth).cast("long"), lit(lo - 1)), lit(hi)))
 
     lhs.join(broadcast(suffix), Seq("__rb"))
       .join(rb, Seq("__rb"), "left")
-      .groupBy(col("__rk"), col(leftId), col("__gt_high"))
+      .groupBy(col(leftId), col("__lv"), col("__mult"), col("__gt_high"))
       .agg(sum(when(col("__rv") > col("__lv"), 1L).otherwise(0L)).as("__gt_same"))
       .groupBy(col(leftId))
-      .agg(sum(col("__gt_high") + col("__gt_same")).as("n_gt"))
+      .agg(sum((col("__gt_high") + col("__gt_same")) * col("__mult")).as("n_gt"))
       .filter(col("n_gt") > 0)
   }
 }
