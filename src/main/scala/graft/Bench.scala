@@ -41,7 +41,8 @@ object Bench {
     "l5_cosine_topk",       // brute-force ANN baseline
     "l6_cosine_neardup",    // banded near-dup on the doubled corpus
     "l13_lsh_topk",         // LSH ANN (sqrt-scaled buckets)
-    "l14_ivf_topk")         // IVF ANN (sqrt-scaled cells)
+    "l14_ivf_topk",         // IVF ANN (sqrt-scaled cells)
+    "l22_ivf_int8_topk")    // IVF ANN over int8 codes + float re-rank
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,6 +51,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE scale big shuffles UP, not just coalesce down — at 10⁵+
+      // vectors the ANN candidate shuffles carry 10⁸ rows (see Engine)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       // fixture tables are single parquet files; without this a scan is
       // ONE task and a broadcast-join pipeline runs on one core of 32
       .config("spark.sql.files.minPartitionNum", cpus)

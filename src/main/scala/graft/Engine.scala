@@ -23,6 +23,13 @@ object Engine {
       .master(master)
       .appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
+      // `shuffle.partitions` is a CEILING for AQE, not a floor: coalescing
+      // only merges partitions below the initial number, it never splits a
+      // too-big one (only skew-join handling does, and only for joins). A
+      // 10⁸-row candidate shuffle at 32 partitions is 4M rows/task — GC
+      // death. Start every shuffle wide and let AQE coalesce small stages
+      // back down to the advisory size; large stages keep the parallelism
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // typed Aggregators (top-k, sketches) run as ObjectHashAggregate,

@@ -10,6 +10,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // big shuffles start wide, AQE coalesces small ones (see Engine)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       // keep typed-Aggregator top-k hash-based (see Engine.session)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
