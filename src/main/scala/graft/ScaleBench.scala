@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Large-fixture similarity/near-dup benchmark — the scale companion to
+  * [[Bench]].
+  *
+  * [[Bench]] runs the declared queries at the driver's sf0.1 fixture
+  * (2k vectors); the band/cell math all has n in it, so the only honest
+  * way to check the documented curves (near-dup candidates ~ n^1.33,
+  * ANN work ~ bands·sqrt(n) per query) is to run the SAME operator
+  * entry points on a corpus 1–2 orders of magnitude bigger. Input is an
+  * embeddings-only directory from `tools/gen_embed.py` (originals + a
+  * planted 2% exact-duplicate sliver + seeded random background — the
+  * adversarially-orthogonal shape, NOT a wall of copies that bucket
+  * joins could answer from alone).
+  *
+  * Near-dup runs at the PRODUCTION miss budget (1e-2): the declared l6
+  * query pins miss = 1e-7 for its fixture-scale DuckDB oracle, but that
+  * budget is a fixture luxury — `nearDupPlan` shows it crossing the
+  * hyperplane ceiling near n = 2×10⁵, which is exactly the regime this
+  * main exists to measure. Planted recall is still exact: cosine-1.0
+  * pairs share every band signature regardless of the budget.
+  *
+  * Usage: SPARK_GRAFT_EMBED_DIR=/tmp/sf_embed100k runMain graft.ScaleBench
+  * Emits one JSON line: {"n":…,"queries":{…},"neardup_pairs":…,…}.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_EMBED_DIR", "/tmp/sf_embed100k")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(s"local[$cpus]", "graft-scalebench",
+      shufflePartitions = Some(cpus.toInt))
+
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    // planted exact dups sit at id offset 10M (gen_embed.py contract)
+    val planted = emb.filter(col("vec_id") < 10000000L).count()
+
+    def timed(name: String)(body: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scalebench] $name%-22s $dt%8.2f s  ($rows rows)")
+      (dt, rows)
+    }
+
+    val (tNd, ndPairs) = timed("cosine_neardup") {
+      Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8).count()
+    }
+    val (tLsh, lshRows) = timed("lsh_topk") {
+      Similarity.lshTopK(emb, emb, 3).count()
+    }
+    val (tIvf, ivfRows) = timed("ivf_topk") {
+      Similarity.ivfTopK(emb, emb, 3).count()
+    }
+    val (tInt8, int8Rows) = timed("ivf_int8_topk") {
+      Similarity.ivfTopKInt8(emb, emb, 3).count()
+    }
+
+    println(s"""{"n":$n,"planted_dup_pairs":$planted,"queries":{""" +
+      s""""cosine_neardup":$tNd,"lsh_topk":$tLsh,"ivf_topk":$tIvf,"ivf_int8_topk":$tInt8},""" +
+      s""""rows":{"cosine_neardup":$ndPairs,"lsh_topk":$lshRows,"ivf_topk":$ivfRows,"ivf_int8_topk":$int8Rows},""" +
+      s""""dir":"$dir"}""")
+    spark.stop()
+  }
+}
