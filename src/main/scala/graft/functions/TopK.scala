@@ -22,7 +22,16 @@ case class Scored(nid: Long, cos: Double)
   * Selecting k best under the TOTAL order (cos desc, nid asc) is
   * associative and commutative, so any partial-aggregation tree yields
   * the identical result — the property that keeps the DuckDB oracle
-  * hash-stable under any partitioning. */
+  * hash-stable under any partitioning.
+  *
+  * Exact-duplicate (nid, cos) rows are SKIPPED: a neighbor list holds a
+  * neighbor once. This is what lets the LSH path feed band-join output
+  * straight into the heap — a pair surfacing in s shared bands carries
+  * the same deterministic score s times, and collapsing it here (buffer
+  * is sorted, so equals are adjacent: one extra comparison) replaces a
+  * full groupBy-dedup shuffle + rank-window shuffle over every scored
+  * row. Inputs with unique (nid, cos) rows — brute force — are
+  * unaffected. */
 class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k > 0)
 
@@ -55,8 +64,13 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     if (b.size >= k && better(b.last, a)) b
     else {
       val i = insertAt(b, a)
-      val withA = (b.take(i) :+ a) ++ b.drop(i)
-      if (withA.size > k) withA.take(k) else withA
+      // an equal element can only sit exactly at the insert position
+      // (first not-better index) — one comparison dedups
+      if (i < b.size && b(i) == a) b
+      else {
+        val withA = (b.take(i) :+ a) ++ b.drop(i)
+        if (withA.size > k) withA.take(k) else withA
+      }
     }
 
   /** Sorted-merge of two sorted buffers (the classic two-pointer walk),
@@ -68,6 +82,7 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     while (out.size < k && (i1.hasNext || i2.hasNext)) {
       if (!i2.hasNext) out += i1.next()
       else if (!i1.hasNext) out += i2.next()
+      else if (i1.head == i2.head) { out += i1.next(); i2.next() }
       else if (better(i1.head, i2.head)) out += i1.next()
       else out += i2.next()
     }

@@ -473,10 +473,103 @@ object LlmQueries {
     },
     None)
 
+  /** L: repetition signals — the Gopher-style boilerplate/degeneration
+    * filter (duplicate-2-gram fraction, top-2-gram share, duplicate-
+    * 3-gram fraction per document). Exact integer counts with single
+    * divisions; the DuckDB oracle reproduces the gram construction with
+    * list slicing, so every ratio hash-matches. See
+    * TextAnalysis.repetitionSignals for the two execution shapes
+    * (row-local distinct-fraction vs explode+hash-agg occurrence
+    * counts). */
+  val l23Repetition = Q(
+    "l23_repetition",
+    (s, dir) => TextAnalysis.repetitionSignals(
+      Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 g2 AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+                        FROM toks WHERE len(t) >= 2),
+                 cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+                 agg2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+                                 count(*) AS d2, max(c) AS top2
+                          FROM cnt GROUP BY doc_id),
+                 loc3 AS (SELECT doc_id,
+                                 CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n3,
+                                 CASE WHEN len(t) >= 3 THEN len(list_distinct(
+                                   list_transform(generate_series(1, len(t) - 2),
+                                     i -> array_to_string(t[i:i+2], ' ')))) ELSE 0 END AS d3
+                          FROM toks)
+            SELECT l.doc_id,
+                   COALESCE(a.n2, 0) AS n_2grams,
+                   CASE WHEN COALESCE(a.n2, 0) = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(a.d2 AS DOUBLE) / a.n2, 6) END AS dup_2gram_frac,
+                   CASE WHEN COALESCE(a.n2, 0) = 0 THEN 0.0
+                        ELSE round(CAST(a.top2 AS DOUBLE) / a.n2, 6) END AS top_2gram_share,
+                   l.n3 AS n_3grams,
+                   CASE WHEN l.n3 = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(l.d3 AS DOUBLE) / l.n3, 6) END AS dup_3gram_frac
+            FROM loc3 l LEFT JOIN agg2 a ON l.doc_id = a.doc_id
+            ORDER BY l.doc_id"""))
+
+  /** L: deterministic domain-weighted sampling — mix sources at
+    * per-source rates (here 4/16, 8/16, 12/16, 16/16 cycling by source
+    * number) by gating on the first md5 nibble of the CONTENT. Like the
+    * l19 split, the decision is a pure function of the text: stable
+    * under repartitioning, reordering and incremental corpus growth,
+    * and identical copies of a document get the same fate everywhere.
+    * The nibble threshold is compared as a hex CHARACTER ('4'/'8'/'c',
+    * or 'g' = keep-all) — single-char comparisons order identically in
+    * both engines, so no hex-to-int conversion is needed. Row-local
+    * filter: zero shuffles at any scale; a real deployment would
+    * broadcast-join a rates dimension instead of deriving the rate from
+    * the source name, which changes nothing about the shape. */
+  val l24DomainSample = Q(
+    "l24_domain_sample",
+    (s, dir) => {
+      val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+      val thresh = element_at(
+        array(lit("4"), lit("8"), lit("c"), lit("g")), srcNum % 4 + 1)
+      Tables(s, dir, "documents")
+        .filter(substring(md5(col("text")), 1, 1) < thresh)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source FROM documents
+            WHERE substr(md5(text), 1, 1) <
+                  CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+                       WHEN 0 THEN '4' WHEN 1 THEN '8' WHEN 2 THEN 'c'
+                       ELSE 'g' END
+            ORDER BY doc_id"""))
+
+  /** L: SemDedup embedding-cluster dedup over the doubled corpus (every
+    * original gains an exact copy at id offset 10⁶). At τ = 0.8 the
+    * survivors are EXACTLY the originals: exact copies always share
+    * their twin's cell and are dropped by the keep-lowest-id rule, and
+    * the fixture's max original-pair cosine is ≤ 0.60 at every sf
+    * (verified against numpy ground truth), so no original can be
+    * dropped — which is what the oracle pins, end-to-end, including the
+    * keep-lowest-id choice. The general mechanism (cluster scoping,
+    * boundary-miss semantics, work envelope n·√n) is law-tested in
+    * SimilaritySpec. */
+  val l25SemDedup = Q(
+    "l25_semdedup",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val doubled = emb.unionAll(emb
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.semDedup(doubled, "vec_id", "embedding", threshold = 0.8)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("SELECT vec_id FROM embeddings ORDER BY vec_id"))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
-    l21Quantize, l22IvfInt8)
+    l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup)
 }

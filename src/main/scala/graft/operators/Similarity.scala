@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * (SURVEY §2b L — similarity search).
   *
   * Three tiers:
-  *   - [[bruteForceTopK]]: exact cosine top-k via join + window. The
+  *   - [[bruteForceTopK]]: exact cosine top-k via join + heap top-k. The
   *     corpus side is broadcast when it fits (dimension-table pattern);
   *     this is the baseline and the recall oracle.
   *   - [[lshTopK]]: random-hyperplane LSH — candidates share a signature
@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   *     total-work optimum (see [[cosineNearDup]]).
   * SimilaritySpec asserts the candidate bounds on a doubled fixture, so
   * the sqrt scaling is pinned by test, not just by this comment.
+  *
+  * Execution shape (the 10⁵-vector lesson, BENCH_LOCAL.md): scoring is
+  * FUSED into the candidate equi-join. Vectors and their precomputed
+  * norms ride the band/cell join INPUTS (n·B wide rows — bounded by the
+  * corpus, not the candidate count), the pair rows exist only inside the
+  * pipelined join→project (wide-row candidates are never materialized to
+  * a shuffle), and everything downstream of the join is narrow
+  * (qid, nid, cos). The previous ids-only shape — candidate join,
+  * pair-distinct over ~n·B·bucket rows, then TWO shuffled joins
+  * re-attaching 64-float vectors to every surviving pair — inverts past
+  * ~10⁴ vectors: the re-attach shuffles carry candidates × vector-width
+  * bytes, which dominates every other term (measured 422 s for IVF at
+  * n = 10⁵; the fused shape removes both re-attach joins and, for IVF,
+  * the distinct as well).
   */
 object Similarity {
 
@@ -37,13 +51,14 @@ object Similarity {
     * TopKByScore). Output ranks are 1-based in (cos desc, nid asc)
     * order — row-identical to the window formulation, but the shuffle
     * carries k rows per query per partition instead of every scored
-    * row. Used where the scored input is UNPRUNED (brute force:
-    * |Q|·|C| rows — measured 34 s → 7 s at 8k×8k vectors, where the
-    * rank window's full-table exchange spilled). The ANN paths keep the
-    * rank window: their candidate stages already bound the input to
-    * ~√n per query, and at that volume ObjectHashAggregate's
-    * per-row typed-buffer overhead measures ~2× slower than the
-    * window sort locally. */
+    * row. Used where the scored input is UNPRUNED or carries cross-band
+    * duplicates: brute force (|Q|·|C| rows — measured 34 s → 7 s at
+    * 8k×8k vectors, where the rank window's full-table exchange
+    * spilled) and the LSH path (the heap's duplicate-skip replaces a
+    * whole groupBy-dedup shuffle). The IVF paths keep the rank window:
+    * their candidate stage is already pair-unique and ~√n per query,
+    * and at that volume ObjectHashAggregate's per-row typed-buffer
+    * overhead measures ~2× slower than the window sort locally. */
   private def rankTopKAgg(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKByScore(k))
     scored.groupBy(col("qid"))
@@ -146,160 +161,54 @@ object Similarity {
       .otherwise(VectorFunctions.dotScaledFast(va, vb).cast("double") /
         sqrt((na * nb).cast("double")))
 
-  /** IVF (inverted-file) approximate top-k — the coarse-quantizer
-    * alternative to LSH. `nlist` centroids are chosen deterministically
-    * from the corpus (every stride-th vector — k-means would drift per
-    * run; determinism matters more here than a few recall points), every
-    * corpus vector is assigned to its nearest centroid cell, and each
-    * query probes its `nprobe` nearest cells. The only join is an
-    * equality join on cell id: candidates per query are O(corpus/nlist ×
-    * nprobe), never O(corpus).
+  /** Stride-picked deterministic centroids with PRECOMPUTED norms,
+    * broadcast once. k-means would drift per run; determinism matters
+    * more here than a few recall points. AT MOST nlist rows reach the
+    * driver — the stride filter is limit-capped (documented scalar
+    * collect). `codes = true` reads the int8 code view instead of the
+    * float embeddings (cosine is scale-invariant, so code-space cell
+    * geometry matches float-space up to quantization noise).
     *
-    * nlist defaults to ceil(sqrt(n)) so cells hold ~sqrt(n) vectors and
-    * the candidate count per query is ~nprobe·sqrt(n) — the balance
-    * point between centroid-scan work (nlist per row) and cell-scan work
-    * (n/nlist per probe); a FIXED nlist would grow cells linearly with
-    * the corpus and quietly stop pruning. Centroids are tiny (nlist ×
-    * dim floats) and ride along as a broadcast closure; AT MOST nlist
-    * rows ever reach the driver — the stride filter is limit-capped, and
-    * collects fewer when the corpus itself is smaller than nlist
-    * (documented scalar-collect). */
-  def ivfTopK(
-      queries: DataFrame,
-      corpus: DataFrame,
-      k: Int,
-      nlist: Option[Int] = None,
-      nprobe: Int = 4): DataFrame = {
-    val scored = ivfCandidates(queries, corpus, nlist, nprobe)
-      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
-      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
-      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
-      .select(col("qid"), col("nid"), col("cos"))
-    rankTopKWindow(scored, k)
-  }
-
-  /** IVF candidate stage: (qid, qv, nid, nv) pairs sharing a probed
-    * centroid cell, pair-distinct. Exposed so SimilaritySpec can assert
-    * the per-query candidate bound (≤ c·nprobe·sqrt(n)) directly. */
-  private[graft] def ivfCandidates(
-      queries: DataFrame,
-      corpus: DataFrame,
-      nlistOpt: Option[Int] = None,
-      nprobe: Int = 4): DataFrame = {
-    val n = queries.sparkSession.sparkContext.defaultParallelism
-    // deterministic coarse quantizer: every stride-th corpus vector by
-    // id; AT MOST nlist rows reach the driver (count + limit-capped
-    // collect — when total < nlist the whole corpus passes the stride
-    // filter and the limit is what bounds the fetch)
-    val total = corpus.count()
-    val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
-    val stride = math.max(1L, total / nlist)
-    val centroids: Array[(Int, Array[Float])] = corpus
+    * Norms are hoisted HERE because the per-row assign/probe loop scans
+    * all nlist centroids for every corpus and query row: recomputing
+    * |c|² inside that loop doubles the centroid-scan flops at
+    * nlist ≈ √n — measurably the dominant IVF cost at n = 10⁵. */
+  private def strideCentroids(
+      df: DataFrame, vecCol: String, nlist: Int, stride: Long)
+    : (Array[Array[Double]], Array[Double]) = {
+    val centroids: Array[Array[Double]] = df
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id"))
       .limit(nlist)
-      .select(col("embedding"))
+      .select(col(vecCol).cast("array<double>"))
       .collect()
-      .map(_.getSeq[Float](0).toArray)
-      .zipWithIndex
-      .map { case (v, i) => (i, v) }
-
-    // primitive top-m selection — the per-row hot loop scans nlist≈√n
-    // centroids for EVERY corpus and query row, so a boxed sortBy here
-    // (tuple per centroid + full sort for m ≤ 4) is measurable; m passes
-    // over a primitive score array are not
-    def cells(vec: Seq[Float], m: Int): Seq[Int] = {
-      val v = vec.toArray
-      val scores = new Array[Double](centroids.length)
-      var ci = 0
-      while (ci < centroids.length) {
-        val c = centroids(ci)._2
-        var dot = 0.0; var nc = 0.0; var nv = 0.0
-        var i = 0
-        val len = math.min(c.length, v.length)
-        while (i < len) { dot += c(i) * v(i); nc += c(i) * c(i); nv += v(i) * v(i); i += 1 }
-        scores(ci) = if (nc == 0 || nv == 0) 0.0 else dot / math.sqrt(nc * nv)
-        ci += 1
-      }
-      val picked = new Array[Int](math.min(m, scores.length))
-      val taken = new Array[Boolean](scores.length)
-      var p = 0
-      while (p < picked.length) {
-        var best = -1
-        var i = 0
-        while (i < scores.length) {
-          if (!taken(i) && (best < 0 || scores(i) > scores(best))) best = i
-          i += 1
-        }
-        taken(best) = true
-        picked(p) = best
-        p += 1
-      }
-      picked.toSeq
+      .map(_.getSeq[Double](0).toArray)
+    val norms = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
     }
-
-    val probeUdf = udf((v: Seq[Float]) => if (v == null) Seq(0) else cells(v, nprobe))
-    val assignUdf = udf((v: Seq[Float]) => if (v == null) 0 else cells(v, 1).head)
-
-    // ids only through the cell join + pair-distinct: the 64-float
-    // vectors never ride the candidate-multiplicity shuffle (measured 2×
-    // at sf0.1 vs the wide-row distinct) — re-attached by key after
-    val q = queries.repartition(n, col("vec_id")).select(
-      col("vec_id").as("qid"),
-      explode(probeUdf(col("embedding"))).as("cell"))
-    val c = corpus.select(
-      col("vec_id").as("nid"),
-      assignUdf(col("embedding")).as("cell"))
-    q.join(c, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid")).distinct()
-      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
-      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
-      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+    (centroids, norms)
   }
 
-  /** IVF top-k with the candidate tier running entirely over int8
-    * scalar-quantization codes and an exact float re-rank — the
-    * composition that makes the l21 storage tier real. At 100 TB the
-    * point of SQ is that the ANN index (centroid assignments + code
-    * vectors) is 4× smaller than the float corpus, so candidate
-    * generation scans/shuffles codes and ONLY the ≈nprobe·√n candidate
-    * rows per query ever touch the float embeddings.
-    *
-    * Cosine is scale-invariant, so the per-vector SQ scale m cancels
-    * out of cell geometry entirely: cells are chosen from the raw codes
-    * (cos(code·m/127, c) = cos(code, c)) and the scale column never
-    * rides the candidate shuffle at all. Quantization only perturbs
-    * WHICH cells are probed (SimilaritySpec bounds the recall cost vs
-    * the float path and brute force); reported scores are exact float
-    * cosine, bit-identical to [[ivfTopK]] on the same candidate set. */
-  def ivfTopKInt8(
-      queries: DataFrame,
-      corpus: DataFrame,
-      k: Int,
-      nlist: Option[Int] = None,
-      nprobe: Int = 4): DataFrame = {
-    val scored = ivfCandidatesInt8(queries, corpus, nlist, nprobe)
-      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
-      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
-      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
-      .select(col("qid"), col("nid"), col("cos"))
-    rankTopKWindow(scored, k)
-  }
-
-  /** Nearest-`m` centroid indices by cosine — the same primitive-array
-    * selection loop as [[ivfCandidates]]'s inner `cells`, factored for
-    * the int8 path (boxed sortBy is measurable at nlist≈√n per row). */
-  private def nearestCells(centroids: Array[Array[Double]], v: Array[Double], m: Int): Seq[Int] = {
+  /** Nearest-`m` centroid indices: rank by dot(v,c)/|c| — a positive
+    * per-row scalar (1/|v|) away from cosine, so the ordering is
+    * identical and the row norm never needs computing. Primitive score
+    * array + m selection passes; a boxed sortBy here (tuple per
+    * centroid + full sort for m ≤ 4) is measurable at nlist ≈ √n per
+    * row. */
+  private def nearestCells(
+      centroids: Array[Array[Double]], cnorms: Array[Double],
+      v: Array[Double], m: Int): Seq[Int] = {
     val scores = new Array[Double](centroids.length)
     var ci = 0
     while (ci < centroids.length) {
       val c = centroids(ci)
-      var dot = 0.0; var nc = 0.0; var nv = 0.0
+      var dot = 0.0
       var i = 0
       val len = math.min(c.length, v.length)
-      while (i < len) { dot += c(i) * v(i); nc += c(i) * c(i); nv += v(i) * v(i); i += 1 }
-      scores(ci) = if (nc == 0 || nv == 0) 0.0 else dot / math.sqrt(nc * nv)
+      while (i < len) { dot += c(i) * v(i); i += 1 }
+      scores(ci) = if (cnorms(ci) == 0) 0.0 else dot / cnorms(ci)
       ci += 1
     }
     val picked = new Array[Int](math.min(m, scores.length))
@@ -319,56 +228,185 @@ object Similarity {
     picked.toSeq
   }
 
-  /** Candidate stage of [[ivfTopKInt8]]: cell equi-join computed from
-    * int8 codes only, float vectors re-attached by id AFTER the
-    * pair-distinct. Exposed for SimilaritySpec's candidate bound. */
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer
+    * alternative to LSH. `nlist` centroids are chosen deterministically
+    * from the corpus (every stride-th vector), every corpus vector is
+    * assigned to its nearest centroid cell, and each query probes its
+    * `nprobe` nearest cells. The only join is an equality join on cell
+    * id: candidates per query are O(corpus/nlist × nprobe), never
+    * O(corpus).
+    *
+    * nlist defaults to ceil(sqrt(n)) so cells hold ~sqrt(n) vectors and
+    * the candidate count per query is ~nprobe·sqrt(n) — the balance
+    * point between centroid-scan work (nlist per row) and cell-scan work
+    * (n/nlist per probe); a FIXED nlist would grow cells linearly with
+    * the corpus and quietly stop pruning. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Option[Int] = None,
+      nprobe: Int = 4): DataFrame =
+    rankTopKWindow(ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = false), k)
+
+  /** IVF top-k with the candidate tier's CELL GEOMETRY computed entirely
+    * over int8 scalar-quantization codes — the composition that makes
+    * the l21 storage tier real. At 100 TB the point of SQ is that the
+    * ANN index (centroids + per-vector cell assignments) is built from
+    * vectors 4× smaller than the float corpus; quantization perturbs
+    * only WHICH cells are probed (SimilaritySpec bounds the recall cost
+    * vs the float path and brute force). Reported scores are exact
+    * float cosine, bit-identical to [[ivfTopK]] on the same candidate
+    * set — banding/quantization choose candidates, never scores. */
+  def ivfTopKInt8(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Option[Int] = None,
+      nprobe: Int = 4): DataFrame =
+    rankTopKWindow(ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = true), k)
+
+  /** Scored IVF candidate pairs (qid, nid, cos) — the fused
+    * candidate+scoring stage shared by the float and int8 paths.
+    *
+    * Shape: queries explode to nprobe (qid, qv, qn, cell) rows, the
+    * corpus maps to one (nid, nv, nn, cell) row each, and ONE equi-join
+    * on cell produces the pairs — cosine is computed in the pipelined
+    * join output (codegen: [[VectorFunctions.dotScaledFast]]) and the
+    * row is projected to (qid, nid, cos) before anything downstream
+    * sees it. The wide inputs shuffled are nprobe·|Q| + |C| rows — NOT
+    * candidates × vector-width, which is what the former
+    * ids-join → pair-distinct → two re-attach joins shape shuffled
+    * (422 s at n = 10⁵; this shape retires it).
+    *
+    * NO pair-distinct is needed: each nid is assigned to exactly one
+    * cell and a query's probed cells are distinct indices, so a
+    * (qid, nid) pair can arise from at most one joined cell row. */
+  private[graft] def ivfScoredPairs(
+      queries: DataFrame,
+      corpus: DataFrame,
+      nlistOpt: Option[Int],
+      nprobe: Int,
+      int8: Boolean): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    val total = corpus.count()
+    val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
+    val stride = math.max(1L, total / nlist)
+
+    // the geometry view: float embeddings, or the int8 code column —
+    // cosine is scale-invariant so the per-vector SQ scale m cancels
+    // out of cell selection entirely (cos(code·m/127, c) = cos(code, c))
+    def withGeom(df: DataFrame): DataFrame =
+      if (int8)
+        df.withColumn("geom", VectorFunctions.int8Codes(col("embedding"),
+          VectorFunctions.maxAbs(col("embedding"))))
+      else df.withColumn("geom", col("embedding"))
+
+    val (centroids, cnorms) = strideCentroids(withGeom(corpus), "geom", nlist, stride)
+    val centroidsBc = sc.broadcast(centroids)
+    val cnormsBc = sc.broadcast(cnorms)
+
+    val probeUdf = udf { (v: Seq[Double]) =>
+      if (v == null) Seq(0)
+      else nearestCells(centroidsBc.value, cnormsBc.value, v.toArray, nprobe)
+    }
+    val assignUdf = udf { (v: Seq[Double]) =>
+      if (v == null) 0
+      else nearestCells(centroidsBc.value, cnormsBc.value, v.toArray, 1).head
+    }
+
+    val dotF = VectorFunctions.dotScaledFast _
+    val q = withGeom(queries.repartition(n, col("vec_id"))).select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      dotF(col("embedding"), col("embedding")).as("qn"),
+      explode(probeUdf(col("geom").cast("array<double>"))).as("cell"))
+    val c = withGeom(corpus).select(
+      col("vec_id").as("nid"), col("embedding").as("nv"),
+      dotF(col("embedding"), col("embedding")).as("nn"),
+      assignUdf(col("geom").cast("array<double>")).as("cell"))
+    q.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** IVF candidate pairs, ids only — the SimilaritySpec instrument for
+    * the per-query candidate bound (≤ c·nprobe·sqrt(n)). Same candidate
+    * set the production path scores (shared derivation). */
+  private[graft] def ivfCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      nlistOpt: Option[Int] = None,
+      nprobe: Int = 4): DataFrame =
+    ivfScoredPairs(queries, corpus, nlistOpt, nprobe, int8 = false)
+      .select(col("qid"), col("nid"))
+
+  /** Int8-geometry IVF candidates, ids only — SimilaritySpec instrument. */
   private[graft] def ivfCandidatesInt8(
       queries: DataFrame,
       corpus: DataFrame,
       nlistOpt: Option[Int] = None,
-      nprobe: Int = 4): DataFrame = {
-    val sc = queries.sparkSession.sparkContext
-    val n = sc.defaultParallelism
-    // the quantized view the whole candidate tier runs on: codes only —
-    // the scale factor is irrelevant to cell geometry (see docstring)
-    def codesOf(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
-        VectorFunctions.int8Codes(col("embedding"),
-          VectorFunctions.maxAbs(col("embedding"))).as("codes"))
+      nprobe: Int = 4): DataFrame =
+    ivfScoredPairs(queries, corpus, nlistOpt, nprobe, int8 = true)
+      .select(col("qid"), col("nid"))
 
-    val total = corpus.count()
+  /** SemDedup-style embedding-cluster dedup: assign every vector to its
+    * nearest stride centroid (the IVF coarse quantizer), compare pairs
+    * ONLY within a cluster, and drop any vector whose cosine to a
+    * lower-id cluster member is >= `threshold` (keep-lowest-id
+    * representative — deterministic, no iteration order anywhere).
+    * Returns the SURVIVORS with their original columns.
+    *
+    * This is the embedding-space near-dedup that scales past banding:
+    * work is Σ cluster_size² ≈ n·√n at nlist = √n (each of n vectors
+    * compares against its ~√n-member cluster), vs the LSH route's
+    * n^1.33 candidates — and it needs no hyperplane budget at all. The
+    * trade is cluster-boundary misses: a near-dup pair split across two
+    * cells is never examined (the published SemDedup semantics — recall
+    * is traded for a fixed work envelope). EXACT duplicates are immune:
+    * identical vectors share identical centroid scores, so they land in
+    * the same cell and are always caught — SimilaritySpec pins that law
+    * on the planted-duplicate corpus.
+    *
+    * Execution shape matches the fused ANN paths: one cell equi-join
+    * with vectors + precomputed norms on the inputs, cosine in the
+    * pipelined join output, narrow (dropped-id) rows into the distinct,
+    * and one left-anti join to emit survivors. */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nlistOpt: Option[Int] = None): DataFrame = {
+    val sc = emb.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    val total = emb.count()
     val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
     val stride = math.max(1L, total / nlist)
-    // stride-picked centroids from the QUANTIZED corpus (≤ nlist driver
-    // rows, limit-capped — same documented scalar collect as ivfCandidates)
-    val centroids: Array[Array[Double]] = codesOf(corpus, "nid")
-      .filter(pmod(col("nid"), lit(stride)) === 0)
-      .orderBy(col("nid"))
-      .limit(nlist)
-      .select(col("codes"))
-      .collect()
-      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    val view = emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val (centroids, cnorms) = strideCentroids(view, "embedding", nlist, stride)
     val centroidsBc = sc.broadcast(centroids)
-
-    val probeUdf = udf { (codes: Seq[Long]) =>
-      if (codes == null) Seq(0)
-      else nearestCells(centroidsBc.value, codes.map(_.toDouble).toArray, nprobe)
+    val cnormsBc = sc.broadcast(cnorms)
+    val assignUdf = udf { (v: Seq[Double]) =>
+      if (v == null) 0
+      else nearestCells(centroidsBc.value, cnormsBc.value, v.toArray, 1).head
     }
-    val assignUdf = udf { (codes: Seq[Long]) =>
-      if (codes == null) 0
-      else nearestCells(centroidsBc.value, codes.map(_.toDouble).toArray, 1).head
-    }
-
-    val q = codesOf(queries, "qid").repartition(n, col("qid"))
-      .select(col("qid"), explode(probeUdf(col("codes"))).as("cell"))
-    val c = codesOf(corpus, "nid")
-      .select(col("nid"), assignUdf(col("codes")).as("cell"))
-    q.join(c, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid")).distinct()
-      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
-      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
-      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+    val dotF = VectorFunctions.dotScaledFast _
+    val celled = view.repartition(n, col("vec_id")).select(
+      col("vec_id").as("id"), col("embedding").as("v"),
+      dotF(col("embedding"), col("embedding")).as("nrm"),
+      assignUdf(col("embedding").cast("array<double>")).as("cell"))
+    val x = celled.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val y = celled.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val dropped = x.join(y, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+    emb.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** Bands needed so a pair at cosine >= `threshold` is missed with
@@ -405,6 +443,21 @@ object Similarity {
     (b, bands, b * bands)
   }
 
+  /** Shared near-dup parameter derivation + the hyperplane-budget guard. */
+  private def nearDupParams(
+      threshold: Double, n0: Long, miss: Double,
+      bitsPerBandOpt: Option[Int], bandsOverride: Option[Int]): (Int, Int) = {
+    val bitsPerBand = bitsPerBandOpt.getOrElse(math.min(MaxBitsPerBand, math.max(4, log2ceil(n0))))
+    val bands = bandsOverride.getOrElse(bandsForRecall(threshold, bitsPerBand, miss))
+    val nBits = bands * bitsPerBand
+    require(nBits <= MaxPlaneBits,
+      s"too many hyperplanes ($nBits = $bands bands × $bitsPerBand bits) — " +
+        "this threshold/miss combination is not banding-friendly; raise the " +
+        "threshold or relax the miss budget (the default 1e-2 stays under " +
+        s"$MaxPlaneBits bits through n = 1e9 at τ ≥ 0.8)")
+    (bitsPerBand, bands)
+  }
+
   /** Embedding-cosine near-duplicate pairs on LSH-banded candidates — the
     * scale form of "all pairs with cosine >= threshold".
     *
@@ -413,12 +466,22 @@ object Similarity {
     * whole corpus broadcast; ExplainSpec pins the executed l6 plan to
     * contain no nested-loop or cartesian join):
     *   1. per-vector seeded hyperplane signatures, split into `bands`
-    *      band keys — row-local, one pass;
-    *   2. candidates = equi-join on (band, key) carrying ONLY ids — a
-    *      plain hash shuffle of narrow rows, then pair-distinct;
-    *   3. vectors re-attached by two equi-joins on id, exact quantized
-    *      cosine filter (scores identical to brute force — banding only
-    *      affects which pairs are EXAMINED, never a reported score).
+    *      band keys — row-local, one pass; the vector and its
+    *      precomputed norm ride along (n·B wide rows — bounded by the
+    *      corpus and band count, never by the candidate volume);
+    *   2. candidates = equi-join on (band, key); cosine is computed IN
+    *      the pipelined join output and the τ filter runs immediately,
+    *      so the only rows that reach the pair-dedup shuffle are actual
+    *      near-duplicates — narrow (id_a, id_b, cos) rows at roughly
+    *      output volume. Background collision pairs are scored (cheap:
+    *      one codegen dot product) and dropped in place, never
+    *      shuffled. A qualifying pair seen in s shared bands is scored
+    *      s times — redundant flops bounded by B·|output|, orders below
+    *      the re-attach-join bytes the former ids-only shape paid
+    *      (which shuffled EVERY candidate id-pair, then re-joined
+    *      vectors to them: the dominant cost at n = 10⁵);
+    *   3. distinct() on the narrow qualifying rows (scores are
+    *      deterministic per pair, so duplicates collapse exactly).
     *
     * Parameters and the candidate-volume math (also in SCALE.md):
     * a pair at cosine c agrees per hyperplane with p(c) = 1 - acos(c)/π,
@@ -457,21 +520,39 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       corpusSize: Option[Long] = None): DataFrame = {
-    val cand = cosineNearDupCandidates(emb, idCol, embCol, threshold,
-      miss, bitsPerBand, bandsOverride, dim, seed, corpusSize)
-    val vecs = emb.select(col(idCol).as("id"), col(embCol).as("v"),
-      VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"))
-    cand
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+    val n0 = corpusSize.getOrElse(emb.count())
+    val (b, bands) = nearDupParams(threshold, n0, miss, bitsPerBand, bandsOverride)
+    val sc = emb.sparkSession.sparkContext
+    val planesBc = sc.broadcast(hyperplanes(bands * b, dim, seed))
+    val n = sc.defaultParallelism
+    val keysUdf = bandKeysUdf(planesBc, bands, b)
+
+    // the self-join recomputes the signature UDF on both sides; a
+    // localCheckpoint of the banded rows was tried and measured SLOWER
+    // at n = 10⁵ (materializing n·B wide rows costs more than the
+    // B·b·dim recompute) — recompute is the right trade here
+    val banded = emb
+      .repartition(n, col(idCol))
+      .select(col(idCol).as("id"), col(embCol).as("v"),
+        VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"),
+        posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
+    val x = banded.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("band"), col("bkey"))
+    val y = banded.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("band"), col("bkey"))
+    x.join(y, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cos", cosCol(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
   }
 
-  /** Candidate stage of [[cosineNearDup]]: distinct (id_a < id_b) pairs
-    * sharing at least one band key. Exposed so SimilaritySpec can assert
-    * the pruning ratio (candidates ≪ n²/2 at τ=0.8) directly. */
+  /** Candidate stage of [[cosineNearDup]], ids only: distinct
+    * (id_a < id_b) pairs sharing at least one band key — the
+    * SimilaritySpec instrument for the pruning ratio (candidates ≪ n²/2
+    * at τ=0.8). Shares [[nearDupParams]] with the production path, so
+    * the measured candidate set is exactly what production scores. */
   private[graft] def cosineNearDupCandidates(
       emb: DataFrame,
       idCol: String,
@@ -484,16 +565,9 @@ object Similarity {
       seed: Long = 42L,
       corpusSize: Option[Long] = None): DataFrame = {
     val n0 = corpusSize.getOrElse(emb.count())
-    val bitsPerBand = bitsPerBandOpt.getOrElse(math.min(MaxBitsPerBand, math.max(4, log2ceil(n0))))
-    val bands = bandsOverride.getOrElse(bandsForRecall(threshold, bitsPerBand, miss))
-    val nBits = bands * bitsPerBand
-    require(nBits <= MaxPlaneBits,
-      s"too many hyperplanes ($nBits = $bands bands × $bitsPerBand bits) — " +
-        "this threshold/miss combination is not banding-friendly; raise the " +
-        "threshold or relax the miss budget (the default 1e-2 stays under " +
-        s"$MaxPlaneBits bits through n = 1e9 at τ ≥ 0.8)")
+    val (bitsPerBand, bands) = nearDupParams(threshold, n0, miss, bitsPerBandOpt, bandsOverride)
     val sc = emb.sparkSession.sparkContext
-    val planesBc = sc.broadcast(hyperplanes(nBits, dim, seed))
+    val planesBc = sc.broadcast(hyperplanes(bands * bitsPerBand, dim, seed))
     val n = sc.defaultParallelism
     val keysUdf = bandKeysUdf(planesBc, bands, bitsPerBand)
 
@@ -501,8 +575,6 @@ object Similarity {
       .repartition(n, col(idCol))
       .select(col(idCol).as("id"),
         posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
-    // ids only through the band join: the shuffle is narrow rows, the
-    // vectors never fan out with the candidate multiplicity
     banded.as("x").repartition(n, col("band"), col("bkey"))
       .join(banded.as("y"), Seq("band", "bkey"))
       .filter(col("x.id") < col("y.id"))
@@ -510,21 +582,32 @@ object Similarity {
       .distinct()
   }
 
-  /** LSH candidate stage: (qid, qv, nid, nv) pairs sharing at least one
-    * band key, pair-distinct. Band width defaults to ceil(log2(n)/2)
-    * bits ⇒ ~sqrt(n) vectors per bucket ⇒ ~bands·sqrt(n) candidates per
-    * query; a FIXED band width (the round-2 defect) makes buckets — and
-    * thus per-query work — grow linearly with the corpus. The band COUNT
-    * scales too: per-band agreement for a true neighbor is p^b, so wider
-    * bands (growing with log n) shrink it, and a fixed band count would
-    * let recall decay silently as the corpus grows (the round-3 advisor
-    * finding). Default bands = bandsForRecall(0.9, b, 0.05): a neighbor
-    * at cosine ≥ 0.9 survives banding with ≥ 95% probability at ANY
-    * corpus size — the recall target is the invariant, the band count is
-    * derived (8 at fixture scale, 13 at n = 10⁶, 30 at n = 10⁹; work
-    * per query stays ~bands·sqrt(n)). Exposed so SimilaritySpec can
-    * assert the candidate bound on a doubled fixture. */
-  private[graft] def lshCandidates(
+  /** Scored LSH candidate pairs (qid, nid, cos), pair-deduped — the
+    * fused candidate+scoring stage. Band width defaults to
+    * ceil(log2(n)/2) bits ⇒ ~sqrt(n) vectors per bucket ⇒ ~bands·sqrt(n)
+    * candidates per query; a FIXED band width (the round-2 defect) makes
+    * buckets — and thus per-query work — grow linearly with the corpus.
+    * The band COUNT scales too: per-band agreement for a true neighbor
+    * is p^b, so wider bands (growing with log n) shrink it, and a fixed
+    * band count would let recall decay silently as the corpus grows (the
+    * round-3 advisor finding). Default bands = bandsForRecall(0.9, b,
+    * 0.05): a neighbor at cosine ≥ 0.9 survives banding with ≥ 95%
+    * probability at ANY corpus size — the recall target is the
+    * invariant, the band count is derived (8 at fixture scale, 13 at
+    * n = 10⁶, 30 at n = 10⁹; work per query stays ~bands·sqrt(n)).
+    *
+    * Execution: vectors + norms ride the band join inputs (n·B wide
+    * rows), cosine is computed in the pipelined join output, and the
+    * result is RAW scored pairs — a pair sharing s bands appears s
+    * times, with the identical deterministic score. [[lshTopK]] feeds
+    * these straight into the dedup-aware TopKByScore heap (one
+    * partial+final aggregation; cross-band duplicates collapse inside
+    * the k-row buffers), so no shuffle downstream of the band join ever
+    * carries more than k rows per query per partition. The former
+    * shape — pair-distinct + two vector re-attach joins + rank window,
+    * three shuffles each carrying every candidate row (the re-attach
+    * ones at vector width) — measured 510 s at n = 10⁵; this one 35 s. */
+  private[graft] def lshScoredPairs(
       queries: DataFrame,
       corpus: DataFrame,
       bands: Option[Int] = None,
@@ -538,28 +621,40 @@ object Similarity {
     val planesBc = queries.sparkSession.sparkContext
       .broadcast(hyperplanes(nBands * b, dim, seed))
     val keysUdf = bandKeysUdf(planesBc, nBands, b)
+    val dotF = VectorFunctions.dotScaledFast _
 
-    def banded(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("vec_id").as(idAs),
-        posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
-
-    // ids only through the band join + pair-distinct (same shape as the
-    // near-dup path): vectors re-attached by key AFTER the candidate
-    // multiplicity is collapsed
     val n = queries.sparkSession.sparkContext.defaultParallelism
-    val q = banded(queries.repartition(n, col("vec_id")), "qid")
-    val c = banded(corpus, "nid")
-    q.repartition(n, col("band"), col("bkey"))
-      .join(c, Seq("band", "bkey"))
+    val q = queries.repartition(n, col("vec_id")).select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      dotF(col("embedding"), col("embedding")).as("qn"),
+      posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
+    val c = corpus.select(
+      col("vec_id").as("nid"), col("embedding").as("nv"),
+      dotF(col("embedding"), col("embedding")).as("nn"),
+      posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
+    q.join(c, Seq("band", "bkey"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "nid").distinct()
-      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
-      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
-      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** LSH candidate pairs, ids only and pair-distinct — the
+    * SimilaritySpec instrument for the O(sqrt(n))-per-query candidate
+    * bound. Derived from the same fused stage the production path
+    * runs. */
+  private[graft] def lshCandidates(
+      queries: DataFrame,
+      corpus: DataFrame,
+      bands: Option[Int] = None,
+      bitsPerBand: Option[Int] = None,
+      dim: Int = 64,
+      seed: Long = 42L,
+      corpusSize: Option[Long] = None): DataFrame =
+    lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed, corpusSize)
+      .select(col("qid"), col("nid")).distinct()
+
   /** LSH-bucketed approximate top-k: rank candidates by exact cosine
-    * within the union of matching buckets (see [[lshCandidates]] for
+    * within the union of matching buckets (see [[lshScoredPairs]] for
     * both scaling laws: band WIDTH ~ log2(n)/2 keeps buckets ~sqrt(n),
     * band COUNT = bandsForRecall(0.9, width, 0.05) keeps recall at
     * cosine ≥ 0.9 from decaying as the corpus grows). Seeded
@@ -571,12 +666,7 @@ object Similarity {
       bands: Option[Int] = None,
       bitsPerBand: Option[Int] = None,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val scored = lshCandidates(queries, corpus, bands, bitsPerBand, dim, seed)
-      .withColumn("qn", VectorFunctions.dotScaledFast(col("qv"), col("qv")))
-      .withColumn("nn", VectorFunctions.dotScaledFast(col("nv"), col("nv")))
-      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
-      .select(col("qid"), col("nid"), col("cos"))
-    rankTopKWindow(scored, k)
-  }
+      seed: Long = 42L): DataFrame =
+    rankTopKAgg(
+      lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed), k)
 }

@@ -153,6 +153,65 @@ object TextAnalysis {
       .select(col(idCol), col("c.chunk_idx"), col("c.n_tok"), col("c.chunk"))
   }
 
+  /** Per-document repetition signals — the Gopher-style quality filter
+    * that catches boilerplate and degenerate generations (a page that
+    * repeats one phrase has high duplicate-n-gram fractions and one
+    * dominant n-gram):
+    *   - `dup_2gram_frac`  = 1 − distinct/total 2-grams,
+    *   - `top_2gram_share` = occurrences of the most frequent 2-gram /
+    *     total 2-grams,
+    *   - `dup_3gram_frac`  = 1 − distinct/total 3-grams.
+    *
+    * Two execution shapes on purpose: the 3-gram fraction is entirely
+    * ROW-LOCAL (`transform`/`sequence`/`slice`/`array_distinct` — pure
+    * codegen, zero shuffles; the shape to prefer when only a
+    * distinct-count is needed), while the 2-gram stats need per-gram
+    * occurrence counts, so they run explode → two-level hash aggregate —
+    * ONE shuffle whose map side combines per-doc gram counts (never
+    * wider than the tokenized corpus, the same scale envelope as
+    * tf-idf). All counts are exact integers with single divisions —
+    * engine-exact against the DuckDB oracle.
+    *
+    * Documents with fewer than 2 (resp. 3) tokens have no such grams;
+    * their fractions are defined as 0. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    def grams(n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array())
+
+    // row-local tier: distinct fraction needs no occurrence counts
+    val local = docs.select(
+      col(idCol).as("id"),
+      size(grams(3)).cast("long").as("n_3grams"),
+      size(array_distinct(grams(3))).cast("long").as("d3"))
+
+    // counting tier: per-gram occurrences, then per-doc rollup
+    val counts = docs
+      .select(col(idCol).as("id"), explode(grams(2)).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id")).agg(
+        sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("d2"),
+        max(col("c")).as("top2"))
+
+    local.join(counts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        when(coalesce(col("n_2grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("d2").cast("double") / col("n_2grams"), 6))
+          .as("dup_2gram_frac"),
+        when(coalesce(col("n_2grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("top2").cast("double") / col("n_2grams"), 6))
+          .as("top_2gram_share"),
+        col("n_3grams"),
+        when(col("n_3grams") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) - col("d3").cast("double") / col("n_3grams"), 6))
+          .as("dup_3gram_frac"))
+  }
+
   /** Per-document top term by tf-idf (ln(N/df)); ties broken by term. */
   def tfidfTopTerm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))

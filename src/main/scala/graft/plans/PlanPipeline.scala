@@ -197,5 +197,36 @@ object PlanPipeline {
                    o_orderstatus
             FROM orders ORDER BY o_orderkey"""))
 
-  def all: Seq[Q] = Seq(m3Plans, m3Groups, m4MergeUpsert, m5DynamicOverwrite)
+  /** M: type-2 slowly-changing-dimension history — the KEEP-EVERY-
+    * VERSION generalization of the reference's full-overwrite refresh
+    * (m4 merges the latest state; SCD2 retains the lineage so as-of
+    * queries answer "what did the dimension look like at t"). Each
+    * customer's orders become versions: one window, `lead` closes each
+    * validity interval at the next change, open interval = current row.
+    * Single shuffle on the entity key; the (ts, change-id) ordering is
+    * total per key, so the intervals are deterministic under retries.
+    * The DuckDB oracle runs the identical window — every interval
+    * boundary hash-matches. */
+  val m6Scd2 = Q(
+    "m6_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      val changes = Tables(s, dir, "orders").select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate",
+        round($"o_totalprice", 2).as("o_totalprice"))
+      graft.operators.Scd2.history(changes, "o_custkey", "o_orderdate", "o_orderkey")
+        .select($"o_custkey", $"o_orderkey", $"effective_from",
+          $"effective_to", $"is_current", $"o_totalprice")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   o_orderdate AS effective_from,
+                   lead(o_orderdate) OVER w AS effective_to,
+                   lead(o_orderdate) OVER w IS NULL AS is_current,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  def all: Seq[Q] = Seq(m3Plans, m3Groups, m4MergeUpsert, m5DynamicOverwrite, m6Scd2)
 }

@@ -159,6 +159,25 @@ class DedupSpec extends SparkSpec {
     assert(all == 4)
   }
 
+  test("repetition signals: hand-computed fractions, short-doc zero convention") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // 3 2-grams all "a a"; 2 3-grams both "a a a"
+      (2L, "a b c d"),        // all grams distinct
+      (3L, "a b a b a"),      // 2-grams: ab,ba,ab,ba -> 4 total 2 distinct
+      (4L, "x"),              // no 2-grams, no 3-grams
+      (5L, "x y")             // one 2-gram, no 3-grams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) == ((3L, 0.666667, 1.0, 2L, 0.5)))
+    assert(got(2L) == ((3L, 0.0, 0.333333, 2L, 0.0)))
+    assert(got(3L) == ((4L, 0.5, 0.5, 3L, 0.333333)))
+    assert(got(4L) == ((0L, 0.0, 0.0, 0L, 0.0)))
+    assert(got(5L) == ((1L, 0.0, 1.0, 0L, 0.0)))
+  }
+
   test("chunk laws: coverage, stride starts, exact reconstruction at stride==size") {
     import spark.implicits._
     import graft.operators.TextAnalysis

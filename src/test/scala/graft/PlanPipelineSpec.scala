@@ -122,6 +122,38 @@ class PlanPipelineSpec extends SparkSpec {
     assert(math.abs(fSum - 2 * fBase) < 1e-6 * fBase)
   }
 
+  test("scd2 history laws: intervals chain per key, exactly one current row") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, "2024-01-01", "v1"), (1L, 11L, "2024-02-01", "v2"),
+      (1L, 12L, "2024-03-01", "v3"), (2L, 20L, "2024-01-15", "w1"),
+      // same-timestamp tie broken by the change id — a total order per key
+      (3L, 30L, "2024-01-01", "t1"), (3L, 31L, "2024-01-01", "t2")
+    ).toDF("k", "cid", "ts_s", "v").withColumn("ts", to_timestamp($"ts_s"))
+    val h = graft.operators.Scd2.history(changes, "k", "ts", "cid")
+    // exactly one open (current) interval per key
+    val currents = h.filter($"is_current").groupBy($"k").count()
+      .collect().map(_.getLong(1))
+    assert(currents.length == 3 && currents.forall(_ == 1L))
+    // intervals chain: sorted by (ts, cid), each row's effective_to is
+    // the next row's effective_from
+    val rows = h.orderBy($"k", $"ts", $"cid")
+      .select($"k", $"effective_from", $"effective_to")
+      .collect()
+    rows.grouped(1).toSeq // no-op to keep rows strict
+    rows.sliding(2).foreach {
+      case Array(a, b) if a.getLong(0) == b.getLong(0) =>
+        assert(a.getTimestamp(2) == b.getTimestamp(1),
+          s"gap between versions of key ${a.getLong(0)}")
+      case _ => ()
+    }
+    // the tie pair: t1 closed by t2 at the same instant, t2 current
+    val tied = h.filter($"k" === 3L).orderBy($"cid")
+      .select($"v", $"is_current").collect()
+    assert(tied.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+      Seq(("t1", false), ("t2", true)))
+  }
+
   test("merge upsert uniqueness contract: duplicate change keys fail loudly or dedupe by version") {
     import spark.implicits._
     import graft.operators.MergeUpsert.upsert

@@ -179,6 +179,27 @@ class SimilaritySpec extends SparkSpec {
       s"avg candidates/query $perQuery at n=$n — nlist not scaling")
   }
 
+  test("semDedup: exact dups always collapse to lowest id; sub-threshold corpus survives whole") {
+    // exact copies share identical centroid scores, so they land in the
+    // same cell regardless of clustering — the planted population is
+    // IMMUNE to the cluster-boundary miss semantics
+    val survivors = Similarity.semDedup(doubled, "vec_id", "embedding", 0.8)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val originals = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == originals,
+      s"survivors=${survivors.size} originals=${originals.size}")
+    // keep-lowest-id: every dropped id is the offset twin, never the original
+    assert(survivors.forall(_ < 1000000L))
+    // a corpus with no pair over the threshold survives intact (fixture
+    // max pairwise cosine ≤ 0.60 — checked against numpy ground truth)
+    val untouched = Similarity.semDedup(emb, "vec_id", "embedding", 0.8).count()
+    assert(untouched == emb.count())
+    // deterministic: stride centroids + keep-lowest rule, no randomness
+    val again = Similarity.semDedup(doubled, "vec_id", "embedding", 0.8)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(again == survivors)
+  }
+
   test("langid: deterministic and sane on clear-cut samples") {
     import spark.implicits._
     val t = Seq(
