@@ -42,7 +42,10 @@ object Bench {
     "l6_cosine_neardup",    // banded near-dup on the doubled corpus
     "l13_lsh_topk",         // LSH ANN (sqrt-scaled buckets)
     "l14_ivf_topk",         // IVF ANN (sqrt-scaled cells)
-    "l22_ivf_int8_topk")    // IVF ANN over int8 codes + float re-rank
+    "l22_ivf_int8_topk",    // IVF ANN over int8 codes + float re-rank
+    "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
+    "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
+    "m6_scd2_history")      // SCD2 keep-every-version window
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -104,6 +104,42 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("l13/l14/l22: fused ANN plans have exactly one join and no re-attach stages") {
+    // the round-6 shape: cosine is computed inside the pipelined
+    // candidate equi-join, so the executed plan must contain exactly ONE
+    // join — the former ids-only shape carried two extra vector
+    // re-attach joins (the dominant cost at n = 10⁵: IVF 422 → 15 s)
+    // the post-execution explain prints BOTH the final and the initial
+    // adaptive plan — gate only the final-plan section
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      p.split("== Initial Plan ==").head
+    }
+    val joinNode = """(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+    for (name <- Seq("l13_lsh_topk", "l14_ivf_topk", "l22_ivf_int8_topk")) {
+      val fp = finalPlan(name)
+      val joins = joinNode.findAllIn(fp).size
+      assert(joins == 1, s"$name must score inside its single candidate join, got $joins:\n${fp.take(1500)}")
+    }
+    // IVF pairs are unique by construction (one cell per corpus vector,
+    // distinct probed cells per query): no pair-distinct aggregate at all
+    for (name <- Seq("l14_ivf_topk", "l22_ivf_int8_topk")) {
+      val fp = finalPlan(name)
+      assert(!fp.contains("HashAggregate"),
+        s"$name needs no dedup aggregate — pairs are unique by construction:\n${fp.take(1500)}")
+    }
+    // LSH dedups cross-band duplicates inside the top-k heap: partial+
+    // final ObjectHashAggregate, and NO rank window anywhere
+    val lp = finalPlan("l13_lsh_topk")
+    assert(!lp.contains("Window"),
+      s"l13 top-k must be the dedup-aware heap, not a rank window:\n${lp.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(lp).size >= 2,
+      s"l13 expected partial+final heap aggregation:\n${lp.take(1200)}")
+  }
+
   test("c9/s7: range and interval joins stay keyed joins, no nested loop") {
     for (name <- Seq("c9_range_join", "s7_interval_join_replay")) {
       val df = SparkEntry.queries(name)(spark, sf)
