@@ -60,10 +60,17 @@ object ScaleBench {
     val (tInt8, int8Rows) = timed("ivf_int8_topk") {
       Similarity.ivfTopKInt8(emb, emb, 3).count()
     }
+    // the full dedup pipeline: near-dup pairs -> transitive groups
+    // (pairs alone can't drive deletion — near-dup isn't transitive)
+    val (tCc, ccRows) = timed("dedup_groups") {
+      graft.operators.Dedup.connectedComponents(
+        Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8),
+        "id_a", "id_b").count()
+    }
 
     println(s"""{"n":$n,"planted_dup_pairs":$planted,"queries":{""" +
-      s""""cosine_neardup":$tNd,"lsh_topk":$tLsh,"ivf_topk":$tIvf,"ivf_int8_topk":$tInt8},""" +
-      s""""rows":{"cosine_neardup":$ndPairs,"lsh_topk":$lshRows,"ivf_topk":$ivfRows,"ivf_int8_topk":$int8Rows},""" +
+      s""""cosine_neardup":$tNd,"lsh_topk":$tLsh,"ivf_topk":$tIvf,"ivf_int8_topk":$tInt8,"dedup_groups":$tCc},""" +
+      s""""rows":{"cosine_neardup":$ndPairs,"lsh_topk":$lshRows,"ivf_topk":$ivfRows,"ivf_int8_topk":$int8Rows,"dedup_groups":$ccRows},""" +
       s""""dir":"$dir"}""")
     spark.stop()
   }

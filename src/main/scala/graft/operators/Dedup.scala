@@ -357,4 +357,70 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over undirected near-dup pairs — the step
+    * that turns PAIR output (l2/l3/l4/l6) into dedup GROUPS: near-dup
+    * is not transitive (a~b, b~c does not imply a~c), so keeping "one
+    * of each pair" under- or over-deletes; the correct unit of
+    * deduplication is the transitive component, with one survivor per
+    * component (min id, by convention). Returns (id, comp) for every
+    * pair endpoint, comp = smallest id in the component.
+    *
+    * Algorithm: min-label propagation to fixpoint. Each round joins the
+    * label table to the symmetrized edge list, takes the min neighbor
+    * label per node (ONE narrow hash-agg shuffle per round — map-side
+    * combining; label rows are two longs), and converges when no label
+    * changed. Rounds needed = graph diameter. For near-dup graphs that
+    * is small by construction — duplicate groups are cliques or dense
+    * clusters (diameter 1–3), not paths; `maxIter` bounds the
+    * pathological chain case and the operator THROWS if it has not
+    * converged by then rather than returning a silently-wrong
+    * partition. (At web scale with adversarial chain graphs the
+    * standard upgrade is the alternating large-star/small-star
+    * rewiring, which converges in O(log n) rounds by shrinking the
+    * graph itself; min-propagation is the production norm for dedup
+    * workloads because the diameter premise actually holds there.)
+    *
+    * Driver-side per round: ONE scalar (the changed-label count) — the
+    * convergence test, same documented-scalar-collect discipline as the
+    * IVF centroid fetch. Each round's label table is localCheckpoint'd:
+    * iterative lineage would otherwise re-run every prior round per
+    * action and make round t cost O(t) scans. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 15): DataFrame = {
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u")).agg(min(col("vcomp")).as("nmin"))
+        .select(col("u").as("id"), col("nmin"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — the " +
+        "pair graph has a longer diameter than a dedup workload should; " +
+        "raise maxIter or switch to star-contraction for chain graphs")
+    labels
+  }
 }

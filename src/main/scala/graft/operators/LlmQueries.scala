@@ -566,10 +566,49 @@ object LlmQueries {
     },
     Some("SELECT vec_id FROM embeddings ORDER BY vec_id"))
 
+  /** L: dedup groups — connected components over the l4 n-gram-Jaccard
+    * pairs. Near-dup is not transitive, so pair output alone cannot
+    * drive deletion; the component (with min-id survivor) is the
+    * correct dedup unit. The DuckDB oracle reproduces the same pair
+    * construction and closes it with a recursive CTE, so the full
+    * (id, comp) partition hash-matches. */
+  val l26DedupGroups = Q(
+    "l26_dedup_groups",
+    (s, dir) => Dedup.connectedComponents(
+      Dedup.ngramJaccard(Tables(s, dir, "documents"), "doc_id", "text"),
+      "id_a", "id_b")
+      .orderBy(col("id")),
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 2, 1)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+                           FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT id_a, id_b FROM inter
+                           JOIN sizes na ON id_a = na.doc_id
+                           JOIN sizes nb ON id_b = nb.doc_id
+                           WHERE ni * 1.0 / (na.n + nb.n - ni) >= 0.5),
+                 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                           UNION
+                           SELECT id_b AS u, id_a AS v FROM pairs),
+                 reach AS (SELECT u AS id, u AS comp FROM edges
+                           UNION
+                           SELECT e.v AS id, r.comp
+                           FROM reach r JOIN edges e ON e.u = r.id)
+            SELECT id, min(comp) AS comp FROM reach GROUP BY id
+            ORDER BY id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
-    l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup)
+    l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
+    l26DedupGroups)
 }

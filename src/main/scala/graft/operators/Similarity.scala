@@ -161,6 +161,29 @@ object Similarity {
       .otherwise(VectorFunctions.dotScaledFast(va, vb).cast("double") /
         sqrt((na * nb).cast("double")))
 
+  /** Int8 SQ codes as ready-to-probe doubles, one tight-loop UDF pass —
+    * bit-identical to `floor(x·127/m + 0.5)` over the built-ins
+    * (same IEEE double ops in the same order). */
+  private val int8GeomUdf = udf { (v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      val a = v.toArray
+      var m = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = math.abs(a(i).toDouble); if (x > m) m = x; i += 1
+      }
+      val out = new Array[Double](a.length)
+      if (m != 0) {
+        i = 0
+        while (i < a.length) {
+          out(i) = math.floor(a(i).toDouble * 127 / m + 0.5); i += 1
+        }
+      }
+      out
+    }
+  }
+
   /** Stride-picked deterministic centroids with PRECOMPUTED norms,
     * broadcast once. k-means would drift per run; determinism matters
     * more here than a few recall points. AT MOST nlist rows reach the
@@ -296,11 +319,18 @@ object Similarity {
 
     // the geometry view: float embeddings, or the int8 code column —
     // cosine is scale-invariant so the per-vector SQ scale m cancels
-    // out of cell selection entirely (cos(code·m/127, c) = cos(code, c))
+    // out of cell selection entirely (cos(code·m/127, c) = cos(code, c)).
+    // The int8 codes come from one two-pass tight-loop UDF (max-abs,
+    // then round-half-up — the same IEEE ops as VectorFunctions
+    // .int8Codes, so the geometry is identical): the built-ins form
+    // (maxAbs reduce + transform + cast to array<double>) allocates
+    // three intermediate arrays per row and measured as most of the
+    // int8 path's 3× gap vs float IVF at n = 10⁵. A real deployment
+    // PERSISTS the codes once at ingest (they are the 4×-compressed
+    // index tier); computing them inline per run is the honest cost of
+    // benching without a materialized index.
     def withGeom(df: DataFrame): DataFrame =
-      if (int8)
-        df.withColumn("geom", VectorFunctions.int8Codes(col("embedding"),
-          VectorFunctions.maxAbs(col("embedding"))))
+      if (int8) df.withColumn("geom", int8GeomUdf(col("embedding")))
       else df.withColumn("geom", col("embedding"))
 
     val (centroids, cnorms) = strideCentroids(withGeom(corpus), "geom", nlist, stride)

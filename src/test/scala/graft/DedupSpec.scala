@@ -159,6 +159,34 @@ class DedupSpec extends SparkSpec {
     assert(all == 4)
   }
 
+  test("connected components: chains close transitively, min-id labels, convergence guard") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: the non-transitivity near-dup case),
+    // separate pair 10-11, triangle 20-21-22 with redundant edges
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the convergence guard fires on a chain longer than maxIter allows
+    // instead of returning a silently-wrong partition
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    // ...and the same chain converges with the default budget
+    val full = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet == Set(1L) && full.size == 12)
+  }
+
   test("repetition signals: hand-computed fractions, short-doc zero convention") {
     import spark.implicits._
     val docs = Seq(
