@@ -253,7 +253,49 @@ object WindowBatchQueries {
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1, 2 ORDER BY window_start, n_name"""))
 
+  /** S: streaming incremental upsert replay — the reference's refresh
+    * as a STREAM: a change feed folded into a materialized snapshot,
+    * latest change per key winning (`plan-processor.ts:31-41` rewrites
+    * its whole Redis hash per refresh; the streaming form ships each
+    * micro-batch's delta through MergeUpsert). The batch image slices
+    * `events` into four time-ordered micro-batches (ntile over the
+    * total (ts, event_id) order — the slicing is the TEST's
+    * deterministic batch schedule; the streaming run is foreachBatch-
+    * driven, StreamingSpec pins it with MemoryStream), takes each
+    * batch's latest row per user (MergeUpsert's uniqueness contract),
+    * and folds upserts left to right. Time-ordered batches + in-batch
+    * latest + change-wins-wholesale ⇒ the folded state equals the
+    * global latest-per-key, which is exactly what the window oracle
+    * computes in one pass. */
+  val s9UpsertReplay = Q(
+    "s9_upsert_replay",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"value")
+      val sliceW = org.apache.spark.sql.expressions.Window
+        .orderBy($"ts", $"event_id")
+      val sliced = ev.withColumn("slice", ntile(4).over(sliceW))
+      val latestW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val state = (1 to 4)
+        .map(i => sliced.filter($"slice" === i).drop("slice"))
+        .map(_.withColumn("__rn", row_number().over(latestW))
+          .filter($"__rn" === 1).drop("__rn"))
+        .reduce((acc, chg) => graft.operators.MergeUpsert.upsert(acc, chg, "user_id"))
+      state.select($"user_id", $"value",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, value,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+            FROM (SELECT user_id, value, ts,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id"""))
+
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
     s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
-    s8EnrichReplay)
+    s8EnrichReplay, s9UpsertReplay)
 }

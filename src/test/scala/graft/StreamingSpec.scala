@@ -172,4 +172,38 @@ class StreamingSpec extends SparkSpec {
     assert(byKey("plan-joined-count").map(_._2).contains(1L))
     assert(byKey("other").map(_._2).sameElements(Array(5L)))
   }
+
+  test("foreachBatch incremental upsert: folded micro-batches equal global latest-per-key") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // the materialized snapshot the stream maintains — the reference's
+    // refresh target, fed deltas instead of full rewrites (s9's shape)
+    var state = Seq.empty[(Long, Long, Timestamp, Double)]
+      .toDF("user_id", "event_id", "ts", "value")
+    val latestW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val q = stream.toDF()
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = batch.withColumn("__rn", row_number().over(latestW))
+          .filter($"__rn" === 1).drop("__rn")
+        // localCheckpoint: the fold would otherwise replay every prior
+        // batch's merge lineage on each new batch
+        state = graft.operators.MergeUpsert.upsert(state, latest, "user_id")
+          .localCheckpoint()
+      }.start()
+    try {
+      stream.addData(Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 2, "a", 2.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(3, ts(2), 1, "a", 3.0))) // update user 1
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(4, ts(3), 2, "a", 4.0), Ev(5, ts(4), 3, "a", 5.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = state.select($"user_id", $"value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 3.0, 2L -> 4.0, 3L -> 5.0), s"got $got")
+  }
 }
