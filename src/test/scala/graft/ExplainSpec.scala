@@ -140,6 +140,27 @@ class ExplainSpec extends SparkSpec {
       s"l13 expected partial+final heap aggregation:\n${lp.take(1200)}")
   }
 
+  test("m6/l24: SCD2 is one keyed window without joins; sampling is a pure scan filter") {
+    // m6: history = ONE window on the entity key — no self-join, no
+    // state; the only exchanges are the window's hash partitioning and
+    // the declared output ordering
+    val m6 = SparkEntry.queries("m6_scd2_history")(spark, sf)
+    m6.collect()
+    val mp = m6.queryExecution.explainString(FormattedMode)
+    assert(!mp.contains("Join"), s"m6 must be a window, not a self-join:\n${mp.take(1000)}")
+    val m6Shuffles = "Exchange \\(".r.findAllIn(
+      mp.split("== Initial Plan ==").head).size
+    assert(m6Shuffles <= 2, s"m6 expected window + output-sort exchanges only, got $m6Shuffles")
+    // l24: the sampling decision is row-local (content-hash gate) — the
+    // plan is scan → filter → sort, ZERO hash-partition exchanges
+    val l24 = SparkEntry.queries("l24_domain_sample")(spark, sf)
+    l24.collect()
+    val lp = l24.queryExecution.explainString(FormattedMode)
+      .split("== Initial Plan ==").head
+    assert(!lp.contains("hashpartitioning"),
+      s"l24 must be a pure scan filter — no shuffle at any corpus size:\n${lp.take(1000)}")
+  }
+
   test("c9/s7: range and interval joins stay keyed joins, no nested loop") {
     for (name <- Seq("c9_range_join", "s7_interval_join_replay")) {
       val df = SparkEntry.queries(name)(spark, sf)
