@@ -26,11 +26,17 @@ import graft.operators.Similarity
   * pairs share every band signature regardless of the budget.
   *
   * Usage: SPARK_GRAFT_EMBED_DIR=/tmp/sf_embed100k runMain graft.ScaleBench
+  * (SPARK_GRAFT_SCALE_ONLY=ivf_topk,lsh_topk restricts the set — the
+  * 10⁶-point runs are ~10 min per operator, so curves are sampled).
   * Emits one JSON line: {"n":…,"queries":{…},"neardup_pairs":…,…}.
   */
 object ScaleBench {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_EMBED_DIR", "/tmp/sf_embed100k")
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def wanted(name: String): Boolean = only.isEmpty || only.contains(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(s"local[$cpus]", "graft-scalebench",
       shufflePartitions = Some(cpus.toInt))
@@ -48,30 +54,31 @@ object ScaleBench {
       (dt, rows)
     }
 
-    val (tNd, ndPairs) = timed("cosine_neardup") {
+    val runs = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    if (wanted("cosine_neardup")) runs("cosine_neardup") = timed("cosine_neardup") {
       Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8).count()
     }
-    val (tLsh, lshRows) = timed("lsh_topk") {
+    if (wanted("lsh_topk")) runs("lsh_topk") = timed("lsh_topk") {
       Similarity.lshTopK(emb, emb, 3).count()
     }
-    val (tIvf, ivfRows) = timed("ivf_topk") {
+    if (wanted("ivf_topk")) runs("ivf_topk") = timed("ivf_topk") {
       Similarity.ivfTopK(emb, emb, 3).count()
     }
-    val (tInt8, int8Rows) = timed("ivf_int8_topk") {
+    if (wanted("ivf_int8_topk")) runs("ivf_int8_topk") = timed("ivf_int8_topk") {
       Similarity.ivfTopKInt8(emb, emb, 3).count()
     }
     // the full dedup pipeline: near-dup pairs -> transitive groups
     // (pairs alone can't drive deletion — near-dup isn't transitive)
-    val (tCc, ccRows) = timed("dedup_groups") {
+    if (wanted("dedup_groups")) runs("dedup_groups") = timed("dedup_groups") {
       graft.operators.Dedup.connectedComponents(
         Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8),
         "id_a", "id_b").count()
     }
 
-    println(s"""{"n":$n,"planted_dup_pairs":$planted,"queries":{""" +
-      s""""cosine_neardup":$tNd,"lsh_topk":$tLsh,"ivf_topk":$tIvf,"ivf_int8_topk":$tInt8,"dedup_groups":$tCc},""" +
-      s""""rows":{"cosine_neardup":$ndPairs,"lsh_topk":$lshRows,"ivf_topk":$ivfRows,"ivf_int8_topk":$int8Rows,"dedup_groups":$ccRows},""" +
-      s""""dir":"$dir"}""")
+    val qJson = runs.map { case (k, (t, _)) => s""""$k":$t""" }.mkString(",")
+    val rJson = runs.map { case (k, (_, r)) => s""""$k":$r""" }.mkString(",")
+    println(s"""{"n":$n,"planted_dup_pairs":$planted,""" +
+      s""""queries":{$qJson},"rows":{$rJson},"dir":"$dir"}""")
     spark.stop()
   }
 }

@@ -604,11 +604,90 @@ object LlmQueries {
             SELECT id, min(comp) AS comp FROM reach GROUP BY id
             ORDER BY id"""))
 
+  /** L: the composed pretraining-data pipeline — the END-TO-END flow a
+    * real corpus runs through, chained from the declared operators and
+    * hash-checked as ONE query: exact dedup (keep min-id representative)
+    * → quality gates (length + token floor) → repetition gate (l23's
+    * dup-2-gram fraction) → benchmark decontamination (l17's 8-gram
+    * anti-join) → content-hash split (l19) → per-(split, source) doc and
+    * token counts. Composition is the point: every stage is row-local or
+    * equi-join/hash-agg shaped, so the chain inherits the 100 TB
+    * properties of its parts — nothing pairwise, nothing
+    * order-dependent, split assignment stable under growth. The oracle
+    * replays the identical chain in SQL, so the final aggregate
+    * hash-matches only if every intermediate stage agreed. */
+  val l27Pipeline = Q(
+    "l27_pretrain_pipeline",
+    (s, dir) => {
+      val all = Tables(s, dir, "documents")
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      val reps = Dedup.exact(corpus, "text", "doc_id")
+        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+      val gated = reps
+        .filter(length(col("text")) >= 100 && size(split(col("text"), " ")) >= 20)
+        .join(TextAnalysis.repetitionSignals(reps, "doc_id", "text")
+          .select(col("doc_id"), col("dup_2gram_frac")), "doc_id")
+        .filter(col("dup_2gram_frac") <= 0.3)
+      val clean = Dedup.decontaminate(gated, bench, "doc_id", "text", shingleN = 8)
+      val nibble = substring(md5(col("text")), 1, 1)
+      clean
+        .withColumn("split",
+          when(nibble <= "b", "train").when(nibble <= "d", "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+                 reps AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+                 reps_src AS (SELECT r.doc_id, r.text, c.source
+                              FROM reps r JOIN corpus c ON r.doc_id = c.doc_id),
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps_src),
+                 g2 AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+                        FROM toks WHERE len(t) >= 2),
+                 cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+                 agg2 AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2
+                          FROM cnt GROUP BY doc_id),
+                 gated AS (SELECT rs.doc_id, rs.text, rs.source, tk.t
+                           FROM reps_src rs
+                           JOIN toks tk ON rs.doc_id = tk.doc_id
+                           JOIN agg2 a ON rs.doc_id = a.doc_id
+                           WHERE length(rs.text) >= 100 AND len(tk.t) >= 20
+                             AND round(1.0 - CAST(a.d2 AS DOUBLE) / a.n2, 6) <= 0.3),
+                 sh8 AS (SELECT g.doc_id,
+                                unnest(list_transform(
+                                  generate_series(1, greatest(len(g.t) - 7, 1)),
+                                  i -> array_to_string(g.t[i:i+7], ' '))) AS s
+                         FROM gated g),
+                 bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 50 = 0),
+                 bench8 AS (SELECT DISTINCT
+                                   unnest(list_transform(
+                                     generate_series(1, greatest(len(t) - 7, 1)),
+                                     i -> array_to_string(t[i:i+7], ' '))) AS s
+                            FROM bt),
+                 bad AS (SELECT DISTINCT doc_id FROM sh8
+                         WHERE s IN (SELECT s FROM bench8)),
+                 clean AS (SELECT * FROM gated
+                           WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+            SELECT CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                        WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                        ELSE 'test' END AS split,
+                   source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(t)) AS BIGINT) AS n_tokens
+            FROM clean
+            GROUP BY 1, 2 ORDER BY split, source"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
-    l26DedupGroups)
+    l26DedupGroups, l27Pipeline)
 }

@@ -264,13 +264,33 @@ object Similarity {
     * point between centroid-scan work (nlist per row) and cell-scan work
     * (n/nlist per probe); a FIXED nlist would grow cells linearly with
     * the corpus and quietly stop pruning. */
+  /** Corpus-size threshold for the top-k physical choice: below it the
+    * rank window wins (ObjectHashAggregate's typed-buffer overhead
+    * measures ~2× the window sort on ~√n-per-query inputs); above it
+    * the window DIES — at n = 10⁶ the IVF candidate set is
+    * n·nprobe·√n ≈ 4×10⁹ rows and the window's full per-partition sort
+    * hit `UnsafeExternalSorter: Unable to grow the pointer array` +
+    * spill churn and crashed the run, while the heap's k-row map-side
+    * buffers never materialize the candidate set at all. Same rows
+    * either way (PropertySpec's dedup-sort-take-k law), so this is a
+    * size-based physical strategy, not a semantics fork. */
+  private[graft] val WindowTopKMaxCorpus = 50000L
+
+  private def rankTopK(scored: DataFrame, k: Int, corpusSize: Long): DataFrame =
+    if (corpusSize > WindowTopKMaxCorpus) rankTopKAgg(scored, k)
+    else rankTopKWindow(scored, k)
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int,
       nlist: Option[Int] = None,
-      nprobe: Int = 4): DataFrame =
-    rankTopKWindow(ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = false), k)
+      nprobe: Int = 4): DataFrame = {
+    val total = corpus.count()
+    rankTopK(
+      ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = false, Some(total)),
+      k, total)
+  }
 
   /** IVF top-k with the candidate tier's CELL GEOMETRY computed entirely
     * over int8 scalar-quantization codes — the composition that makes
@@ -286,8 +306,12 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nlist: Option[Int] = None,
-      nprobe: Int = 4): DataFrame =
-    rankTopKWindow(ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = true), k)
+      nprobe: Int = 4): DataFrame = {
+    val total = corpus.count()
+    rankTopK(
+      ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = true, Some(total)),
+      k, total)
+  }
 
   /** Scored IVF candidate pairs (qid, nid, cos) — the fused
     * candidate+scoring stage shared by the float and int8 paths.
@@ -310,10 +334,11 @@ object Similarity {
       corpus: DataFrame,
       nlistOpt: Option[Int],
       nprobe: Int,
-      int8: Boolean): DataFrame = {
+      int8: Boolean,
+      totalOpt: Option[Long] = None): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val n = sc.defaultParallelism
-    val total = corpus.count()
+    val total = totalOpt.getOrElse(corpus.count())
     val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
     val stride = math.max(1L, total / nlist)
 
