@@ -55,8 +55,12 @@ object ScaleBench {
     }
 
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    // SPARK_GRAFT_ND_BITS overrides the near-dup band width for curve
+    // experiments (the derived default is the production setting)
+    val ndBits = sys.env.get("SPARK_GRAFT_ND_BITS").map(_.toInt)
     if (wanted("cosine_neardup")) runs("cosine_neardup") = timed("cosine_neardup") {
-      Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8).count()
+      Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8,
+        bitsPerBand = ndBits).count()
     }
     if (wanted("lsh_topk")) runs("lsh_topk") = timed("lsh_topk") {
       Similarity.lshTopK(emb, emb, 3).count()

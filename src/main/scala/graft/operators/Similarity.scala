@@ -493,16 +493,36 @@ object Similarity {
     * SimilaritySpec can pin the n = 10⁶ / 10⁹ parameterizations under
     * [[MaxPlaneBits]] without materializing such corpora. */
   private[graft] def nearDupPlan(threshold: Double, n: Long, miss: Double): (Int, Int, Int) = {
-    val b = math.min(MaxBitsPerBand, math.max(4, log2ceil(n)))
+    val b = nearDupBits(n)
     val bands = bandsForRecall(threshold, b, miss)
     (b, bands, b * bands)
   }
+
+  /** Default near-dup band width: log2(n) − 5, floored at 8 bits and
+    * capped at [[MaxBitsPerBand]].
+    *
+    * b ≈ log2(n) minimizes signatures + CANDIDATE COUNT — the right
+    * objective when every candidate pair rides shuffles (the pre-fusion
+    * shape). Under fused in-join scoring the cost model changes:
+    * candidates are scored in place (~100 ns of codegen each, never
+    * shuffled), while every BAND costs n wide shuffle rows and b·dim
+    * signature madds per vector — so the optimum shifts toward fewer,
+    * narrower bands (B = ln(1/miss)/p^b SHRINKS as b shrinks) until
+    * collision scoring grows back: balance at n/2^b ≈ cost_row/
+    * cost_pair ≈ 30, i.e. b ≈ log2(n) − 5. Measured sweep (300k:
+    * b=19→169 s, 17→103, 15→99, 13→56, 11→88, 9→144; 100k: 17→28,
+    * 13→12.6, 11→15.8, 9→37.7 — BENCH_LOCAL.md): the optimum is b ≈ 13
+    * at both, squarely on the −5 rule, 3× faster than the old default.
+    * The floor of 8 keeps ≥256 buckets per band so fixture-scale
+    * corpora still prune (SimilaritySpec's ≤35%-of-all-pairs bound). */
+  private[graft] def nearDupBits(n: Long): Int =
+    math.min(MaxBitsPerBand, math.max(8, log2ceil(n) - 5))
 
   /** Shared near-dup parameter derivation + the hyperplane-budget guard. */
   private def nearDupParams(
       threshold: Double, n0: Long, miss: Double,
       bitsPerBandOpt: Option[Int], bandsOverride: Option[Int]): (Int, Int) = {
-    val bitsPerBand = bitsPerBandOpt.getOrElse(math.min(MaxBitsPerBand, math.max(4, log2ceil(n0))))
+    val bitsPerBand = bitsPerBandOpt.getOrElse(nearDupBits(n0))
     val bands = bandsOverride.getOrElse(bandsForRecall(threshold, bitsPerBand, miss))
     val nBits = bands * bitsPerBand
     require(nBits <= MaxPlaneBits,
