@@ -45,6 +45,8 @@ object Bench {
     "l22_ivf_int8_topk",    // IVF ANN over int8 codes + float re-rank
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
+    "l26_dedup_groups",     // near-dup pairs closed into transitive groups
+    "l27_pretrain_pipeline", // composed dedup→gates→decontaminate→split flow
     "m6_scd2_history")      // SCD2 keep-every-version window
 
   def main(args: Array[String]): Unit = {

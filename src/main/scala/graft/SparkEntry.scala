@@ -7,9 +7,14 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * from SURVEY §2b); this object is a thin adapter over it.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed pretraining pipeline (l27) — exact dedup →
+    * quality/repetition gates → benchmark decontamination →
+    * content-hash split → per-(split, source) stats — exercises scans,
+    * hash aggregation, window-free row-local gates, shingle equi-joins,
+    * an anti-join, and a final grouped aggregate in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.AggQueries.d1Pricing.run(spark, "/root/testdata/sf0.001")
+    graft.operators.LlmQueries.l27Pipeline.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
