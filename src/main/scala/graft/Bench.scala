@@ -19,8 +19,23 @@ import org.apache.spark.sql.SparkSession
   * then self-identifying from the JSON alone: gauge drift ≫ 1 or a
   * load average far above the bench's own parallelism means the numbers
   * are machine noise, not code.
+  *
+  * Self-healing (round-7): detection alone still shipped a wrong artifact
+  * in rounds 4 and 6, so a pass whose gauge drift exceeds
+  * [[DriftRetryThreshold]] — or that STARTED on a machine with load above
+  * [[LoadRetryThreshold]] — is re-run once, both passes are emitted under
+  * "attempts", and the steadier pass becomes the official numbers.
   */
 object Bench {
+  /** Gauge last/first ratio above which a pass is presumed contaminated.
+    * Clean local history sits at 0.3-1.2 (BENCH_LOCAL.md); the two known
+    * contaminated artifacts measured 1.93 (r6) and ~5 (r4). */
+  val DriftRetryThreshold = 1.5
+  /** 1-min load average at bench START above which another workload is
+    * presumed resident. The bench itself hasn't run yet at sample time, so
+    * anything ≫ idle is foreign; 2.0 leaves headroom for OS background. */
+  val LoadRetryThreshold = 2.0
+
   val headline: Seq[String] = Seq(
     "d1_q1_pricing",        // scan + hash agg
     "c2_left_join",         // shuffle join + agg
@@ -93,29 +108,60 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
     val gaugeQ = "d1_q1_pricing"
-    val loadStart = loadAvg()
-    val gaugeFirst = timed(gaugeQ)
-    System.err.println(f"[bench] gauge-first $gaugeQ $gaugeFirst%8.2f s (load $loadStart%.2f)")
+    val selected = headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
 
-    val results = headline.filter(qs.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
-      System.err.println(s"[bench] warm-up $name")
-      val dt = timed(name)
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
-      name -> dt
+    /** One full bracketed pass: gauge query, timed set, gauge query again. */
+    case class Attempt(results: Seq[(String, Double)], gaugeFirst: Double,
+                       gaugeLast: Double, drift: Double,
+                       loadStart: Double, loadEnd: Double) {
+      def contaminated: Boolean = drift > DriftRetryThreshold || loadStart > LoadRetryThreshold
+      def json: String = {
+        val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s"""{"queries":$qJson,"total":${results.map(_._2).sum},""" +
+          s""""gauge":{"query":"$gaugeQ","first":$gaugeFirst,"last":$gaugeLast,"drift":$drift},""" +
+          s""""load_avg":{"start":$loadStart,"end":$loadEnd}}"""
+      }
+    }
+    def runAttempt(tag: String): Attempt = {
+      val loadStart = loadAvg()
+      val gaugeFirst = timed(gaugeQ)
+      System.err.println(f"[bench:$tag] gauge-first $gaugeQ $gaugeFirst%8.2f s (load $loadStart%.2f)")
+      val results = selected.map { name =>
+        System.err.println(s"[bench:$tag] warm-up $name")
+        val dt = timed(name)
+        System.err.println(f"[bench:$tag] $name%-24s $dt%8.2f s")
+        name -> dt
+      }
+      val gaugeLast = timed(gaugeQ)
+      val loadEnd = loadAvg()
+      val drift = if (gaugeFirst > 0) gaugeLast / gaugeFirst else -1.0
+      System.err.println(f"[bench:$tag] gauge-last  $gaugeQ $gaugeLast%8.2f s (load $loadEnd%.2f, drift $drift%.2f×)")
+      Attempt(results, gaugeFirst, gaugeLast, drift, loadStart, loadEnd)
     }
 
-    val gaugeLast = timed(gaugeQ)
-    val loadEnd = loadAvg()
-    val drift = if (gaugeFirst > 0) gaugeLast / gaugeFirst else -1.0
-    System.err.println(f"[bench] gauge-last  $gaugeQ $gaugeLast%8.2f s (load $loadEnd%.2f, drift $drift%.2f×)")
+    // Self-healing: rounds 4 and 6 both shipped artifacts inflated 5-20× by a
+    // co-resident JVM. The gauge DETECTS that (drift ≫ 1, or the machine was
+    // already loaded before we started); detection without remediation still
+    // publishes wrong numbers, so a contaminated pass is re-run once and the
+    // cleaner pass (smaller |log drift|, i.e. a steadier machine) becomes the
+    // official `queries`/`value`. Both passes ship under "attempts" so the
+    // artifact stays honest about what happened.
+    val attempts = {
+      val a1 = runAttempt("1")
+      if (a1.contaminated) {
+        System.err.println(f"[bench] attempt 1 contaminated (drift ${a1.drift}%.2f, load ${a1.loadStart}%.2f) — retrying once")
+        Seq(a1, runAttempt("2"))
+      } else Seq(a1)
+    }
+    val official = attempts.minBy(a => math.abs(math.log(math.max(a.drift, 1e-3))))
 
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qJson = official.results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val gaugeJson = s"""{"query":"$gaugeQ","first":$gaugeFirst,"last":$gaugeLast,"drift":$drift}"""
-    val loadJson = s"""{"start":$loadStart,"end":$loadEnd}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson}""")
+    val total = official.results.map(_._2).sum
+    val gaugeJson = s"""{"query":"$gaugeQ","first":${official.gaugeFirst},"last":${official.gaugeLast},"drift":${official.drift}}"""
+    val loadJson = s"""{"start":${official.loadStart},"end":${official.loadEnd}}"""
+    val attemptsJson = attempts.map(_.json).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"retried":${attempts.size > 1},"attempts":$attemptsJson}""")
     spark.stop()
   }
 }
