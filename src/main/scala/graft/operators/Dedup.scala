@@ -381,16 +381,37 @@ object Dedup {
     * graph itself; min-propagation is the production norm for dedup
     * workloads because the diameter premise actually holds there.)
     *
-    * Driver-side per round: ONE scalar (the changed-label count) — the
-    * convergence test, same documented-scalar-collect discipline as the
-    * IVF centroid fetch. Each round's label table is localCheckpoint'd:
-    * iterative lineage would otherwise re-run every prior round per
-    * action and make round t cost O(t) scans. */
+    * Driver-side per round: ONE boolean — the convergence test is a
+    * change FLAG computed inside the label-update job itself (it rides
+    * the checkpointed rows), probed with a limit-1 scan of the
+    * materialized table. The former shape re-joined the new labels to
+    * the old and counted — a whole extra join + agg job per round, which
+    * at ~3 rounds was most of l26's fixed overhead. Each round's label
+    * table is localCheckpoint'd (iterative lineage would otherwise
+    * re-run every prior round per action and make round t cost O(t)
+    * scans), and the PRIOR round's checkpoint blocks are unpersisted
+    * once the new table is materialized — without that, block-manager
+    * storage grows linearly with rounds.
+    *
+    * `maxIter` bounds the round count at graph-diameter semantics:
+    * 15 covers any realistic dedup clique/cluster graph, but a
+    * bench-scale corpus with long near-dup CHAINS (each doc a near-dup
+    * of the next) has diameter O(chain length) — raise maxIter for such
+    * shapes, or pre-collapse with exact dedup first (the l27/l28 flow)
+    * so chains of identical docs never reach the propagation. */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
       maxIter: Int = 15): DataFrame = {
+    // free a no-longer-referenced localCheckpoint's blocks: the Dataset
+    // API has no public handle for this, so reach through the analyzed
+    // plan's LogicalRDD leaf (public in org.apache.spark.sql.execution)
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+
     val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .localCheckpoint()
@@ -407,20 +428,19 @@ object Dedup {
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .count()
-      labels = next
-      converged = changed == 0
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("chg"))
+        .localCheckpoint() // eager: one job materializes labels AND flags
+      converged = next.filter(col("chg")).isEmpty
+      freeCheckpoint(labels)
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — the " +
         "pair graph has a longer diameter than a dedup workload should; " +
         "raise maxIter or switch to star-contraction for chain graphs")
+    freeCheckpoint(sym)
     labels
   }
 }

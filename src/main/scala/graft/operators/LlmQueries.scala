@@ -525,11 +525,17 @@ object LlmQueries {
     * both engines, so no hex-to-int conversion is needed. Row-local
     * filter: zero shuffles at any scale; a real deployment would
     * broadcast-join a rates dimension instead of deriving the rate from
-    * the source name, which changes nothing about the shape. */
+    * the source name, which changes nothing about the shape. A source
+    * name with NO digits is pinned to keep-all (coalesce to rate slot
+    * 3) in both engines: without it Spark's ''::int → null silently
+    * drops the row while DuckDB's CAST('' AS INT) raises — a latent
+    * engine divergence even though the fixture sources all carry
+    * digits. */
   val l24DomainSample = Q(
     "l24_domain_sample",
     (s, dir) => {
-      val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+      val srcNum = coalesce(
+        regexp_extract(col("source"), "([0-9]+)", 1).cast("int"), lit(3))
       val thresh = element_at(
         array(lit("4"), lit("8"), lit("c"), lit("g")), srcNum % 4 + 1)
       Tables(s, dir, "documents")
@@ -539,7 +545,7 @@ object LlmQueries {
     },
     Some("""SELECT doc_id, source FROM documents
             WHERE substr(md5(text), 1, 1) <
-                  CASE CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+                  CASE COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS INT), 3) % 4
                        WHEN 0 THEN '4' WHEN 1 THEN '8' WHEN 2 THEN 'c'
                        ELSE 'g' END
             ORDER BY doc_id"""))
@@ -571,7 +577,11 @@ object LlmQueries {
     * drive deletion; the component (with min-id survivor) is the
     * correct dedup unit. The DuckDB oracle reproduces the same pair
     * construction and closes it with a recursive CTE, so the full
-    * (id, comp) partition hash-matches. */
+    * (id, comp) partition hash-matches. Propagation rounds = component
+    * diameter; `connectedComponents`' default maxIter (15) assumes the
+    * clique/cluster shape real dedup graphs have — a corpus with LONG
+    * near-dup chains needs maxIter raised (the operator throws loudly
+    * rather than returning a partial partition). */
   val l26DedupGroups = Q(
     "l26_dedup_groups",
     (s, dir) => Dedup.connectedComponents(

@@ -55,10 +55,12 @@ object Similarity {
     * duplicates: brute force (|Q|·|C| rows — measured 34 s → 7 s at
     * 8k×8k vectors, where the rank window's full-table exchange
     * spilled) and the LSH path (the heap's duplicate-skip replaces a
-    * whole groupBy-dedup shuffle). The IVF paths keep the rank window:
-    * their candidate stage is already pair-unique and ~√n per query,
-    * and at that volume ObjectHashAggregate's per-row typed-buffer
-    * overhead measures ~2× slower than the window sort locally. */
+    * whole groupBy-dedup shuffle). The IVF paths choose SIZE-BASED via
+    * [[rankTopK]]: below [[WindowTopKMaxCorpus]] the rank window wins
+    * (pair-unique ~√n-per-query candidates, where ObjectHashAggregate's
+    * per-row typed-buffer overhead measures ~2× the window sort
+    * locally); above it the window's full per-partition sort dies on
+    * the 10⁶-scale candidate volume and the heap takes over. */
   private def rankTopKAgg(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKByScore(k))
     scored.groupBy(col("qid"))
@@ -423,6 +425,19 @@ object Similarity {
     * identical vectors share identical centroid scores, so they land in
     * the same cell and are always caught — SimilaritySpec pins that law
     * on the planted-duplicate corpus.
+    *
+    * CASCADE semantics (deliberate, pinned by SimilaritySpec's chain
+    * test): the drop test is against ALL lower-id cluster members,
+    * including members that were themselves dropped. In a chain
+    * a < b < c with cos(a,b) ≥ τ, cos(b,c) ≥ τ but cos(a,c) < τ, both b
+    * AND c are dropped — c's only qualifying neighbor (b) does not
+    * survive. This is the greedy one-sweep SemDedup trade: it
+    * over-deletes along sub-threshold chains but needs no iteration and
+    * no per-pair state beyond the single cell join. When
+    * component-exact survivors matter (keep one per TRANSITIVE group,
+    * never cascade), close the qualifying pairs with
+    * [[Dedup.connectedComponents]] and keep the min id per component —
+    * the l26/l28 flow.
     *
     * Execution shape matches the fused ANN paths: one cell equi-join
     * with vectors + precomputed norms on the inputs, cosine in the

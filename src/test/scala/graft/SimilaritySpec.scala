@@ -200,6 +200,33 @@ class SimilaritySpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("semDedup: cascade drops along sub-threshold chains (pinned greedy semantics)") {
+    import spark.implicits._
+    // a < b < c with cos(a,b) ≈ cos(b,c) ≈ cos(30°) ≈ 0.866 ≥ τ=0.8 but
+    // cos(a,c) = cos(60°) = 0.5 < τ: the greedy sweep drops b (near a)
+    // AND c (near b), even though c's only qualifying neighbor b does
+    // not survive — the documented over-deletion trade. nlist=1 forces
+    // one cell so cluster scoping can't hide the chain.
+    def v(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat) ++ Seq.fill(6)(0.0f)
+    }
+    val chain = Seq((1L, v(0)), (2L, v(30)), (3L, v(60)))
+      .toDF("vec_id", "embedding")
+    val survivors = Similarity
+      .semDedup(chain, "vec_id", "embedding", 0.8, nlistOpt = Some(1))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L), s"greedy cascade must leave only the chain head: $survivors")
+    // component-exact alternative on the same chain: close qualifying
+    // PAIRS (a,b) and (b,c) transitively — one component {a,b,c}, so a
+    // component-survivor policy also keeps exactly {a}, while a
+    // pair-at-a-time policy without closure would wrongly keep c
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val comps = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("langid: deterministic and sane on clear-cut samples") {
     import spark.implicits._
     val t = Seq(
