@@ -68,6 +68,18 @@ object ScaleBench {
     if (wanted("ivf_topk")) runs("ivf_topk") = timed("ivf_topk") {
       Similarity.ivfTopK(emb, emb, 3).count()
     }
+    // stage isolation for the IVF cost model (which term dominates at n):
+    // pairs_count prunes the cosine (join machinery only), score_sum
+    // forces scoring but skips the top-k aggregation — the deltas
+    // attribute wall-clock to join vs scoring vs heap
+    if (wanted("ivf_pairs_count")) runs("ivf_pairs_count") = timed("ivf_pairs_count") {
+      Similarity.ivfScoredPairs(emb, emb, None, 4, int8 = false)
+        .select(col("qid")).count()
+    }
+    if (wanted("ivf_score_sum")) runs("ivf_score_sum") = timed("ivf_score_sum") {
+      Similarity.ivfScoredPairs(emb, emb, None, 4, int8 = false)
+        .agg(sum(col("cos"))).collect(); 1L
+    }
     if (wanted("ivf_int8_topk")) runs("ivf_int8_topk") = timed("ivf_int8_topk") {
       Similarity.ivfTopKInt8(emb, emb, 3).count()
     }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Per-VECTOR 1e-3 quantization: `ARRAY<FLOAT>` → `ARRAY<INT>` with
+  * each element [[DotScaledExpr.q3]](x) — the factored-out half of the
+  * quantized dot product.
+  *
+  * Why this exists (the 10⁶-vector stage isolation, BENCH_LOCAL.md
+  * round 7): the fused similarity joins score with
+  * [[DotScaledExpr]](va, vb), which re-quantizes BOTH vectors on every
+  * pair — two floor-rounds per element per pair. At IVF's 4×10⁹
+  * candidate pairs that re-quantization was ~290 s of the 297 s total
+  * (join machinery alone: 41 s). Quantizing once per JOIN-INPUT row (n
+  * + nprobe·n rows, not 4×10⁹) and scoring with the pure integer
+  * [[DotQ3Expr]] removes it; integer math is associative and exact, so
+  * scores are bit-identical.
+  *
+  * INT, not LONG, elements: same 4 bytes/element as the float arrays
+  * they replace, so the wide band/cell join inputs shuffle the same
+  * volume (an `array<long>` ride would have DOUBLED near-dup's n·B-row
+  * shuffle payload). q3 values |x·1000| only exceed Int range for
+  * |x| > 2.1×10⁶ — no real embedding; guarded with a LOUD throw, never
+  * a silent wrap. */
+case class Quantize3Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Quantize3Expr.quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Quantize3Expr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.quantize($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Quantize3Expr {
+  /** Called from generated code — must stay public and JVM-simple. */
+  def quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val q = DotScaledExpr.q3(v.getFloat(i))
+      if (q > Int.MaxValue || q < Int.MinValue)
+        throw new ArithmeticException(
+          s"quantize3 overflow: element $i quantizes to $q (|x| > 2.1e6 — " +
+            "not an embedding; use the long-path DotScaledExpr)")
+      out(i) = q.toInt
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Pure integer dot product of two pre-quantized `ARRAY<INT>` columns:
+  * sum_i a_i * b_i accumulated in Long — the pair-time half of the
+  * quantized dot. One widening multiply-add per element inside
+  * whole-stage codegen; combined with [[Quantize3Expr]] on the join
+  * inputs this produces the exact [[DotScaledExpr]] integer result at
+  * ~10× less per-pair work. */
+case class DotQ3Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -74,4 +74,23 @@ object VectorFunctions {
     ColumnBridge.column(
       DotScaledExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
+
+  /** Per-vector 1e-3 quantization to `array<int>` ([[Quantize3Expr]]) —
+    * factor this onto the JOIN INPUTS, then score pairs with
+    * [[dotQ3]]: the same integer result as [[dotScaledFast]] on the
+    * float arrays, but the two floor-rounds per element move from
+    * per-PAIR to per-ROW (the 10⁶-scale IVF stage isolation measured
+    * per-pair re-quantization as ~290 of 297 s). Same 4 bytes/element
+    * as the float arrays, so shuffle payloads are unchanged. */
+  def quantize3(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Quantize3Expr(ColumnBridge.expression(v)))
+  }
+
+  /** Pure integer dot of two [[quantize3]]'d vectors ([[DotQ3Expr]]). */
+  def dotQ3(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      DotQ3Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

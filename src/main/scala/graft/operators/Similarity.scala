@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TopKByScore, VectorFunctions}
+import graft.functions.{CentroidMatrix, TopKByScore, VectorFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,9 +62,15 @@ object Similarity {
     * locally); above it the window's full per-partition sort dies on
     * the 10⁶-scale candidate volume and the heap takes over. */
   private def rankTopKAgg(scored: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKByScore(k))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // the native TypedImperativeAggregate twin of TopKByScore: same
+    // rows, same ObjectHashAggregate plan shape, no per-row object —
+    // see TopKAgg's docstring for the 10⁶-scale measurement
+    val topk = ColumnBridge.column(graft.functions.TopKAgg(
+      ColumnBridge.expression(col("nid")),
+      ColumnBridge.expression(col("cos")), k).toAggregateExpression())
     scored.groupBy(col("qid"))
-      .agg(topk(col("nid"), col("cos")).as("top"))
+      .agg(topk.as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("p.nid").as("nid"), round(col("p.cos"), 6).as("cos"))
@@ -94,15 +100,13 @@ object Similarity {
     // small-byte shuffle back to one task even when the per-row compute
     // downstream is the actual cost
     val q = queries.repartition(n, col("vec_id")).select(
-      col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
       dotF(col("embedding"), col("embedding")).as("qn"))
-    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+    val c = corpus.select(col("vec_id").as("nid"),
+      VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"))
     val scored = q.join(broadcast(c), col("qid") =!= col("nid"))
-      .withColumn("cos",
-        when(col("qn") === 0 || col("nn") === 0, lit(0.0))
-          .otherwise(dotF(col("qv"), col("nv")).cast("double") /
-            sqrt((col("qn") * col("nn")).cast("double"))))
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
       // shed the vectors BEFORE the top-k aggregation: the partial
       // buffers hold (nid, cos) pairs only
       .select(col("qid"), col("nid"), col("cos"))
@@ -156,11 +160,18 @@ object Similarity {
       keys
     }
 
-  /** Exact quantized cosine between two attached vectors, as a column. */
+  /** Exact quantized cosine between two attached PRE-QUANTIZED vectors
+    * (`array<int>` from [[VectorFunctions.quantize3]]), as a column.
+    * Same value as dotScaledFast over the float arrays — quantization
+    * happened once on the join-input row, and the pair-time work is one
+    * integer dot ([[graft.functions.DotQ3Expr]]). The round-7 stage
+    * isolation at 10⁶ vectors measured per-pair RE-quantization (two
+    * floor-rounds per element per pair) as ~290 of IVF's 297 s; this
+    * split retires it across every fused similarity join. */
   private def cosCol(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
       na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
     when(na === 0 || nb === 0, lit(0.0))
-      .otherwise(VectorFunctions.dotScaledFast(va, vb).cast("double") /
+      .otherwise(VectorFunctions.dotQ3(va, vb).cast("double") /
         sqrt((na * nb).cast("double")))
 
   /** Int8 SQ codes as ready-to-probe doubles, one tight-loop UDF pass —
@@ -216,41 +227,23 @@ object Similarity {
     (centroids, norms)
   }
 
-  /** Nearest-`m` centroid indices: rank by dot(v,c)/|c| — a positive
+  /** Probe column: the `m` nearest centroid indices of `vec` (INT for
+    * m = 1, ARRAY<INT> otherwise), ranked by dot(v,c)/|c| — a positive
     * per-row scalar (1/|v|) away from cosine, so the ordering is
-    * identical and the row norm never needs computing. Primitive score
-    * array + m selection passes; a boxed sortBy here (tuple per
-    * centroid + full sort for m ≤ 4) is measurable at nlist ≈ √n per
-    * row. */
-  private def nearestCells(
-      centroids: Array[Array[Double]], cnorms: Array[Double],
-      v: Array[Double], m: Int): Seq[Int] = {
-    val scores = new Array[Double](centroids.length)
-    var ci = 0
-    while (ci < centroids.length) {
-      val c = centroids(ci)
-      var dot = 0.0
-      var i = 0
-      val len = math.min(c.length, v.length)
-      while (i < len) { dot += c(i) * v(i); i += 1 }
-      scores(ci) = if (cnorms(ci) == 0) 0.0 else dot / cnorms(ci)
-      ci += 1
-    }
-    val picked = new Array[Int](math.min(m, scores.length))
-    val taken = new Array[Boolean](scores.length)
-    var p = 0
-    while (p < picked.length) {
-      var best = -1
-      var i = 0
-      while (i < scores.length) {
-        if (!taken(i) && (best < 0 || scores(i) > scores(best))) best = i
-        i += 1
-      }
-      taken(best) = true
-      picked(p) = best
-      p += 1
-    }
-    picked.toSeq
+    * identical and the row norm never needs computing. A native codegen
+    * Expression over the raw ArrayData ([[graft.functions
+    * .NearestCellsExpr]]) — the former Scala-UDF form deserialized
+    * every vector to a boxed Seq[Double] behind an array<double> cast
+    * before scanning, and that conversion tax was the dominant non-join
+    * IVF cost at 10⁶ vectors (the round-6 verdict's recorded lever).
+    * Null vectors fall back to cell 0, matching the old UDF's guard. */
+  private def nearestCellsCol(
+      matBc: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
+      vec: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column = {
+    val nc = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.NearestCellsExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec), matBc, m))
+    if (m == 1) coalesce(nc, lit(0)) else coalesce(nc, array(lit(0)))
   }
 
   /** IVF (inverted-file) approximate top-k — the coarse-quantizer
@@ -361,27 +354,17 @@ object Similarity {
       else df.withColumn("geom", col("embedding"))
 
     val (centroids, cnorms) = strideCentroids(withGeom(corpus), "geom", nlist, stride)
-    val centroidsBc = sc.broadcast(centroids)
-    val cnormsBc = sc.broadcast(cnorms)
-
-    val probeUdf = udf { (v: Seq[Double]) =>
-      if (v == null) Seq(0)
-      else nearestCells(centroidsBc.value, cnormsBc.value, v.toArray, nprobe)
-    }
-    val assignUdf = udf { (v: Seq[Double]) =>
-      if (v == null) 0
-      else nearestCells(centroidsBc.value, cnormsBc.value, v.toArray, 1).head
-    }
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
 
     val dotF = VectorFunctions.dotScaledFast _
     val q = withGeom(queries.repartition(n, col("vec_id"))).select(
-      col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
       dotF(col("embedding"), col("embedding")).as("qn"),
-      explode(probeUdf(col("geom").cast("array<double>"))).as("cell"))
+      explode(nearestCellsCol(matBc, col("geom"), nprobe)).as("cell"))
     val c = withGeom(corpus).select(
-      col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("vec_id").as("nid"), VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"),
-      assignUdf(col("geom").cast("array<double>")).as("cell"))
+      nearestCellsCol(matBc, col("geom"), 1).as("cell"))
     q.join(c, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
@@ -456,17 +439,12 @@ object Similarity {
     val stride = math.max(1L, total / nlist)
     val view = emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val (centroids, cnorms) = strideCentroids(view, "embedding", nlist, stride)
-    val centroidsBc = sc.broadcast(centroids)
-    val cnormsBc = sc.broadcast(cnorms)
-    val assignUdf = udf { (v: Seq[Double]) =>
-      if (v == null) 0
-      else nearestCells(centroidsBc.value, cnormsBc.value, v.toArray, 1).head
-    }
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
     val dotF = VectorFunctions.dotScaledFast _
     val celled = view.repartition(n, col("vec_id")).select(
-      col("vec_id").as("id"), col("embedding").as("v"),
+      col("vec_id").as("id"), VectorFunctions.quantize3(col("embedding")).as("v"),
       dotF(col("embedding"), col("embedding")).as("nrm"),
-      assignUdf(col("embedding").cast("array<double>")).as("cell"))
+      nearestCellsCol(matBc, col("embedding"), 1).as("cell"))
     val x = celled.select(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
     val y = celled.select(col("id").as("id_b"), col("v").as("vb"),
@@ -623,7 +601,7 @@ object Similarity {
     // B·b·dim recompute) — recompute is the right trade here
     val banded = emb
       .repartition(n, col(idCol))
-      .select(col(idCol).as("id"), col(embCol).as("v"),
+      .select(col(idCol).as("id"), VectorFunctions.quantize3(col(embCol)).as("v"),
         VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"),
         posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
     val x = banded.select(col("id").as("id_a"), col("v").as("va"),
@@ -715,11 +693,11 @@ object Similarity {
 
     val n = queries.sparkSession.sparkContext.defaultParallelism
     val q = queries.repartition(n, col("vec_id")).select(
-      col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
       dotF(col("embedding"), col("embedding")).as("qn"),
       posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
     val c = corpus.select(
-      col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("vec_id").as("nid"), VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"),
       posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
     q.join(c, Seq("band", "bkey"))

@@ -37,6 +37,33 @@ class PropertySpec extends SparkSpec {
     }, cases = 200)
   }
 
+  test("TopKAgg buffer: row-identical to TopKByScore under any partial split (pure JVM law)") {
+    import graft.functions.{Scored, TopKBuf, TopKByScore}
+    val gen = for {
+      k <- Gen.choose(1, 6)
+      rows <- Gen.listOf(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0, 10).map(_ / 10.0)))
+      cut <- Gen.choose(0, math.max(rows.size, 1))
+    } yield (k, rows, cut)
+    holds(Prop.forAll(gen) { case (k, rows, cut) =>
+      // the native hot-path aggregate must keep EXACTLY the typed
+      // Aggregator's contract: (cos desc, nid asc) order, duplicate
+      // (nid, cos) rows skipped, capped at k, any partial/merge tree
+      val (p1, p2) = rows.splitAt(cut)
+      def fill(part: List[(Long, Double)]): TopKBuf = {
+        val b = new TopKBuf(k)
+        part.foreach { case (id, c) => b.insert(id, c) }
+        b
+      }
+      val native = fill(p1).mergeWith(fill(p2))
+      val got = (0 until native.n).map(i => Scored(native.nids(i), native.coss(i)))
+      val agg = new TopKByScore(k)
+      val want = agg.finish(agg.merge(
+        p1.map { case (id, c) => Scored(id, c) }.foldLeft(agg.zero)(agg.reduce),
+        p2.map { case (id, c) => Scored(id, c) }.foldLeft(agg.zero)(agg.reduce)))
+      got == want
+    }, cases = 200)
+  }
+
   test("union count = sum of counts; filter partitions a null-free set") {
     import spark.implicits._
     val gen = Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))
