@@ -62,6 +62,7 @@ object Bench {
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups
     "l27_pretrain_pipeline", // composed dedup→gates→decontaminate→split flow
+    "l28_pretrain_neardup", // the pipeline with the component-collapse stage
     "m6_scd2_history")      // SCD2 keep-every-version window
 
   def main(args: Array[String]): Unit = {

@@ -8,13 +8,16 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The composed pretraining pipeline (l27) — exact dedup →
-    * quality/repetition gates → benchmark decontamination →
-    * content-hash split → per-(split, source) stats — exercises scans,
-    * hash aggregation, window-free row-local gates, shingle equi-joins,
-    * an anti-join, and a final grouped aggregate in one plan. */
+    * rows>0. The composed pretraining pipeline with the near-dup stage
+    * (l28) — exact dedup → 3-gram-Jaccard pairs closed into transitive
+    * components (min-id survivor) → quality/repetition gates →
+    * benchmark decontamination → content-hash split → per-(split,
+    * source) stats — exercises scans, hash aggregation, the iterative
+    * component closure, window-free row-local gates, shingle
+    * equi-joins, anti-joins, and a final grouped aggregate in one
+    * declared query. */
   def entry(spark: SparkSession): DataFrame =
-    graft.operators.LlmQueries.l27Pipeline.run(spark, "/root/testdata/sf0.001")
+    graft.operators.LlmQueries.l28PipelineNearDup.run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -693,11 +693,125 @@ object LlmQueries {
             FROM clean
             GROUP BY 1, 2 ORDER BY split, source"""))
 
+  /** L: the pretraining pipeline with the NEAR-DUP stage composed in —
+    * l27 extended with the collapse the l26 tier exists for. A real
+    * pretraining flow dedups by transitive component, not just content
+    * hash: after exact dedup, the l4 3-gram-Jaccard pairs are closed
+    * into components ([[Dedup.connectedComponents]]) and only the
+    * min-id survivor of each component proceeds to the quality gates /
+    * decontamination / split. Near-dup is not transitive, so pair
+    * output alone cannot drive deletion — the component stage is
+    * in-plan, between exact dedup and the gates, exactly where the
+    * round-6 verdict placed it. The oracle replays the whole chain
+    * including the recursive-CTE closure, so the final aggregate
+    * hash-matches only if every stage — including which SURVIVOR each
+    * component kept — agreed. */
+  val l28PipelineNearDup = Q(
+    "l28_pretrain_neardup",
+    (s, dir) => {
+      val all = Tables(s, dir, "documents")
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      val reps = Dedup.exact(corpus, "text", "doc_id")
+        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+      // component collapse: drop every doc whose component label is a
+      // smaller id (the survivor is the component min — deterministic)
+      val dropped = Dedup.connectedComponents(
+          Dedup.ngramJaccard(reps, "doc_id", "text"), "id_a", "id_b")
+        .filter(col("comp") =!= col("id"))
+        .select(col("id").as("doc_id"))
+      val survivors = reps.join(dropped, Seq("doc_id"), "left_anti")
+      val gated = survivors
+        .filter(length(col("text")) >= 100 && size(split(col("text"), " ")) >= 20)
+        .join(TextAnalysis.repetitionSignals(survivors, "doc_id", "text")
+          .select(col("doc_id"), col("dup_2gram_frac")), "doc_id")
+        .filter(col("dup_2gram_frac") <= 0.3)
+      val clean = Dedup.decontaminate(gated, bench, "doc_id", "text", shingleN = 8)
+      val nibble = substring(md5(col("text")), 1, 1)
+      clean
+        .withColumn("split",
+          when(nibble <= "b", "train").when(nibble <= "d", "val").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some("""WITH RECURSIVE
+                 corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
+                 reps AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
+                 reps_src AS (SELECT r.doc_id, r.text, c.source
+                              FROM reps r JOIN corpus c ON r.doc_id = c.doc_id),
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps_src),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 2, 1)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+                           FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+                           GROUP BY 1, 2),
+                 prs AS (SELECT id_a, id_b FROM inter
+                         JOIN sizes na ON id_a = na.doc_id
+                         JOIN sizes nb ON id_b = nb.doc_id
+                         WHERE ni * 1.0 / (na.n + nb.n - ni) >= 0.5),
+                 edges AS (SELECT id_a AS u, id_b AS v FROM prs
+                           UNION
+                           SELECT id_b AS u, id_a AS v FROM prs),
+                 reach AS (SELECT u AS id, u AS comp FROM edges
+                           UNION
+                           SELECT e.v AS id, r.comp
+                           FROM reach r JOIN edges e ON e.u = r.id),
+                 comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+                 surv AS (SELECT rs.doc_id, rs.text, rs.source FROM reps_src rs
+                          LEFT JOIN comps c ON rs.doc_id = c.id
+                          WHERE c.id IS NULL OR c.comp = rs.doc_id),
+                 stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+                 g2 AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+1], ' '))) AS g
+                        FROM stoks WHERE len(t) >= 2),
+                 cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+                 agg2 AS (SELECT doc_id, sum(c) AS n2, count(*) AS d2
+                          FROM cnt GROUP BY doc_id),
+                 gated AS (SELECT sv.doc_id, sv.text, sv.source, tk.t
+                           FROM surv sv
+                           JOIN stoks tk ON sv.doc_id = tk.doc_id
+                           JOIN agg2 a ON sv.doc_id = a.doc_id
+                           WHERE length(sv.text) >= 100 AND len(tk.t) >= 20
+                             AND round(1.0 - CAST(a.d2 AS DOUBLE) / a.n2, 6) <= 0.3),
+                 sh8 AS (SELECT g.doc_id,
+                                unnest(list_transform(
+                                  generate_series(1, greatest(len(g.t) - 7, 1)),
+                                  i -> array_to_string(g.t[i:i+7], ' '))) AS s
+                         FROM gated g),
+                 bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE doc_id % 50 = 0),
+                 bench8 AS (SELECT DISTINCT
+                                   unnest(list_transform(
+                                     generate_series(1, greatest(len(t) - 7, 1)),
+                                     i -> array_to_string(t[i:i+7], ' '))) AS s
+                            FROM bt),
+                 bad AS (SELECT DISTINCT doc_id FROM sh8
+                         WHERE s IN (SELECT s FROM bench8)),
+                 clean AS (SELECT * FROM gated
+                           WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+            SELECT CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+                        WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+                        ELSE 'test' END AS split,
+                   source,
+                   count(*) AS n_docs,
+                   CAST(sum(len(t)) AS BIGINT) AS n_tokens
+            FROM clean
+            GROUP BY 1, 2 ORDER BY split, source"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
-    l26DedupGroups, l27Pipeline)
+    l26DedupGroups, l27Pipeline, l28PipelineNearDup)
 }

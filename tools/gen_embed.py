@@ -7,6 +7,11 @@ Layout for n total vectors, from the sf0.1 embeddings (2000 rows):
   - replica 1: EXACT copies at id offset 10M — the planted near-dup
     population (every original gains one cosine-1.0 duplicate, same
     construction the l6 query uses);
+  - NEAR-THRESHOLD tier at id offset 5M: every original also gains a
+    noised copy rotated to cosine ~ U[0.81, 0.95] (seeded) — exact
+    copies share every band signature BY CONSTRUCTION, so they cannot
+    exercise the probabilistic banding math; recall at tau=0.8 is
+    governed by pairs in exactly this range;
   - replicas 2..k: independent seeded N(0,1) float32 vectors — the
     realistic background a web-scale corpus has (near-orthogonal,
     adversarial for banding/celling).
@@ -24,6 +29,7 @@ import pyarrow.parquet as pq
 from pathlib import Path
 
 OFFSET = 10_000_000
+NEAR_OFFSET = 5_000_000  # id offset of the near-threshold noised copies
 
 def main() -> None:
     total = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
@@ -38,8 +44,23 @@ def main() -> None:
     emb = np.array(t["embedding"].to_pylist(), dtype=np.float32)
     labels = t["label"].to_pylist()
 
-    parts_id = [ids, ids + OFFSET]
-    parts_emb = [emb, emb]
+    # near-threshold tier: rotate each original toward a seeded random
+    # orthogonal direction by acos(c), c ~ U[0.81, 0.95] — cos(v, w) = c
+    # up to float32, and the 0.81 floor keeps the 1e-3 quantization
+    # wobble of the engine's scaled cosine away from the tau=0.8 gate
+    rng_near = np.random.default_rng(7)
+    v64 = emb.astype(np.float64)
+    vnorm = np.linalg.norm(v64, axis=1, keepdims=True)
+    vhat = v64 / vnorm
+    g = rng_near.standard_normal((base_n, dim))
+    g -= (g * vhat).sum(axis=1, keepdims=True) * vhat
+    ghat = g / np.linalg.norm(g, axis=1, keepdims=True)
+    c = rng_near.uniform(0.81, 0.95, size=base_n)
+    near = ((c[:, None] * vhat + np.sqrt(1 - c**2)[:, None] * ghat)
+            * vnorm).astype(np.float32)
+
+    parts_id = [ids, ids + OFFSET, ids + NEAR_OFFSET]
+    parts_emb = [emb, emb, near]
     rng = np.random.default_rng(42)
     r = 2
     while sum(len(p) for p in parts_id) < total:
@@ -61,7 +82,8 @@ def main() -> None:
     )
     pq.write_table(out_t, out / "embeddings.parquet")
     print(f"embeddings: {out_t.num_rows} rows, dim={dim}, "
-          f"planted exact-dup pairs: {base_n}")
+          f"planted exact-dup pairs: {base_n}, "
+          f"near-threshold pairs (cos 0.81-0.95): {base_n}")
 
 if __name__ == "__main__":
     main()
