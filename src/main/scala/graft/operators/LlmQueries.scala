@@ -807,11 +807,47 @@ object LlmQueries {
             FROM clean
             GROUP BY 1, 2 ORDER BY split, source"""))
 
+  /** L: the persisted ANN index tier, build side — centroids + quantized
+    * postings partitioned by cell, materialized once at ingest (at
+    * 100 TB the index IS the product; per-run recompute is the honest
+    * bench cost, never the deployment shape). Returns the deterministic
+    * per-cell posting histogram. No SQL oracle (stride-centroid argmax
+    * assignment is not reasonably SQL-expressible) — the driver records
+    * the rows-only check; SimilaritySpec pins build/read invariants:
+    * Σ n_vectors = corpus size, read-path parity with l14's direct
+    * path, and the no-recompute plan gate. */
+  val l29AnnIndexBuild = Q(
+    "l29_ann_index_build",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_l29_index").toString
+      Similarity.buildIvfIndex(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")), tmp)
+    },
+    None)
+
+  /** L: ANN top-k answered FROM a persisted index — the read path that
+    * amortizes l29's build. The corpus side is the postings scan as-is:
+    * no centroid derivation, no assignment, no re-quantization
+    * (SimilaritySpec gates the executed plan). Output is row-identical
+    * to l14 at the same nlist — banding infrastructure moved to ingest,
+    * semantics unchanged. */
+  val l30AnnIndexQuery = Q(
+    "l30_ann_index_query",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_l30_index").toString
+      Similarity.buildIvfIndex(emb, tmp).count() // ingest once
+      Similarity.ivfTopKIndexed(emb, tmp, 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
     l11Multimodal, l12TokenRegex, l13LshTopk, l14IvfTopk, l15FrameSample,
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
-    l26DedupGroups, l27Pipeline, l28PipelineNearDup)
+    l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
+    l30AnnIndexQuery)
 }

@@ -371,6 +371,93 @@ object Similarity {
       .select(col("qid"), col("nid"), col("cos"))
   }
 
+  /** Builds the PERSISTED IVF index tier (the "real deployment" this
+    * file's ivfScoredPairs comment promises): centroids and cell
+    * assignments are computed ONCE at ingest and materialized, so query
+    * runs read them instead of re-deriving — at 100 TB the index IS the
+    * product, and per-run recompute (the honest cost the benchmarks pay)
+    * is amortized away. Two tables under `dir`:
+    *   - `centroids`: (cell, centroid array<double>, cnorm) — nlist rows;
+    *   - `postings`: (vec_id, qvec array<int>, nrm, cell), PARTITIONED
+    *     BY cell — the quantized scoring inputs ([[VectorFunctions
+    *     .quantize3]] codes + precomputed norms) keyed by their cell, so
+    *     the read path starts exactly at the fused join's input shape.
+    * Partitioning by cell is the pruning layout: a query batch probing
+    * few distinct cells prunes posting partitions statically (filter)
+    * or dynamically (DPP through the cell join at scale).
+    * Returns per-cell posting counts (cell, n_vectors) — deterministic
+    * (stride centroids, first-max assignment). */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      dir: String,
+      nlistOpt: Option[Int] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    val n = sc.defaultParallelism
+    val view = corpus.select(col("vec_id"), col("embedding"))
+    val total = view.count()
+    val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
+    val stride = math.max(1L, total / nlist)
+    val (centroids, cnorms) = strideCentroids(view, "embedding", nlist, stride)
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+
+    import spark.implicits._
+    centroids.zip(cnorms).zipWithIndex
+      .map { case ((c, nm), i) => (i, c.toSeq, nm) }.toSeq
+      .toDF("cell", "centroid", "cnorm")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+
+    view.repartition(n, col("vec_id")).select(
+        col("vec_id"),
+        VectorFunctions.quantize3(col("embedding")).as("qvec"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nrm"),
+        nearestCellsCol(matBc, col("embedding"), 1).as("cell"))
+      .repartition(n, col("cell")) // ~nlist/n cells per writer, not n files per cell
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+
+    spark.read.parquet(s"$dir/postings")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("cell"))
+  }
+
+  /** IVF top-k answered FROM the persisted index: probe cells come from
+    * the materialized centroid table (an nlist-row scalar collect, the
+    * same documented discipline as the build side) and the corpus side
+    * is the postings scan as-is — no centroid derivation, no assignment
+    * scan, no re-quantization, no norm recompute anywhere on the corpus
+    * path (SimilaritySpec gates the executed plan: exactly ONE
+    * nearestcellsexpr / quantize3expr, both on the query side).
+    * Row-identical to [[ivfTopK]] with the same nlist: same stride
+    * centroids, same first-max assignment, same quantized scoring —
+    * the spec pins the parity. */
+  def ivfTopKIndexed(
+      queries: DataFrame,
+      indexDir: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val n = sc.defaultParallelism
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+    val centroids = centRows.map(_.getSeq[Double](1).toArray)
+    val cnorms = centRows.map(_.getDouble(2))
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+
+    val postings = spark.read.parquet(s"$indexDir/postings").select(
+      col("vec_id").as("nid"), col("qvec").as("nv"),
+      col("nrm").as("nn"), col("cell"))
+    val q = queries.repartition(n, col("vec_id")).select(
+      col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
+      VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("qn"),
+      explode(nearestCellsCol(matBc, col("embedding"), nprobe)).as("cell"))
+    val scored = q.join(postings, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+    rankTopK(scored, k, spark.read.parquet(s"$indexDir/postings").count())
+  }
+
   /** IVF candidate pairs, ids only — the SimilaritySpec instrument for
     * the per-query candidate bound (≤ c·nprobe·sqrt(n)). Same candidate
     * set the production path scores (shared derivation). */

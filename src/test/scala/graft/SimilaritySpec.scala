@@ -200,6 +200,36 @@ class SimilaritySpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("persisted IVF index: complete, read-path parity with direct, no corpus recompute in-plan") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    val counts = Similarity.buildIvfIndex(
+      emb.select(col("vec_id"), col("embedding")), dir)
+    // completeness: every corpus vector posted exactly once
+    assert(counts.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
+    // parity: the indexed read path answers EXACTLY what the direct
+    // path computes (same stride centroids, assignment, scoring)
+    val idx = Similarity.ivfTopKIndexed(emb, dir, 3)
+    val got = idx.collect().map(_.toSeq).sortBy(_.toString)
+    val want = Similarity.ivfTopK(emb, emb, 3).collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length == want.length && got.sameElements(want))
+    // no-recompute gate: the corpus side must come straight off the
+    // postings scan — the ONLY assignment probe and the ONLY per-row
+    // quantization in the executed plan belong to the query side.
+    // executedPlan.toString (post-collect, AQE-final) inlines full
+    // expression strings and scan locations, which the formatted
+    // adaptive tree omits; gate only the final-plan section (the
+    // adaptive toString appends an "== Initial Plan ==" copy)
+    val p = idx.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.toLowerCase
+    assert(p.contains("postings"), s"read path must scan the postings table:\n${p.take(1200)}")
+    def occurrences(needle: String): Int = needle.r.findAllIn(p).size
+    assert(occurrences("nearestcellsexpr") == 1,
+      s"corpus-side assignment recompute detected:\n${p.take(1500)}")
+    assert(occurrences("quantize3expr") == 1,
+      s"corpus-side re-quantization detected:\n${p.take(1500)}")
+  }
+
   test("semDedup: cascade drops along sub-threshold chains (pinned greedy semantics)") {
     import spark.implicits._
     // a < b < c with cos(a,b) ≈ cos(b,c) ≈ cos(30°) ≈ 0.866 ≥ τ=0.8 but
