@@ -132,32 +132,59 @@ object Similarity {
     * measurably bloats task binaries (1.5 MiB "large task binary"
     * warnings at sf0.1); a broadcast variable ships once per executor
     * and the closure carries only the handle. */
+  /** Shared band-signature core: bands keys of bitsPerBand sign bits. */
+  private def computeBandKeys(
+      planes: Array[Array[Double]], bands: Int, bitsPerBand: Int,
+      a: Array[Float]): Array[Long] = {
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val p = planes(b * bitsPerBand + i)
+        var dot = 0.0
+        var j = 0
+        val len = math.min(p.length, a.length)
+        while (j < len) { dot += p(j) * a(j); j += 1 }
+        if (dot > 0) key |= (1L << i)
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    keys
+  }
+
   private def bandKeysUdf(
       planesBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
       bands: Int, bitsPerBand: Int) =
     udf { (v: Seq[Float]) =>
-      val planes = planesBc.value
-      val keys = new Array[Long](bands)
+      if (v == null) new Array[Long](bands)
+      else computeBandKeys(planesBc.value, bands, bitsPerBand, v.toArray)
+    }
+
+  /** Query-side multi-probe keys: per band, the base key FOLLOWED BY its
+    * bitsPerBand Hamming-distance-1 perturbations — (b+1) slots per
+    * band, so the exploded position maps to band = pos / (b+1). The
+    * corpus side keeps single keys; probing is a query-side explode. */
+  private def multiProbeKeysUdf(
+      planesBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      bands: Int, bitsPerBand: Int) =
+    udf { (v: Seq[Float]) =>
+      val out = new Array[Long](bands * (bitsPerBand + 1))
       if (v != null) {
-        val a = v.toArray // one unboxing copy, then primitive access in the B·b·dim loop
+        val base = computeBandKeys(planesBc.value, bands, bitsPerBand, v.toArray)
         var b = 0
         while (b < bands) {
-          var key = 0L
+          val off = b * (bitsPerBand + 1)
+          out(off) = base(b)
           var i = 0
-          while (i < bitsPerBand) {
-            val p = planes(b * bitsPerBand + i)
-            var dot = 0.0
-            var j = 0
-            val len = math.min(p.length, a.length)
-            while (j < len) { dot += p(j) * a(j); j += 1 }
-            if (dot > 0) key |= (1L << i)
-            i += 1
-          }
-          keys(b) = key
+          while (i < bitsPerBand) { out(off + 1 + i) = base(b) ^ (1L << i); i += 1 }
           b += 1
         }
       }
-      keys
+      out
     }
 
   /** Exact quantized cosine between two attached PRE-QUANTIZED vectors
@@ -518,7 +545,48 @@ object Similarity {
       idCol: String,
       embCol: String,
       threshold: Double,
-      nlistOpt: Option[Int] = None): DataFrame = {
+      nlistOpt: Option[Int] = None,
+      cellCap: Option[Int] = None): DataFrame = {
+    val celled = semDedupCells(emb, idCol, embCol, nlistOpt, cellCap)
+    val joinKeys = if (cellCap.isDefined) Seq("cell", "shard") else Seq("cell")
+    val x = celled.select((Seq(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na")) ++ joinKeys.map(col)): _*)
+    val y = celled.select((Seq(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb")) ++ joinKeys.map(col)): _*)
+    val dropped = x.join(y, joinKeys)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosCol(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_b").as("__drop_id")).distinct()
+    emb.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** The cell (and, with `cellCap`, shard) assignment stage of
+    * [[semDedup]] — shared derivation, also the SimilaritySpec
+    * instrument for the skew bound.
+    *
+    * THE HOT-CELL GUARD (`cellCap`): stride centroids are unbiased on
+    * scattered data, but a CLUSTERED corpus can put a large fraction of
+    * all vectors into one cell, and semDedup's within-cell self-join is
+    * quadratic in cell size — one 10⁸-row cell at web scale is a
+    * quadratic bucket. With `cellCap = Some(cap)`, a cell of size s
+    * splits into ceil(s/cap) shards and comparisons run WITHIN a shard
+    * only, bounding the work envelope at Σ ceil(s/cap)·cap² instead of
+    * Σ s². The shard key is a CONTENT hash of the quantized vector, so
+    * identical vectors always co-shard — the exact-duplicate law
+    * (planted copies are ALWAYS caught) survives capping; what is
+    * traded is near-dup recall BETWEEN distinct vectors hashed to
+    * different shards of the same hot cell — the same fixed-work-for-
+    * recall trade SemDedup's cluster scoping already makes at cell
+    * boundaries, now also inside oversized cells. Uncapped (`None`,
+    * the default and the declared l25 shape) is byte-identical to the
+    * round-6 operator. */
+  private[graft] def semDedupCells(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlistOpt: Option[Int] = None,
+      cellCap: Option[Int] = None): DataFrame = {
     val sc = emb.sparkSession.sparkContext
     val n = sc.defaultParallelism
     val total = emb.count()
@@ -532,16 +600,18 @@ object Similarity {
       col("vec_id").as("id"), VectorFunctions.quantize3(col("embedding")).as("v"),
       dotF(col("embedding"), col("embedding")).as("nrm"),
       nearestCellsCol(matBc, col("embedding"), 1).as("cell"))
-    val x = celled.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("cell"))
-    val y = celled.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cell"))
-    val dropped = x.join(y, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosCol(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_b").as("__drop_id")).distinct()
-    emb.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
+    cellCap match {
+      case None => celled
+      case Some(cap) =>
+        require(cap > 0, s"cellCap must be positive, got $cap")
+        // ≤ nlist rows — broadcast the per-cell shard counts
+        val shardCounts = celled.groupBy(col("cell"))
+          .agg(ceil(count(lit(1)) / cap.toDouble).cast("int").as("nshards"))
+        celled.join(broadcast(shardCounts), "cell")
+          .withColumn("shard",
+            pmod(hash(col("v")), greatest(col("nshards"), lit(1))))
+          .drop("nshards")
+    }
   }
 
   /** Bands needed so a pair at cosine >= `threshold` is missed with
@@ -551,6 +621,22 @@ object Similarity {
   def bandsForRecall(threshold: Double, bitsPerBand: Int, miss: Double): Int = {
     val p = 1.0 - math.acos(threshold) / math.Pi
     math.ceil(math.log(miss) / math.log(1.0 - math.pow(p, bitsPerBand))).toInt
+  }
+
+  /** Bands needed under Hamming-1 MULTI-PROBE: a probe set of the base
+    * key plus its b single-bit flips matches a band whenever AT MOST
+    * one bit disagrees, so per-band match probability rises from p^b to
+    * P₁ = p^b + b·p^(b-1)·(1-p) (the binomial ≤1-mismatch tail), and
+    * B solves (1-P₁)^B <= miss. At τ = 0.9, b = 15: P₁/p^b ≈ 3.5 —
+    * ~3.5× fewer bands for the same recall, paid as a query-side
+    * (b+1)-way key explode instead of corpus-side bands (see SCALE.md's
+    * 10⁹ cost model: the n·B corpus shuffle rows and B·b·dim signature
+    * flops are the binding terms there, and both scale with B). */
+  def bandsForRecallMultiProbe(threshold: Double, bitsPerBand: Int, miss: Double): Int = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val p1 = math.pow(p, bitsPerBand) +
+      bitsPerBand * math.pow(p, bitsPerBand - 1) * (1.0 - p)
+    math.ceil(math.log(miss) / math.log(1.0 - p1)).toInt
   }
 
   /** Hyperplane budget ceiling: B·b sign-bit projections per row is the
@@ -769,20 +855,39 @@ object Similarity {
       bitsPerBand: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L,
-      corpusSize: Option[Long] = None): DataFrame = {
+      corpusSize: Option[Long] = None,
+      multiProbe: Boolean = false): DataFrame = {
     val n0 = corpusSize.getOrElse(corpus.count())
     val b = bitsPerBand.getOrElse(math.max(4, (log2ceil(n0) + 1) / 2))
-    val nBands = bands.getOrElse(math.max(8, bandsForRecall(0.9, b, 0.05)))
+    // multi-probe: the SAME 95%-at-cosine-0.9 recall target needs ~3.5×
+    // fewer bands (Hamming-1 probing lifts per-band match probability
+    // to the ≤1-mismatch binomial tail) — the 10⁹-regime lever, since
+    // corpus shuffle rows and signature flops both scale with the band
+    // count while probing is a query-side explode
+    val nBands = bands.getOrElse(
+      if (multiProbe) math.max(4, bandsForRecallMultiProbe(0.9, b, 0.05))
+      else math.max(8, bandsForRecall(0.9, b, 0.05)))
     val planesBc = queries.sparkSession.sparkContext
       .broadcast(hyperplanes(nBands * b, dim, seed))
     val keysUdf = bandKeysUdf(planesBc, nBands, b)
     val dotF = VectorFunctions.dotScaledFast _
 
     val n = queries.sparkSession.sparkContext.defaultParallelism
-    val q = queries.repartition(n, col("vec_id")).select(
-      col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
-      dotF(col("embedding"), col("embedding")).as("qn"),
-      posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
+    val q =
+      if (multiProbe) {
+        val probeUdf = multiProbeKeysUdf(planesBc, nBands, b)
+        queries.repartition(n, col("vec_id")).select(
+          col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
+          dotF(col("embedding"), col("embedding")).as("qn"),
+          posexplode(probeUdf(col("embedding"))).as(Seq("pos", "bkey")))
+          .withColumn("band", (col("pos") / (b + 1)).cast("int"))
+          .drop("pos")
+      } else {
+        queries.repartition(n, col("vec_id")).select(
+          col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
+          dotF(col("embedding"), col("embedding")).as("qn"),
+          posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
+      }
     val c = corpus.select(
       col("vec_id").as("nid"), VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"),
@@ -821,7 +926,9 @@ object Similarity {
       bands: Option[Int] = None,
       bitsPerBand: Option[Int] = None,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      multiProbe: Boolean = false): DataFrame =
     rankTopKAgg(
-      lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed), k)
+      lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed,
+        multiProbe = multiProbe), k)
 }

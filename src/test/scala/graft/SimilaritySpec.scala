@@ -257,6 +257,112 @@ class SimilaritySpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("multi-probe LSH: fewer bands for the same target, superset law, planted recall") {
+    import spark.implicits._
+    // band-count math: Hamming-1 probing lifts per-band match
+    // probability to the ≤1-mismatch binomial tail — at the 10⁹-regime
+    // width (b = 15) the SAME 95%-at-cosine-0.9 target needs ~3.5×
+    // fewer bands, which is the term corpus shuffle rows and signature
+    // flops scale with (SCALE.md's multi-probe section)
+    val std15 = Similarity.bandsForRecall(0.9, 15, 0.05)
+    val mp15 = Similarity.bandsForRecallMultiProbe(0.9, 15, 0.05)
+    assert(mp15 * 3 <= std15, s"expected ≥3× band reduction at b=15: $std15 vs $mp15")
+
+    // planted near-threshold pairs at cosine cos(25°) ≈ 0.906
+    val rng = new scala.util.Random(23)
+    val dim = 16
+    def unit(): Array[Double] = {
+      val a = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    def rotated(v: Array[Double], deg: Double): Array[Double] = {
+      val g0 = unit()
+      val d = g0.zip(v).map { case (x, y) => x * y }.sum
+      val g1 = g0.zip(v).map { case (x, y) => x - d * y }
+      val gn = math.sqrt(g1.map(x => x * x).sum)
+      val r = math.toRadians(deg)
+      v.zip(g1).map { case (x, y) => math.cos(r) * x + math.sin(r) * (y / gn) }
+    }
+    val bases = (0 until 50).map(i => (i.toLong, unit()))
+    val partners = bases.map { case (i, v) => (1000L + i, rotated(v, 25.0)) }
+    val background = (0 until 400).map(i => (2000L + i, unit()))
+    val corpus = (bases ++ partners ++ background)
+      .map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+
+    // superset law: with IDENTICAL bands/width/seed, the multi-probe
+    // candidate set contains every single-probe candidate (the probe
+    // set includes the exact key)
+    def pairsOf(mp: Boolean): Set[(Long, Long)] =
+      Similarity.lshScoredPairs(corpus, corpus, bands = Some(6),
+          bitsPerBand = Some(5), dim = dim, multiProbe = mp)
+        .select(col("qid"), col("nid")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsOf(mp = false)
+    val multi = pairsOf(mp = true)
+    assert(single.subsetOf(multi), s"probe set must include the exact key")
+
+    // recall with the REDUCED derived band count: each base's partner
+    // (cosine ≈ 0.906) lands in its top-3 despite half the bands
+    val top = Similarity.lshTopK(corpus, corpus, 3, dim = dim, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = bases.count { case (i, _) => top.contains((i, 1000L + i)) } / 50.0
+    assert(recall >= 0.9, s"multi-probe planted recall $recall")
+  }
+
+  test("semDedup cellCap: hot clustered cell is sharded, exact-dup law survives capping") {
+    import spark.implicits._
+    // adversarial CLUSTERED corpus (the shape stride centroids are
+    // flattered to miss on the N(0,1) fixtures): 300 distinct tight
+    // perturbations of one direction (pairwise cos > 0.99) + scattered
+    // background + one planted EXACT duplicate pair inside the cluster.
+    // Uncapped, the whole cluster lands in one cell — a quadratic
+    // bucket; capped, it shards at ~cap with content-hash keys.
+    val rng = new scala.util.Random(11)
+    val dim = 8
+    def jitter(i: Int): Seq[Float] =
+      (Seq(10.0f) ++ Seq.fill(dim - 1)(0.0f)).zipWithIndex.map {
+        case (x, j) => x + (rng.nextGaussian() * 0.02).toFloat + (if (j == i % 7 + 1) 0.01f else 0f)
+      }
+    // ODD ids keep the cluster out of the stride-seed set (stride is
+    // even here), so no centroid lands inside the cluster — the whole
+    // blob falls to one nearest background centroid: the hot cell
+    val cluster = (0 until 300).map(i => (1001L + 2 * i, jitter(i)))
+    val background = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(dim)((rng.nextGaussian() * 3).toFloat)))
+    val exactPair = Seq((5001L, cluster.head._2)) // copy of id 1001
+    val corpus = (cluster ++ background ++ exactPair).toDF("vec_id", "embedding")
+
+    val cap = 32
+    val cells = Similarity.semDedupCells(corpus, "vec_id", "embedding",
+      nlistOpt = Some(8), cellCap = Some(cap))
+    // skew bound: no (cell, shard) comparison bucket exceeds ~2×cap
+    // (content-hash sharding is random, not exact-equal slicing)
+    val maxBucket = cells.groupBy(col("cell"), col("shard"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    assert(maxBucket <= 2L * cap, s"hot cell not sharded: max bucket $maxBucket")
+    // vs uncapped: the cluster really is one quadratic cell without the guard
+    val maxCell = Similarity.semDedupCells(corpus, "vec_id", "embedding",
+      nlistOpt = Some(8)).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+    assert(maxCell >= 300, s"fixture must concentrate the cluster: max cell $maxCell")
+
+    // exact-dup law under capping: identical vectors co-shard (content
+    // hash), so the planted copy is ALWAYS dropped and its original kept
+    val survivors = Similarity.semDedup(corpus, "vec_id", "embedding", 0.95,
+      nlistOpt = Some(8), cellCap = Some(cap))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!survivors.contains(5001L) && survivors.contains(1001L))
+    // capping only ever trades recall (fewer drops), never over-deletes:
+    // capped survivors ⊇ uncapped survivors
+    val uncapped = Similarity.semDedup(corpus, "vec_id", "embedding", 0.95,
+      nlistOpt = Some(8))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(uncapped.subsetOf(survivors),
+      s"capping must not drop pairs the uncapped sweep keeps")
+  }
+
   test("langid: deterministic and sane on clear-cut samples") {
     import spark.implicits._
     val t = Seq(
