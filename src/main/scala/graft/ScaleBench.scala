@@ -66,6 +66,9 @@ object ScaleBench {
     if (wanted("lsh_topk")) runs("lsh_topk") = timed("lsh_topk") {
       Similarity.lshTopK(emb, emb, 3).count()
     }
+    if (wanted("lsh_topk_mp")) runs("lsh_topk_mp") = timed("lsh_topk_mp") {
+      Similarity.lshTopK(emb, emb, 3, multiProbe = true).count()
+    }
     if (wanted("ivf_topk")) runs("ivf_topk") = timed("ivf_topk") {
       Similarity.ivfTopK(emb, emb, 3).count()
     }

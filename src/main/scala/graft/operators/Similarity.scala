@@ -858,12 +858,19 @@ object Similarity {
       corpusSize: Option[Long] = None,
       multiProbe: Boolean = false): DataFrame = {
     val n0 = corpusSize.getOrElse(corpus.count())
-    val b = bitsPerBand.getOrElse(math.max(4, (log2ceil(n0) + 1) / 2))
-    // multi-probe: the SAME 95%-at-cosine-0.9 recall target needs ~3.5×
-    // fewer bands (Hamming-1 probing lifts per-band match probability
-    // to the ≤1-mismatch binomial tail) — the 10⁹-regime lever, since
-    // corpus shuffle rows and signature flops both scale with the band
-    // count while probing is a query-side explode
+    // multi-probe WIDENS the band by 4 bits as well as probing: probing
+    // (b+1) buckets per band at the single-probe width would grow the
+    // candidate volume ~3× (measured as an OOM at 10⁶ — more probed
+    // buckets of the same size); +4 bits shrinks every bucket 16×, so
+    // the probed volume lands BELOW the single-probe one while the
+    // band count still drops ~2× (7 vs 13 at n = 10⁶). Probes trade
+    // against BOTH bands and bucket width — the standard multi-probe
+    // parameterization.
+    val b = bitsPerBand.getOrElse(
+      if (multiProbe) math.max(6, (log2ceil(n0) + 1) / 2 + 4)
+      else math.max(4, (log2ceil(n0) + 1) / 2))
+    // either way the band count is DERIVED from the same recall target:
+    // a neighbor at cosine ≥ 0.9 survives with ≥ 95% at any corpus size
     val nBands = bands.getOrElse(
       if (multiProbe) math.max(4, bandsForRecallMultiProbe(0.9, b, 0.05))
       else math.max(8, bandsForRecall(0.9, b, 0.05)))
