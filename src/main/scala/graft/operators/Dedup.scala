@@ -164,13 +164,22 @@ object Dedup {
     * copies — BENCH_LOCAL.md). On a duplicate-free corpus the expansion
     * is the identity and the output is byte-identical to scoring
     * directly, at the cost of one extra text-hash aggregation. */
+  /** `preDeduped = true` asserts the caller's texts are ALREADY
+    * distinct (e.g. the l28 pipeline feeds [[exact]]'s output) and
+    * skips the whole canonicalization + group-expansion tier — two
+    * whole-text aggregations, one checkpoint and three joins whose
+    * work is the identity on distinct input. Results are identical on
+    * genuinely distinct texts; on a corpus with duplicates the flag is
+    * WRONG to pass (duplicate texts inflate shingle df toward the
+    * dfCap cut and duplicate pairs go unreported). */
   def ngramJaccard(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      dfCap: Int = 128): DataFrame = {
+      dfCap: Int = 128,
+      preDeduped: Boolean = false): DataFrame = {
     // exact-dedup canonicalization: one representative id per distinct
     // text; all shingle/candidate/scoring work below runs on reps only.
     // Grouping keys here are the raw texts — exact by construction; at
@@ -184,9 +193,10 @@ object Dedup {
     // rep-pair expansion + both sides of the intra-group self-join),
     // each of which would re-run the whole-text grouping otherwise —
     // materialize the narrow (id, rid) table once per invocation
-    val members = base.join(groups, "txt").select(col("id"), col("rid"))
+    lazy val members = base.join(groups, "txt").select(col("id"), col("rid"))
       .localCheckpoint()
-    val reps = groups.select(col("rid").as("id"), col("txt"))
+    val reps =
+      if (preDeduped) base else groups.select(col("rid").as("id"), col("txt"))
 
     // materialize the (id, shingle-key) sets ONCE: four downstream
     // branches (df histogram, rare join, size agg, hot join) would each
@@ -246,6 +256,8 @@ object Dedup {
       .withColumn("jaccard", col("ni") / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+    if (preDeduped) return repPairs
 
     // expand back through group membership: a rep-pair score holds for
     // every member cross-pair (identical texts ⇒ identical sets), and

@@ -632,8 +632,11 @@ object LlmQueries {
       val all = Tables(s, dir, "documents")
       val bench = all.filter(col("doc_id") % 50 === 0)
       val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      // materialized once — four downstream branches re-run the
+      // whole-text groupBy otherwise (same rationale as l28)
       val reps = Dedup.exact(corpus, "text", "doc_id")
         .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+        .localCheckpoint()
       val gated = reps
         .filter(length(col("text")) >= 100 && size(split(col("text"), " ")) >= 20)
         .join(TextAnalysis.repetitionSignals(reps, "doc_id", "text")
@@ -712,12 +715,20 @@ object LlmQueries {
       val all = Tables(s, dir, "documents")
       val bench = all.filter(col("doc_id") % 50 === 0)
       val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      // materialize the exact-dedup output ONCE: six downstream branches
+      // (pair stage, anti-join, quality gates, repetition signals,
+      // decontamination, final agg) would each re-run the whole-text
+      // groupBy otherwise — measured as most of the query's cost
       val reps = Dedup.exact(corpus, "text", "doc_id")
         .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+        .localCheckpoint()
       // component collapse: drop every doc whose component label is a
-      // smaller id (the survivor is the component min — deterministic)
+      // smaller id (the survivor is the component min — deterministic).
+      // reps is exact-deduped by construction, so the pair stage skips
+      // its internal canonicalization tier (preDeduped)
       val dropped = Dedup.connectedComponents(
-          Dedup.ngramJaccard(reps, "doc_id", "text"), "id_a", "id_b")
+          Dedup.ngramJaccard(reps, "doc_id", "text", preDeduped = true),
+          "id_a", "id_b")
         .filter(col("comp") =!= col("id"))
         .select(col("id").as("doc_id"))
       val survivors = reps.join(dropped, Seq("doc_id"), "left_anti")

@@ -64,6 +64,19 @@ class DedupSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("preDeduped fast path: identical pairs on a distinct-text corpus") {
+    // the l28 composition feeds exact-dedup output into the pair stage;
+    // preDeduped skips the internal canonicalization tier, which must
+    // be the identity whenever texts are genuinely distinct
+    val distinctDocs = Dedup.exact(docs, "text", "doc_id")
+    def run(fast: Boolean) = Dedup
+      .ngramJaccard(distinctDocs, "doc_id", "text", preDeduped = fast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = run(fast = true)
+    val slow = run(fast = false)
+    assert(fast == slow && fast.nonEmpty)
+  }
+
   test("dfCap laws: capped pairs are a subset with identical exact scores") {
     import spark.implicits._
     // synthetic corpus: docs 1..10 are near-identical with a unique tail
