@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Per-VECTOR 1e-3 quantization: `ARRAY<FLOAT>` → `ARRAY<INT>` with
   * each element [[DotScaledExpr.q3]](x) — the factored-out half of the
@@ -56,6 +56,50 @@ object Quantize3Expr {
             "not an embedding; use the long-path DotScaledExpr)")
       out(i) = q.toInt
       i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Int8 scalar-quantization GEOMETRY view: `ARRAY<FLOAT>` →
+  * `ARRAY<DOUBLE>` of ready-to-probe codes — two-pass max-abs then
+  * `floor(x·127/m + 0.5)`, bit-identical to the built-ins form in
+  * [[VectorFunctions.int8Codes]] (same IEEE double ops in the same
+  * order). The native twin of the former Scala UDF on the l22 IVF
+  * path: raw ArrayData in, primitive arrays throughout, no boxed Seq
+  * per row. */
+case class Int8GeomExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Int8GeomExpr.codes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Int8GeomExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.codes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8GeomExpr {
+  /** Called from generated code — must stay public and JVM-simple. */
+  def codes(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble); if (x > m) m = x; i += 1
+    }
+    val out = new Array[Double](n)
+    if (m != 0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getFloat(i).toDouble * 127 / m + 0.5); i += 1
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }

@@ -201,28 +201,14 @@ object Similarity {
       .otherwise(VectorFunctions.dotQ3(va, vb).cast("double") /
         sqrt((na * nb).cast("double")))
 
-  /** Int8 SQ codes as ready-to-probe doubles, one tight-loop UDF pass —
-    * bit-identical to `floor(x·127/m + 0.5)` over the built-ins
-    * (same IEEE double ops in the same order). */
-  private val int8GeomUdf = udf { (v: Seq[Float]) =>
-    if (v == null) null
-    else {
-      val a = v.toArray
-      var m = 0.0
-      var i = 0
-      while (i < a.length) {
-        val x = math.abs(a(i).toDouble); if (x > m) m = x; i += 1
-      }
-      val out = new Array[Double](a.length)
-      if (m != 0) {
-        i = 0
-        while (i < a.length) {
-          out(i) = math.floor(a(i).toDouble * 127 / m + 0.5); i += 1
-        }
-      }
-      out
-    }
-  }
+  /** Int8 SQ codes as ready-to-probe doubles — the native
+    * [[graft.functions.Int8GeomExpr]] (raw ArrayData in, no boxed Seq
+    * per row), bit-identical to `floor(x·127/m + 0.5)` over the
+    * built-ins (same IEEE double ops in the same order). */
+  private def int8GeomCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Int8GeomExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v)))
 
   /** Stride-picked deterministic centroids with PRECOMPUTED norms,
     * broadcast once. k-means would drift per run; determinism matters
@@ -377,7 +363,7 @@ object Similarity {
     // index tier); computing them inline per run is the honest cost of
     // benching without a materialized index.
     def withGeom(df: DataFrame): DataFrame =
-      if (int8) df.withColumn("geom", int8GeomUdf(col("embedding")))
+      if (int8) df.withColumn("geom", int8GeomCol(col("embedding")))
       else df.withColumn("geom", col("embedding"))
 
     val (centroids, cnorms) = strideCentroids(withGeom(corpus), "geom", nlist, stride)
