@@ -105,6 +105,50 @@ object Int8GeomExpr {
   }
 }
 
+/** Signed-byte dot product of two packed int8 code columns
+  * (`BINARY`, one code per byte): sum_i a_i·b_i in Long — the
+  * pair-time scorer of the near-dup CODE PREFILTER, where the banded
+  * self-join rows carry 64-byte code blobs instead of 256-byte
+  * quantized vectors (4× less band-shuffle payload) and candidate
+  * pairs are screened in code space before an output-sized exact
+  * rescore. Max |code| is 127 and dims are small, so the accumulator
+  * never overflows. */
+case class CodeDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x(i).toLong * y(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a[$i] * (long) $b[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Pure integer dot product of two pre-quantized `ARRAY<INT>` columns:
   * sum_i a_i * b_i accumulated in Long — the pair-time half of the
   * quantized dot. One widening multiply-add per element inside

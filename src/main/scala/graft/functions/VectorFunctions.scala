@@ -93,4 +93,11 @@ object VectorFunctions {
     ColumnBridge.column(
       DotQ3Expr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
+
+  /** Signed-byte dot of two packed int8 code blobs ([[CodeDotExpr]]). */
+  def codeDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      CodeDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 }

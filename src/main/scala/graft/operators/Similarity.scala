@@ -194,7 +194,12 @@ object Similarity {
     * integer dot ([[graft.functions.DotQ3Expr]]). The round-7 stage
     * isolation at 10⁶ vectors measured per-pair RE-quantization (two
     * floor-rounds per element per pair) as ~290 of IVF's 297 s; this
-    * split retires it across every fused similarity join. */
+    * split retires it across every fused similarity join.
+    *
+    * Domain: the q3 norm² PRODUCT na·nb must fit a Long (per-vector
+    * norm² ≤ ~3×10⁹, i.e. element magnitudes ≤ ~200 at 64 dims) — the
+    * same bound the DuckDB oracle's BIGINT product carries, and far
+    * above any normalized-embedding regime. */
   private def cosCol(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
       na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
     when(na === 0 || nb === 0, lit(0.0))
@@ -736,6 +741,34 @@ object Similarity {
     * [[MaxBitsPerBand]] cap). The fixture-scale l6 oracle query passes
     * miss = 1e-7 explicitly — at 3k vectors the stricter budget is
     * cheap and makes the all-pairs DuckDB hash-match a non-event. */
+  /** Per-row int8 pack for the code prefilter: (codes as one byte per
+    * element, code self-dot, SQ scale m). One pass per ROW — the blob
+    * then rides every banded copy of the row at 64 B instead of the
+    * 256 B quantized vector. */
+  private val int8PackUdf = udf { (v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      val a = v.toArray
+      var m = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = math.abs(a(i).toDouble); if (x > m) m = x; i += 1
+      }
+      val codes = new Array[Byte](a.length)
+      var cdot = 0L
+      if (m != 0) {
+        i = 0
+        while (i < a.length) {
+          val c = math.floor(a(i).toDouble * 127 / m + 0.5).toLong
+          codes(i) = c.toByte
+          cdot += c * c
+          i += 1
+        }
+      }
+      (codes, cdot, m)
+    }
+  }
+
   def cosineNearDup(
       emb: DataFrame,
       idCol: String,
@@ -746,7 +779,8 @@ object Similarity {
       bandsOverride: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L,
-      corpusSize: Option[Long] = None): DataFrame = {
+      corpusSize: Option[Long] = None,
+      codePrefilter: Boolean = true): DataFrame = {
     val n0 = corpusSize.getOrElse(emb.count())
     val (b, bands) = nearDupParams(threshold, n0, miss, bitsPerBand, bandsOverride)
     val sc = emb.sparkSession.sparkContext
@@ -754,25 +788,88 @@ object Similarity {
     val n = sc.defaultParallelism
     val keysUdf = bandKeysUdf(planesBc, bands, b)
 
-    // the self-join recomputes the signature UDF on both sides; a
-    // localCheckpoint of the banded rows was tried and measured SLOWER
-    // at n = 10⁵ (materializing n·B wide rows costs more than the
-    // B·b·dim recompute) — recompute is the right trade here
+    if (!codePrefilter) {
+      // reference shape: full quantized vectors ride the banded rows and
+      // pairs score exactly in the join — kept as the equality oracle
+      // for the prefilter path (SimilaritySpec law) and for corpora
+      // where the sound margin would be weak (tiny norms)
+      val banded = emb
+        .repartition(n, col(idCol))
+        .select(col(idCol).as("id"), VectorFunctions.quantize3(col(embCol)).as("v"),
+          VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"),
+          posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
+      val x = banded.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"), col("band"), col("bkey"))
+      val y = banded.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"), col("band"), col("bkey"))
+      return x.join(y, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosCol(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .distinct()
+    }
+
+    // CODE-PREFILTER shape (round 7 — near-dup is band-shuffle-bound at
+    // 10⁶: the n·B banded rows, not pair scoring, dominate). Banded
+    // rows carry the 64 B int8 code blob + three scalars instead of the
+    // 256 B quantized vector (~2.5× less shuffle payload); candidate
+    // pairs are screened on code-space cosine with a PROVABLY SOUND
+    // margin, and only the ~output-sized survivor set re-attaches exact
+    // vectors for scoring (this is NOT the retired re-attach-all shape:
+    // the joins here touch survivors, not the 10⁹-row candidate set).
+    //
+    // Soundness of the margin (so the screen can never lose a true
+    // pair, keeping the l6 oracle hash-exact): let a = q3(v_a) be the
+    // exact scoring vector, A = s_a·ca its code reconstruction with
+    // s_a = 1000·m_a/127, and e_a = a − A the residual. Per element
+    // |e_i| ≤ 0.5 + s_a/2 (two round-half-up steps), so
+    // E_a = √len·(0.5 + s_a/2) bounds ‖e_a‖. Writing r_a = E_a/‖a‖ and
+    // expanding <a,b> = <A+e_a, B+e_b> with Cauchy–Schwarz on every
+    // cross term (and ‖A‖ ≤ ‖a‖+E_a, |cos_code| ≤ 1):
+    //   |cos(a,b) − cos_code(ca,cb)| ≤ 2·(r_a + r_b) + 4·r_a·r_b =: M.
+    // Screen keeps cos_code ≥ τ − M; the exact rescore applies τ
+    // exactly. Zero/tiny-norm rows make M ≥ 2 — kept, then dropped
+    // exactly. On 64-dim unit-ish embeddings M ≈ 0.05, and background
+    // collision pairs sit near cosine 0, so survivors ≈ output.
     val banded = emb
       .repartition(n, col(idCol))
-      .select(col(idCol).as("id"), VectorFunctions.quantize3(col(embCol)).as("v"),
+      .withColumn("pk", int8PackUdf(col(embCol)))
+      .select(col(idCol).as("id"),
+        col("pk._1").as("codes"), col("pk._2").as("cdot"), col("pk._3").as("m"),
         VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"),
         posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
-    val x = banded.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("band"), col("bkey"))
-    val y = banded.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("band"), col("bkey"))
-    x.join(y, Seq("band", "bkey"))
+    def side(suffix: String) = banded.select(
+      col("id").as(s"id_$suffix"), col("codes").as(s"c$suffix"),
+      col("cdot").as(s"cd$suffix"), col("m").as(s"m$suffix"),
+      col("nrm").as(s"n$suffix"), col("band"), col("bkey"))
+    def rCol(suffix: String) = {
+      // r = E/‖a‖ = √len·(0.5 + 500·m/127) / √nrm ; nrm = 0 ⇒ screen-keep
+      val e = sqrt(length(col(s"c$suffix")).cast("double")) *
+        (lit(0.5) + col(s"m$suffix") * (500.0 / 127.0))
+      when(col(s"n$suffix") === 0, lit(2.0))
+        .otherwise(e / sqrt(col(s"n$suffix").cast("double")))
+    }
+    val cosCode =
+      when(col("cda") === 0 || col("cdb") === 0, lit(0.0))
+        .otherwise(VectorFunctions.codeDot(col("ca"), col("cb")).cast("double") /
+          sqrt((col("cda") * col("cdb")).cast("double")))
+    val margin = lit(2.0) * (rCol("a") + rCol("b")) + lit(4.0) * rCol("a") * rCol("b")
+    val survivors = side("a").join(side("b"), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .filter(cosCode >= lit(threshold) - margin)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact rescore of the survivor set only
+    val qv = emb.select(col(idCol).as("rid"),
+      VectorFunctions.quantize3(col(embCol)).as("rv"),
+      VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("rn"))
+    survivors
+      .join(qv.select(col("rid").as("id_a"), col("rv").as("va"), col("rn").as("na")), "id_a")
+      .join(qv.select(col("rid").as("id_b"), col("rv").as("vb"), col("rn").as("nb")), "id_b")
       .withColumn("cos", cosCol(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .distinct()
   }
 
   /** Candidate stage of [[cosineNearDup]], ids only: distinct

@@ -257,6 +257,78 @@ class SimilaritySpec extends SparkSpec {
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("near-dup code prefilter: identical output to the exact-in-join shape") {
+    import spark.implicits._
+    // the prefilter screens candidates on code-space cosine with a
+    // sound margin, then rescores exactly — output must be SET-IDENTICAL
+    // to the reference shape on any corpus, including adversarial
+    // scales (tiny norms make the margin ≥ 2 ⇒ screen-keep-all)
+    def pairs(df: org.apache.spark.sql.DataFrame, pre: Boolean) =
+      Similarity.cosineNearDup(df, "vec_id", "embedding", threshold = 0.8,
+          codePrefilter = pre)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(doubled, pre = true) == pairs(doubled, pre = false))
+    assert(pairs(doubled, pre = true).nonEmpty)
+
+    val rng = new scala.util.Random(5)
+    val nasty = ((0 until 200).map { i =>
+      // 4f keeps q3-norm² products inside Long (the engine's documented
+      // scoring domain — cosCol's na·nb must not overflow)
+      val scale = Seq(1e-3f, 1f, 4f)(i % 3)
+      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat * scale))
+    } ++ Seq(
+      (900L, Seq.fill(16)(0.0f)),                    // zero vector
+      (901L, (Seq(1f) ++ Seq.fill(15)(0f))),         // one-hot
+      (902L, (Seq(1f) ++ Seq.fill(15)(0f))),         // its exact twin
+      (903L, Seq.fill(16)(1e-4f)))                   // tiny norm
+    ).toDF("vec_id", "embedding")
+    val got = pairs(nasty, pre = true)
+    assert(got == pairs(nasty, pre = false))
+    assert(got.contains((901L, 902L))) // the planted exact pair survives
+  }
+
+  test("code-prefilter margin is sound: |exact − code cosine| ≤ M (pure JVM law)") {
+    // mirrors the engine's bound derivation: a = q3(v), codes =
+    // round(127 v/m), r = √len·(0.5 + 500m/127)/‖a‖,
+    // M = 2(r_a + r_b) + 4 r_a r_b — Cauchy-Schwarz on the residuals
+    val rng = new scala.util.Random(17)
+    def q3v(v: Array[Double]): Array[Long] = v.map { x =>
+      val d = x * 1000
+      (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+    }
+    def codes(v: Array[Double]): (Array[Long], Double) = {
+      val m = v.map(math.abs).max
+      (if (m == 0) v.map(_ => 0L)
+       else v.map(x => math.floor(x * 127 / m + 0.5).toLong), m)
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    var checked = 0
+    for (t <- 0 until 500) {
+      val dim = 8 + rng.nextInt(57)
+      val scale = Seq(1e-3, 0.1, 1.0, 30.0, 2000.0)(t % 5)
+      def vec() = Array.fill(dim)(rng.nextGaussian() * scale)
+      val (va, vb) = (vec(), vec())
+      val (qa, qb) = (q3v(va), q3v(vb))
+      val ((ca, ma), (cb, mb)) = (codes(va), codes(vb))
+      val na = math.sqrt(qa.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(qb.map(x => x * x).sum.toDouble)
+      if (na > 0 && nb > 0) {
+        val ra = math.sqrt(dim.toDouble) * (0.5 + 500.0 * ma / 127.0) / na
+        val rb = math.sqrt(dim.toDouble) * (0.5 + 500.0 * mb / 127.0) / nb
+        val m = 2 * (ra + rb) + 4 * ra * rb
+        val delta = math.abs(cos(qa, qb) - cos(ca, cb))
+        assert(delta <= m + 1e-12, s"margin violated: |Δ|=$delta M=$m dim=$dim scale=$scale")
+        checked += 1
+      }
+    }
+    assert(checked > 400)
+  }
+
   test("multi-probe LSH: fewer bands for the same target, superset law, planted recall") {
     import spark.implicits._
     // band-count math: Hamming-1 probing lifts per-band match
