@@ -143,18 +143,28 @@ object Bench {
     // Self-healing: rounds 4 and 6 both shipped artifacts inflated 5-20× by a
     // co-resident JVM. The gauge DETECTS that (drift ≫ 1, or the machine was
     // already loaded before we started); detection without remediation still
-    // publishes wrong numbers, so a contaminated pass is re-run once and the
-    // cleaner pass (smaller |log drift|, i.e. a steadier machine) becomes the
-    // official `queries`/`value`. Both passes ship under "attempts" so the
-    // artifact stays honest about what happened.
+    // publishes wrong numbers, so contaminated passes are retried (bounded,
+    // with a settle-down sleep so a draining workload actually drains) and
+    // the official pass is chosen from the UNCONTAMINATED pool first. Round 7
+    // showed why the pool filter matters: a steady co-resident load inflates
+    // every query while keeping gauge drift ≈ 1.0, so picking by |log drift|
+    // alone let a load-6 pass beat a clean one. All passes ship under
+    // "attempts" so the artifact stays honest about what happened.
+    val maxAttempts = 3
     val attempts = {
-      val a1 = runAttempt("1")
-      if (a1.contaminated) {
-        System.err.println(f"[bench] attempt 1 contaminated (drift ${a1.drift}%.2f, load ${a1.loadStart}%.2f) — retrying once")
-        Seq(a1, runAttempt("2"))
-      } else Seq(a1)
+      val buf = scala.collection.mutable.ArrayBuffer(runAttempt("1"))
+      while (buf.last.contaminated && buf.size < maxAttempts) {
+        System.err.println(
+          f"[bench] attempt ${buf.size} contaminated (drift ${buf.last.drift}%.2f, " +
+            f"load ${buf.last.loadStart}%.2f) — sleeping 60 s, then retrying")
+        Thread.sleep(60000) // let the co-resident workload drain
+        buf += runAttempt(s"${buf.size + 1}")
+      }
+      buf.toSeq
     }
-    val official = attempts.minBy(a => math.abs(math.log(math.max(a.drift, 1e-3))))
+    val pool = attempts.filterNot(_.contaminated)
+    val official = (if (pool.nonEmpty) pool else attempts)
+      .minBy(a => math.abs(math.log(math.max(a.drift, 1e-3))))
 
     val qJson = official.results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Per-VECTOR 1e-3 quantization: `ARRAY<FLOAT>` → `ARRAY<INT>` with
   * each element [[DotScaledExpr.q3]](x) — the factored-out half of the
@@ -102,6 +103,61 @@ object Int8GeomExpr {
       }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Per-row int8 PACK for the code prefilter/screen tiers:
+  * `ARRAY<FLOAT>` → STRUCT(codes BINARY, cdot LONG, m DOUBLE) — one
+  * byte per element (`floor(x·127/m + 0.5)` with m = max|x|), the code
+  * self-dot, and the SQ scale. One two-pass tight loop per ROW; the
+  * 64 B blob then rides every banded/celled copy of the row instead of
+  * the 256 B quantized vector, and it is the persisted-postings payload
+  * of the int8 ANN index tier. Native twin of the former
+  * `int8PackUdf` — same IEEE ops in the same order, no boxed
+  * Seq[Float] per row (the one remaining Scala UDF on a 10⁶-scale hot
+  * path after round 7; PropertySpec pins interpreted ≡ codegen ≡ the
+  * reference loop). */
+case class Int8PackExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", BinaryType, nullable = false),
+    StructField("cdot", LongType, nullable = false),
+    StructField("m", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Int8PackExpr.pack(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Int8PackExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.pack($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8PackExpr {
+  /** Called from generated code — must stay public and JVM-simple. */
+  def pack(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble); if (x > m) m = x; i += 1
+    }
+    val codes = new Array[Byte](n)
+    var cdot = 0L
+    if (m != 0) {
+      i = 0
+      while (i < n) {
+        val c = math.floor(v.getFloat(i).toDouble * 127 / m + 0.5).toLong
+        codes(i) = c.toByte
+        cdot += c * c
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](codes, cdot, m))
   }
 }
 

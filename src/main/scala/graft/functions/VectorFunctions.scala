@@ -100,4 +100,12 @@ object VectorFunctions {
     ColumnBridge.column(
       CodeDotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
+
+  /** Int8 pack of a float vector to STRUCT(codes BINARY, cdot LONG,
+    * m DOUBLE) ([[Int8PackExpr]]) — one pass per row; the blob is the
+    * band/cell-join ride and the persisted-postings payload. */
+  def int8Pack(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Int8PackExpr(ColumnBridge.expression(v)))
+  }
 }

@@ -206,6 +206,29 @@ object Similarity {
       .otherwise(VectorFunctions.dotQ3(va, vb).cast("double") /
         sqrt((na * nb).cast("double")))
 
+  /** Sound code-residual ratio r = E/‖a‖ for one packed side: with
+    * a = q3(v) the exact scoring vector and E = √len·(0.5 + 500·m/127)
+    * the elementwise residual bound, |cos(a,b) − cos_code(ca,cb)| ≤
+    * 2·(r_a + r_b) + 4·r_a·r_b (Cauchy–Schwarz on the reconstruction
+    * residuals — full derivation at [[cosineNearDup]]). Zero-norm rows
+    * return 2 (margin ≥ 8 ⇒ never screened out; handled exactly
+    * downstream). */
+  private def screenResid(
+      codes: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column,
+      nrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val e = sqrt(length(codes).cast("double")) * (lit(0.5) + m * (500.0 / 127.0))
+    when(nrm === 0, lit(2.0)).otherwise(e / sqrt(nrm.cast("double")))
+  }
+
+  /** Code-space cosine of two packed sides (0 when either self-dot is 0). */
+  private def screenCosCode(
+      ca: org.apache.spark.sql.Column, cda: org.apache.spark.sql.Column,
+      cb: org.apache.spark.sql.Column, cdb: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column =
+    when(cda === 0 || cdb === 0, lit(0.0))
+      .otherwise(VectorFunctions.codeDot(ca, cb).cast("double") /
+        sqrt((cda * cdb).cast("double")))
+
   /** Int8 SQ codes as ready-to-probe doubles — the native
     * [[graft.functions.Int8GeomExpr]] (raw ArrayData in, no boxed Seq
     * per row), bit-identical to `floor(x·127/m + 0.5)` over the
@@ -741,34 +764,6 @@ object Similarity {
     * [[MaxBitsPerBand]] cap). The fixture-scale l6 oracle query passes
     * miss = 1e-7 explicitly — at 3k vectors the stricter budget is
     * cheap and makes the all-pairs DuckDB hash-match a non-event. */
-  /** Per-row int8 pack for the code prefilter: (codes as one byte per
-    * element, code self-dot, SQ scale m). One pass per ROW — the blob
-    * then rides every banded copy of the row at 64 B instead of the
-    * 256 B quantized vector. */
-  private val int8PackUdf = udf { (v: Seq[Float]) =>
-    if (v == null) null
-    else {
-      val a = v.toArray
-      var m = 0.0
-      var i = 0
-      while (i < a.length) {
-        val x = math.abs(a(i).toDouble); if (x > m) m = x; i += 1
-      }
-      val codes = new Array[Byte](a.length)
-      var cdot = 0L
-      if (m != 0) {
-        i = 0
-        while (i < a.length) {
-          val c = math.floor(a(i).toDouble * 127 / m + 0.5).toLong
-          codes(i) = c.toByte
-          cdot += c * c
-          i += 1
-        }
-      }
-      (codes, cdot, m)
-    }
-  }
-
   def cosineNearDup(
       emb: DataFrame,
       idCol: String,
@@ -834,26 +829,19 @@ object Similarity {
     // collision pairs sit near cosine 0, so survivors ≈ output.
     val banded = emb
       .repartition(n, col(idCol))
-      .withColumn("pk", int8PackUdf(col(embCol)))
+      .withColumn("pk", VectorFunctions.int8Pack(col(embCol)))
       .select(col(idCol).as("id"),
-        col("pk._1").as("codes"), col("pk._2").as("cdot"), col("pk._3").as("m"),
+        col("pk.codes").as("codes"), col("pk.cdot").as("cdot"), col("pk.m").as("m"),
         VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"),
         posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
     def side(suffix: String) = banded.select(
       col("id").as(s"id_$suffix"), col("codes").as(s"c$suffix"),
       col("cdot").as(s"cd$suffix"), col("m").as(s"m$suffix"),
       col("nrm").as(s"n$suffix"), col("band"), col("bkey"))
-    def rCol(suffix: String) = {
-      // r = E/‖a‖ = √len·(0.5 + 500·m/127) / √nrm ; nrm = 0 ⇒ screen-keep
-      val e = sqrt(length(col(s"c$suffix")).cast("double")) *
-        (lit(0.5) + col(s"m$suffix") * (500.0 / 127.0))
-      when(col(s"n$suffix") === 0, lit(2.0))
-        .otherwise(e / sqrt(col(s"n$suffix").cast("double")))
-    }
-    val cosCode =
-      when(col("cda") === 0 || col("cdb") === 0, lit(0.0))
-        .otherwise(VectorFunctions.codeDot(col("ca"), col("cb")).cast("double") /
-          sqrt((col("cda") * col("cdb")).cast("double")))
+    // r = E/‖a‖ = √len·(0.5 + 500·m/127) / √nrm ; nrm = 0 ⇒ screen-keep
+    def rCol(suffix: String) =
+      screenResid(col(s"c$suffix"), col(s"m$suffix"), col(s"n$suffix"))
+    val cosCode = screenCosCode(col("ca"), col("cda"), col("cb"), col("cdb"))
     val margin = lit(2.0) * (rCol("a") + rCol("b")) + lit(4.0) * rCol("a") * rCol("b")
     val survivors = side("a").join(side("b"), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
@@ -931,16 +919,10 @@ object Similarity {
     * shape — pair-distinct + two vector re-attach joins + rank window,
     * three shuffles each carrying every candidate row (the re-attach
     * ones at vector width) — measured 510 s at n = 10⁵; this one 35 s. */
-  private[graft] def lshScoredPairs(
-      queries: DataFrame,
-      corpus: DataFrame,
-      bands: Option[Int] = None,
-      bitsPerBand: Option[Int] = None,
-      dim: Int = 64,
-      seed: Long = 42L,
-      corpusSize: Option[Long] = None,
-      multiProbe: Boolean = false): DataFrame = {
-    val n0 = corpusSize.getOrElse(corpus.count())
+  /** Shared LSH top-k parameter derivation: (bitsPerBand, bands). */
+  private def lshParams(
+      n0: Long, bands: Option[Int], bitsPerBand: Option[Int],
+      multiProbe: Boolean): (Int, Int) = {
     // multi-probe WIDENS the band by 4 bits as well as probing: probing
     // (b+1) buckets per band at the single-probe width would grow the
     // candidate volume ~3× (measured as an OOM at 10⁶ — more probed
@@ -957,6 +939,20 @@ object Similarity {
     val nBands = bands.getOrElse(
       if (multiProbe) math.max(4, bandsForRecallMultiProbe(0.9, b, 0.05))
       else math.max(8, bandsForRecall(0.9, b, 0.05)))
+    (b, nBands)
+  }
+
+  private[graft] def lshScoredPairs(
+      queries: DataFrame,
+      corpus: DataFrame,
+      bands: Option[Int] = None,
+      bitsPerBand: Option[Int] = None,
+      dim: Int = 64,
+      seed: Long = 42L,
+      corpusSize: Option[Long] = None,
+      multiProbe: Boolean = false): DataFrame = {
+    val n0 = corpusSize.getOrElse(corpus.count())
+    val (b, nBands) = lshParams(n0, bands, bitsPerBand, multiProbe)
     val planesBc = queries.sparkSession.sparkContext
       .broadcast(hyperplanes(nBands * b, dim, seed))
     val keysUdf = bandKeysUdf(planesBc, nBands, b)
@@ -1003,12 +999,113 @@ object Similarity {
     lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed, corpusSize)
       .select(col("qid"), col("nid")).distinct()
 
+  /** The two-pass branch-and-bound LSH top-k (the round-7 verdict's
+    * named lever — at 10⁶ vectors LSH was the one remaining heavy
+    * operator, 3× IVF, and its band shuffle carried full 256 B
+    * quantized vectors with no τ to screen against).
+    *
+    * Shape: band rows carry the 64 B int8 code blob + three scalars
+    * instead of the quantized vector (~3× less band-shuffle payload —
+    * the binding term at 10⁶); the band equi-join scores candidates in
+    * CODE space, and [[graft.functions.TopKScreenAgg]] keeps, per
+    * query, exactly the candidates whose sound score interval
+    * [cos_code − M, cos_code + M] could still reach the top k — the
+    * k-th-best lower bound is the branch-and-bound pruning bound,
+    * maintained monotonically inside the partial+final aggregation
+    * (top-k's missing τ, recovered from the data). Only the survivor
+    * set (≈ k + margin-crowd per query, NOT the B·√n-per-query
+    * candidate volume) re-attaches exact quantized vectors — two
+    * output-sized equi-joins, nothing like the retired re-attach-all
+    * shape — and the final exact top-k over survivors is ROW-IDENTICAL
+    * to ranking every candidate exactly (margin soundness ⇒ no true
+    * top-k member is ever screened out; SimilaritySpec pins the law
+    * and the adversarial-norm cases). */
+  private def lshScreenedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      bands: Option[Int],
+      bitsPerBand: Option[Int],
+      dim: Int,
+      seed: Long,
+      corpusSize: Option[Long],
+      multiProbe: Boolean): DataFrame = {
+    val n0 = corpusSize.getOrElse(corpus.count())
+    val (b, nBands) = lshParams(n0, bands, bitsPerBand, multiProbe)
+    val sc = queries.sparkSession.sparkContext
+    val planesBc = sc.broadcast(hyperplanes(nBands * b, dim, seed))
+    val keysUdf = bandKeysUdf(planesBc, nBands, b)
+    val n = sc.defaultParallelism
+    val dotF = VectorFunctions.dotScaledFast _
+
+    def packed(df: DataFrame): DataFrame =
+      df.withColumn("pk", VectorFunctions.int8Pack(col("embedding")))
+    val q =
+      if (multiProbe) {
+        val probeUdf = multiProbeKeysUdf(planesBc, nBands, b)
+        packed(queries.repartition(n, col("vec_id"))).select(
+          col("vec_id").as("qid"), col("pk.codes").as("ca"),
+          col("pk.cdot").as("cda"), col("pk.m").as("ma"),
+          dotF(col("embedding"), col("embedding")).as("na"),
+          posexplode(probeUdf(col("embedding"))).as(Seq("pos", "bkey")))
+          .withColumn("band", (col("pos") / (b + 1)).cast("int"))
+          .drop("pos")
+      } else {
+        packed(queries.repartition(n, col("vec_id"))).select(
+          col("vec_id").as("qid"), col("pk.codes").as("ca"),
+          col("pk.cdot").as("cda"), col("pk.m").as("ma"),
+          dotF(col("embedding"), col("embedding")).as("na"),
+          posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
+      }
+    val c = packed(corpus).select(
+      col("vec_id").as("nid"), col("pk.codes").as("cb"),
+      col("pk.cdot").as("cdb"), col("pk.m").as("mb"),
+      dotF(col("embedding"), col("embedding")).as("nb"),
+      posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
+
+    val ra = screenResid(col("ca"), col("ma"), col("na"))
+    val rb = screenResid(col("cb"), col("mb"), col("nb"))
+    val cosCode = screenCosCode(col("ca"), col("cda"), col("cb"), col("cdb"))
+    val margin = lit(2.0) * (ra + rb) + lit(4.0) * ra * rb
+    val cand = q.join(c, Seq("band", "bkey"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (cosCode - margin).as("lb"), (cosCode + margin).as("ub"))
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val screen = ColumnBridge.column(graft.functions.TopKScreenAgg(
+      ColumnBridge.expression(col("nid")), ColumnBridge.expression(col("lb")),
+      ColumnBridge.expression(col("ub")), k).toAggregateExpression())
+    val surv = cand.groupBy(col("qid")).agg(screen.as("cands"))
+      .select(col("qid"), explode(col("cands")).as("nid"))
+
+    // exact rescore of the survivor set only (output-sized joins)
+    val qv = queries.select(col("vec_id").as("qid"),
+      VectorFunctions.quantize3(col("embedding")).as("qv"),
+      dotF(col("embedding"), col("embedding")).as("qn"))
+    val cv = corpus.select(col("vec_id").as("nid"),
+      VectorFunctions.quantize3(col("embedding")).as("nv"),
+      dotF(col("embedding"), col("embedding")).as("nn"))
+    val scored = surv.join(qv, "qid").join(cv, "nid")
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+    rankTopKAgg(scored, k)
+  }
+
   /** LSH-bucketed approximate top-k: rank candidates by exact cosine
     * within the union of matching buckets (see [[lshScoredPairs]] for
     * both scaling laws: band WIDTH ~ log2(n)/2 keeps buckets ~sqrt(n),
     * band COUNT = bandsForRecall(0.9, width, 0.05) keeps recall at
     * cosine ≥ 0.9 from decaying as the corpus grows). Seeded
-    * hyperplanes → deterministic. */
+    * hyperplanes → deterministic.
+    *
+    * `codeScreen = true` (the default and the declared l13 shape) runs
+    * the two-pass branch-and-bound screen ([[lshScreenedTopK]]):
+    * row-identical output, band shuffle at 64 B code blobs instead of
+    * 256 B vectors. `false` keeps the direct fused shape — the
+    * equality oracle for the screen's law test and the fallback for
+    * corpora where the margin is weak (tiny norms ⇒ survivors ≈
+    * candidates, paying the rescore joins for nothing). */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -1017,8 +1114,13 @@ object Similarity {
       bitsPerBand: Option[Int] = None,
       dim: Int = 64,
       seed: Long = 42L,
-      multiProbe: Boolean = false): DataFrame =
-    rankTopKAgg(
-      lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed,
-        multiProbe = multiProbe), k)
+      multiProbe: Boolean = false,
+      codeScreen: Boolean = true): DataFrame =
+    if (codeScreen)
+      lshScreenedTopK(queries, corpus, k, bands, bitsPerBand, dim, seed,
+        None, multiProbe)
+    else
+      rankTopKAgg(
+        lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed,
+          multiProbe = multiProbe), k)
 }

@@ -62,6 +62,32 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("dotscaledexpr") || !p.contains("CodegenFallback"), p.take(2000))
   }
 
+  test("Int8PackExpr equals the reference two-pass loop on fixtures and edge vectors") {
+    import spark.implicits._
+    val edge = Seq(
+      (9001L, Seq.fill(16)(0.0f)),
+      (9002L, Seq(1f) ++ Seq.fill(15)(0f)),
+      (9003L, Seq.fill(16)(1e-4f)),
+      (9004L, Seq.tabulate(16)(i => (if (i % 2 == 0) 1f else -1f) * (i + 1)))
+    ).toDF("vec_id", "embedding")
+    val rows = Tables(spark, sf, "embeddings").limit(60)
+      .select($"vec_id", $"embedding").unionByName(edge)
+      .withColumn("pk", VectorFunctions.int8Pack($"embedding"))
+      .select($"embedding", $"pk.codes", $"pk.cdot", $"pk.m")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val m = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      val codes =
+        if (m == 0) new Array[Byte](v.length)
+        else v.map(x => math.floor(x.toDouble * 127 / m + 0.5).toLong.toByte)
+      val cdot = codes.map(c => c.toLong * c.toLong).sum
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), codes))
+      assert(r.getLong(2) == cdot && r.getDouble(3) == m)
+    }
+  }
+
   test("a5: bucketed sort-merge join shuffles neither input") {
     import spark.implicits._
     SparkEntry.queries("a5_bucketed_join")(spark, sf).collect() // creates tables
@@ -119,11 +145,26 @@ class ExplainSpec extends SparkSpec {
       p.split("== Initial Plan ==").head
     }
     val joinNode = """(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
-    for (name <- Seq("l13_lsh_topk", "l14_ivf_topk", "l22_ivf_int8_topk")) {
+    for (name <- Seq("l14_ivf_topk", "l22_ivf_int8_topk")) {
       val fp = finalPlan(name)
       val joins = joinNode.findAllIn(fp).size
       assert(joins == 1, s"$name must score inside its single candidate join, got $joins:\n${fp.take(1500)}")
     }
+    // l13 (round 8): the branch-and-bound code screen — ONE band join
+    // whose rows carry 64 B int8 code blobs (int8packexpr on the join
+    // inputs, never the 256 B quantized vectors), a TopKScreenAgg
+    // reduction, then exactly TWO output-sized survivor re-attach joins
+    // for the exact rescore. Three joins total — categorically unlike
+    // the retired re-attach-all shape, whose joins carried the full
+    // candidate volume.
+    val l13Plan = finalPlan("l13_lsh_topk")
+    val l13Joins = joinNode.findAllIn(l13Plan).size
+    assert(l13Joins == 3,
+      s"l13 must be band join + two survivor re-attach joins, got $l13Joins:\n${l13Plan.take(1500)}")
+    assert(l13Plan.toLowerCase.contains("topkscreenagg"),
+      s"l13 must screen candidates in code space:\n${l13Plan.take(1500)}")
+    assert(l13Plan.toLowerCase.contains("int8packexpr"),
+      s"l13 band rows must carry int8 code blobs:\n${l13Plan.take(1500)}")
     // IVF pairs are unique by construction (one cell per corpus vector,
     // distinct probed cells per query): no pair-distinct aggregate at
     // all — while the rank window is in play. Above WindowTopKMaxCorpus

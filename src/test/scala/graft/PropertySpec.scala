@@ -64,6 +64,54 @@ class PropertySpec extends SparkSpec {
     }, cases = 200)
   }
 
+  test("ScreenBuf: survivors are exactly {ub >= kth-best lb} under any split/merge tree (pure JVM law)") {
+    import graft.functions.ScreenBuf
+    // candidates arrive as (nid, lb, ub) with lb <= ub; duplicates of a
+    // nid carry IDENTICAL intervals (the real contract: one row per
+    // shared band, same code score, same margin). The sound-screen
+    // oracle: L_q = k-th largest lb over DISTINCT candidates, survivors
+    // = {nid : ub >= L_q} — and any assignment of "true" scores inside
+    // the intervals has its top-k inside the survivor set.
+    val candGen = for {
+      nid <- Gen.choose(0L, 25L)
+      lo <- Gen.choose(-100, 100).map(_ / 100.0)
+      w <- Gen.choose(0, 30).map(_ / 100.0)
+    } yield (nid, lo, lo + w)
+    val gen = for {
+      k <- Gen.choose(1, 5)
+      base <- Gen.listOf(candGen)
+      dups <- Gen.listOf(Gen.choose(0, math.max(base.size - 1, 0)))
+      cut <- Gen.choose(0, base.size + dups.size)
+    } yield (k, base, dups, cut)
+    holds(Prop.forAll(gen) { case (k, base, dups, cut) =>
+      // per-nid consistent intervals: first occurrence wins, duplicate
+      // indices re-emit an existing candidate verbatim
+      val byNid = scala.collection.mutable.LinkedHashMap.empty[Long, (Double, Double)]
+      base.foreach { case (id, lo, hi) =>
+        if (!byNid.contains(id)) byNid(id) = (lo, hi)
+      }
+      val distinct = byNid.toList
+      val stream = distinct.map { case (id, (lo, hi)) => (id, lo, hi) } ++
+        dups.collect { case i if distinct.nonEmpty =>
+          val (id, (lo, hi)) = distinct(i % distinct.size); (id, lo, hi)
+        }
+      val (p1, p2) = stream.splitAt(cut)
+      def fill(part: List[(Long, Double, Double)]): ScreenBuf = {
+        val b = new ScreenBuf(k)
+        part.foreach { case (id, lo, hi) => b.insert(id, lo, hi) }
+        b
+      }
+      val left = fill(p1)
+      left.mergeFrom(fill(p2))
+      val got = left.result().toSet
+      val lq = if (distinct.size >= k)
+        distinct.map(_._2._1).sorted(Ordering[Double].reverse)(k - 1)
+      else Double.NegativeInfinity
+      val want = distinct.collect { case (id, (_, hi)) if hi >= lq => id }.toSet
+      got == want
+    }, cases = 300)
+  }
+
   test("union count = sum of counts; filter partitions a null-free set") {
     import spark.implicits._
     val gen = Gen.listOfN(40, Gen.chooseNum(-1000L, 1000L))

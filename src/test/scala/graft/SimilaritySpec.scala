@@ -383,6 +383,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"multi-probe planted recall $recall")
   }
 
+  test("LSH code screen: identical output to the direct fused shape (branch-and-bound law)") {
+    import spark.implicits._
+    // the two-pass screen keeps, per query, every candidate whose sound
+    // interval could reach the top k, then rescores exactly — output
+    // must be ROW-identical to scoring every banded candidate exactly,
+    // on any corpus, any k, and under multi-probe keys
+    def rows(df: org.apache.spark.sql.DataFrame, k: Int, screen: Boolean,
+        mp: Boolean = false): Seq[Seq[Any]] =
+      Similarity.lshTopK(df, df, k, codeScreen = screen, multiProbe = mp)
+        .orderBy(col("qid"), col("rank"))
+        .collect().map(_.toSeq).toSeq
+    for (k <- Seq(1, 3)) {
+      assert(rows(emb, k, screen = true) == rows(emb, k, screen = false),
+        s"screened top-$k diverged from the direct shape")
+    }
+    assert(rows(doubled, 3, screen = true) == rows(doubled, 3, screen = false))
+    assert(rows(emb, 3, screen = true, mp = true) ==
+      rows(emb, 3, screen = false, mp = true),
+      "screened multi-probe top-3 diverged")
+
+    // adversarial norms: tiny/zero/mixed scales make the margin weak
+    // (≥ 2 ⇒ screen keeps everything) — output must STILL be identical
+    val rng = new scala.util.Random(7)
+    val nasty = ((0 until 120).map { i =>
+      val scale = Seq(1e-3f, 1f, 4f)(i % 3)
+      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat * scale))
+    } ++ Seq(
+      (900L, Seq.fill(16)(0.0f)),
+      (901L, (Seq(1f) ++ Seq.fill(15)(0f))),
+      (902L, (Seq(1f) ++ Seq.fill(15)(0f))),
+      (903L, Seq.fill(16)(1e-4f)))
+    ).toDF("vec_id", "embedding")
+    assert(rows(nasty, 3, screen = true) == rows(nasty, 3, screen = false))
+    assert(rows(nasty, 3, screen = true).nonEmpty)
+  }
+
   test("semDedup cellCap: hot clustered cell is sharded, exact-dup law survives capping") {
     import spark.implicits._
     // adversarial CLUSTERED corpus (the shape stride centroids are
