@@ -63,8 +63,35 @@ object ScaleBench {
       Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8,
         bitsPerBand = ndBits).count()
     }
+    // SPARK_GRAFT_LSH_BITS overrides the top-k band width for curve
+    // experiments (the derived default is the production setting)
+    val lshBits = sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.toInt)
     if (wanted("lsh_topk")) runs("lsh_topk") = timed("lsh_topk") {
-      Similarity.lshTopK(emb, emb, 3).count()
+      Similarity.lshTopK(emb, emb, 3, bitsPerBand = lshBits,
+        codeScreen = false).count()
+    }
+    // the code-screened two-pass shape, same process — the honest A/B
+    // for the branch-and-bound screen (single-shot forks confound JIT)
+    if (wanted("lsh_topk_screen")) runs("lsh_topk_screen") = timed("lsh_topk_screen") {
+      Similarity.lshTopK(emb, emb, 3, bitsPerBand = lshBits, codeScreen = true)
+        .count()
+    }
+    // stage isolation for the LSH cost model (mirrors the IVF probes):
+    // hash_count builds band keys for the corpus side only (1-row query
+    // side — hashing + explode + the band shuffle/sort, no real join
+    // output), pairs_count adds the join but prunes the cosine,
+    // score_sum forces scoring but skips the top-k aggregation
+    if (wanted("lsh_hash_count")) runs("lsh_hash_count") = timed("lsh_hash_count") {
+      Similarity.lshScoredPairs(emb.limit(1), emb, corpusSize = Some(n),
+        bitsPerBand = lshBits).select(col("qid")).count()
+    }
+    if (wanted("lsh_pairs_count")) runs("lsh_pairs_count") = timed("lsh_pairs_count") {
+      Similarity.lshScoredPairs(emb, emb, corpusSize = Some(n),
+        bitsPerBand = lshBits).select(col("qid")).count()
+    }
+    if (wanted("lsh_score_sum")) runs("lsh_score_sum") = timed("lsh_score_sum") {
+      Similarity.lshScoredPairs(emb, emb, corpusSize = Some(n),
+        bitsPerBand = lshBits).agg(sum(col("cos"))).collect(); 1L
     }
     if (wanted("lsh_topk_mp")) runs("lsh_topk_mp") = timed("lsh_topk_mp") {
       Similarity.lshTopK(emb, emb, 3, multiProbe = true).count()

@@ -35,7 +35,13 @@ import org.apache.spark.sql.types._
   * unsoundly).
   */
 final class ScreenBuf(val k: Int) {
-  private val minCap = math.max(32, 4 * k)
+  // deliberately tiny initial arrays: ObjectHashAggregate holds up to
+  // fallbackThreshold (131k in Engine.session) LIVE buffers per task,
+  // and a query's candidates scatter across many input partitions — at
+  // 10⁶ queries the resident-buffer footprint, not any single buffer,
+  // is the memory term (a 32-entry initial capacity measured as an
+  // executor OOM at 10⁶ vectors in 8 GB; k+1-entry start fits)
+  private val minCap = math.max(8, k + 1)
   var nids = new Array[Long](minCap)
   var lbs = new Array[Double](minCap)
   var ubs = new Array[Double](minCap)

@@ -253,13 +253,22 @@ object Similarity {
   private def strideCentroids(
       df: DataFrame, vecCol: String, nlist: Int, stride: Long)
     : (Array[Array[Double]], Array[Double]) = {
-    val centroids: Array[Array[Double]] = df
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+    def pick(cond: org.apache.spark.sql.Column): Array[Array[Double]] = df
+      .filter(cond)
       .orderBy(col("vec_id"))
       .limit(nlist)
       .select(col(vecCol).cast("array<double>"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    // the id-stride pick assumes roughly DENSE ids (the fixture and
+    // warehouse norm). A corpus whose ids share no multiples of the
+    // stride (sharded id spaces, a filtered sub-corpus) would get an
+    // empty seed — fall back to a deterministic id-hash pick, which
+    // samples ~n/stride rows regardless of id layout
+    val byStride = pick(pmod(col("vec_id"), lit(stride)) === 0)
+    val centroids =
+      if (byStride.nonEmpty) byStride
+      else pick(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
     val norms = centroids.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
@@ -321,10 +330,12 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nlist: Option[Int] = None,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      cellCap: Option[Int] = None): DataFrame = {
     val total = corpus.count()
     rankTopK(
-      ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = false, Some(total)),
+      ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = false, Some(total),
+        cellCap),
       k, total)
   }
 
@@ -342,10 +353,12 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nlist: Option[Int] = None,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      cellCap: Option[Int] = None): DataFrame = {
     val total = corpus.count()
     rankTopK(
-      ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = true, Some(total)),
+      ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = true, Some(total),
+        cellCap),
       k, total)
   }
 
@@ -371,7 +384,8 @@ object Similarity {
       nlistOpt: Option[Int],
       nprobe: Int,
       int8: Boolean,
-      totalOpt: Option[Long] = None): DataFrame = {
+      totalOpt: Option[Long] = None,
+      cellCap: Option[Int] = None): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val n = sc.defaultParallelism
     val total = totalOpt.getOrElse(corpus.count())
@@ -406,10 +420,63 @@ object Similarity {
       col("vec_id").as("nid"), VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"),
       nearestCellsCol(matBc, col("geom"), 1).as("cell"))
-    q.join(c, Seq("cell"))
+    val (qk, ck, joinKeys) = shardHotCells(q, c, cellCap)
+    qk.join(ck, joinKeys)
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
+  }
+
+  /** THE HOT-CELL GUARD for the IVF top-k paths — RESULT-IDENTICAL skew
+    * spreading, the counterpart of [[semDedupCells]]' `cellCap` for the
+    * query/corpus (rather than self-join) regime.
+    *
+    * Stride centroids are unbiased on scattered data, but a clustered
+    * corpus (a boilerplate-duplicate mass, a dense topic) can put a
+    * large fraction of all vectors into ONE cell, and the cell
+    * equi-join then has a single join key carrying |Q_probing|·s
+    * candidate pairs — one quadratic bucket = one straggler task, no
+    * matter how many executors exist. With `cellCap = Some(cap)`, a
+    * cell of size s splits into ceil(s/cap) shards keyed by an ID hash
+    * — NOT a content hash: correctness here comes from probe
+    * replication, not co-sharding, so an exact-duplicate mass (which
+    * shares codes, and which content hashing would pile back into one
+    * shard) spreads uniformly — and each PROBE row replicates across
+    * that cell's shards (an `explode(sequence(...))` fanout — cold
+    * cells have one shard, so the fanout touches hot cells only).
+    * Contrast [[semDedupCells]], whose cap compares only WITHIN a
+    * shard and therefore must content-hash so exact duplicates stay
+    * comparable. Every (query, probed cell, member) candidate still
+    * arises exactly once — each member sits in exactly one shard and
+    * the probe covers all of them — so the output is ROW-IDENTICAL to
+    * the unguarded join (SimilaritySpec pins this on the clustered
+    * fixture); what changes is the physical bucket bound: ~2·cap rows
+    * per (cell, shard) key instead of s. Unlike [[semDedup]]'s cap
+    * (which trades recall inside oversized cells for a work bound),
+    * top-k sharding trades NOTHING — the candidate volume is inherent
+    * to the probe semantics; the guard distributes it.
+    *
+    * Uncapped (`None`, the default on scattered fixtures) adds no
+    * stage. Capped adds one narrow corpus-side count aggregation
+    * (≤ nlist rows, broadcast to both sides). */
+  private def shardHotCells(
+      q: DataFrame, c: DataFrame, cellCap: Option[Int])
+    : (DataFrame, DataFrame, Seq[String]) = cellCap match {
+    case None => (q, c, Seq("cell"))
+    case Some(cap) =>
+      require(cap > 0, s"cellCap must be positive, got $cap")
+      val shardCounts = c.groupBy(col("cell"))
+        .agg(ceil(count(lit(1)) / cap.toDouble).cast("int").as("nshards"))
+      val ck = c.join(broadcast(shardCounts), "cell")
+        .withColumn("shard",
+          pmod(xxhash64(col("nid")), greatest(col("nshards"), lit(1)).cast("long"))
+            .cast("int"))
+        .drop("nshards")
+      val qk = q.join(broadcast(shardCounts), "cell")
+        .withColumn("shard",
+          explode(sequence(lit(0), greatest(col("nshards"), lit(1)) - 1)))
+        .drop("nshards")
+      (qk, ck, Seq("cell", "shard"))
   }
 
   /** Builds the PERSISTED IVF index tier (the "real deployment" this
@@ -418,61 +485,191 @@ object Similarity {
     * runs read them instead of re-deriving — at 100 TB the index IS the
     * product, and per-run recompute (the honest cost the benchmarks pay)
     * is amortized away. Two tables under `dir`:
-    *   - `centroids`: (cell, centroid array<double>, cnorm) — nlist rows;
-    *   - `postings`: (vec_id, qvec array<int>, nrm, cell), PARTITIONED
-    *     BY cell — the quantized scoring inputs ([[VectorFunctions
-    *     .quantize3]] codes + precomputed norms) keyed by their cell, so
-    *     the read path starts exactly at the fused join's input shape.
+    *   - `centroids`: (cell, centroid array<double>, cnorm, nshards,
+    *     n_vectors) — nlist rows. Carrying the per-cell posting count
+    *     and shard width HERE means the read path never scans postings
+    *     for bookkeeping (the corpus size for the top-k strategy switch
+    *     is Σ n_vectors over nlist rows) and the hot-cell probe fanout
+    *     has its input without a count job.
+    *   - `postings`: (vec_id, codes BINARY, cdot, m, nrm, shard, cell),
+    *     PARTITIONED BY cell — the INT8 tier made durable: 1 byte per
+    *     element ([[graft.functions.Int8PackExpr]] codes) + three
+    *     scalars, ~4× smaller than float or quantize3 postings. Scoring
+    *     from the index runs in code space with the sound
+    *     Cauchy–Schwarz margin and re-ranks survivors against exact
+    *     vectors ([[ivfTopKIndexed]]) — compression never changes
+    *     results, only candidate screening.
     * Partitioning by cell is the pruning layout: a query batch probing
     * few distinct cells prunes posting partitions statically (filter)
-    * or dynamically (DPP through the cell join at scale).
+    * or dynamically (DPP through the cell join at scale). Cell geometry
+    * is the int8 code view (matching [[ivfTopKInt8]] — the l22 parity
+    * anchor); `cellCap` persists the hot-cell shard guard: cells larger
+    * than the cap get `nshards = ceil(s/cap)` id-hash shards, and
+    * probes replicate across them (result-identical, see
+    * [[shardHotCells]]).
+    *
+    * `centroidsFrom`: reuse the centroid set (and shard widths) of an
+    * existing index instead of deriving from this corpus — the
+    * fixed-centroids rebuild that [[appendToIvfIndex]]'s parity
+    * contract is stated against.
     * Returns per-cell posting counts (cell, n_vectors) — deterministic
     * (stride centroids, first-max assignment). */
   def buildIvfIndex(
       corpus: DataFrame,
       dir: String,
-      nlistOpt: Option[Int] = None): DataFrame = {
+      nlistOpt: Option[Int] = None,
+      cellCap: Option[Int] = None,
+      centroidsFrom: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
     val view = corpus.select(col("vec_id"), col("embedding"))
-    val total = view.count()
-    val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
-    val stride = math.max(1L, total / nlist)
-    val (centroids, cnorms) = strideCentroids(view, "embedding", nlist, stride)
+    val (centroids, cnorms) = centroidsFrom match {
+      case Some(src) =>
+        val rows = spark.read.parquet(s"$src/centroids").orderBy(col("cell")).collect()
+        (rows.map(_.getSeq[Double](1).toArray), rows.map(_.getDouble(2)))
+      case None =>
+        val total = view.count()
+        val nlist = nlistOpt.getOrElse(
+          math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
+        val stride = math.max(1L, total / nlist)
+        strideCentroids(
+          view.withColumn("geom", int8GeomCol(col("embedding"))), "geom",
+          nlist, stride)
+    }
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
 
-    import spark.implicits._
-    centroids.zip(cnorms).zipWithIndex
-      .map { case ((c, nm), i) => (i, c.toSeq, nm) }.toSeq
-      .toDF("cell", "centroid", "cnorm")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-
-    view.repartition(n, col("vec_id")).select(
+    // one pack+assign pass, pinned: the counts aggregation and the
+    // posting write both read it (at warehouse scale this would be a
+    // persist(DISK_ONLY) staging table instead)
+    val rows = view.repartition(n, col("vec_id"))
+      .withColumn("pk", VectorFunctions.int8Pack(col("embedding")))
+      .select(
         col("vec_id"),
-        VectorFunctions.quantize3(col("embedding")).as("qvec"),
+        col("pk.codes").as("codes"), col("pk.cdot").as("cdot"),
+        col("pk.m").as("m"),
         VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nrm"),
-        nearestCellsCol(matBc, col("embedding"), 1).as("cell"))
+        nearestCellsCol(matBc, int8GeomCol(col("embedding")), 1).as("cell"))
+      .localCheckpoint()
+    // per-cell counts drive BOTH the persisted metadata and the shard
+    // widths; ≤ nlist rows, broadcast back onto the posting stream
+    val counts = rows.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val widths = cellCap match {
+      case Some(cap) =>
+        require(cap > 0, s"cellCap must be positive, got $cap")
+        counts.withColumn("nshards",
+          greatest(ceil(col("n_vectors") / cap.toDouble).cast("int"), lit(1)))
+      case None => counts.withColumn("nshards", lit(1))
+    }
+    val cellMeta = widths.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+    rows
+      .join(broadcast(widths.select(col("cell"), col("nshards"))), "cell")
+      // id hash, not content hash: exact-duplicate masses share codes
+      // and must still spread across shards (probe replication covers
+      // every shard, so placement is free to be uniform)
+      .withColumn("shard",
+        pmod(xxhash64(col("vec_id")), col("nshards").cast("long")).cast("int"))
+      .select(col("vec_id"), col("codes"), col("cdot"), col("m"), col("nrm"),
+        col("shard"), col("cell"))
       .repartition(n, col("cell")) // ~nlist/n cells per writer, not n files per cell
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
 
-    spark.read.parquet(s"$dir/postings")
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
-      .orderBy(col("cell"))
+    import spark.implicits._
+    centroids.zip(cnorms).zipWithIndex.map { case ((c, nm), i) =>
+      val (nv, ns) = cellMeta.getOrElse(i, (0L, 1))
+      (i, c.toSeq, nm, ns, nv)
+    }.toSeq
+      .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+
+    spark.read.parquet(s"$dir/centroids")
+      .filter(col("n_vectors") > 0)
+      .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
+  }
+
+  /** Appends a vector batch into an EXISTING index — centroids fixed,
+    * only the touched cell partitions gain files ([[DataFrame]] append
+    * into the cell-partitioned parquet; untouched cells are never
+    * rewritten or read). The m-tier composition (m4 MERGE / m5 dynamic
+    * overwrite) applied to the ANN tier: a growing corpus upserts
+    * postings instead of rebuilding, and the read path after an append
+    * is ROW-IDENTICAL to a fresh [[buildIvfIndex]] over the full corpus
+    * at the same centroids (`centroidsFrom` — SimilaritySpec pins the
+    * parity). Shard widths stay fixed at append (new rows hash into the
+    * existing [0, nshards) range, so probe replication still covers
+    * every member); a cell that outgrows its width only loosens the
+    * skew bound — rebuild (or re-cap) to restore it, exactly like
+    * re-bucketing a table. The centroid table's n_vectors is refreshed
+    * (nlist driver-side rows), keeping the read path scan-free.
+    * Returns per-cell APPENDED counts (cell, n_appended). */
+  def appendToIvfIndex(batch: DataFrame, dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val sc = spark.sparkContext
+    val n = sc.defaultParallelism
+    val centRows = spark.read.parquet(s"$dir/centroids").orderBy(col("cell")).collect()
+    val centroids = centRows.map(_.getSeq[Double](1).toArray)
+    val cnorms = centRows.map(_.getDouble(2))
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+
+    import spark.implicits._
+    val widths = centRows.map(r => (r.getInt(0), r.getInt(3))).toSeq
+      .toDF("cell", "nshards")
+    val rows = batch.select(col("vec_id"), col("embedding"))
+      .repartition(n, col("vec_id"))
+      .withColumn("pk", VectorFunctions.int8Pack(col("embedding")))
+      .select(
+        col("vec_id"),
+        col("pk.codes").as("codes"), col("pk.cdot").as("cdot"),
+        col("pk.m").as("m"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nrm"),
+        nearestCellsCol(matBc, int8GeomCol(col("embedding")), 1).as("cell"))
+      .join(broadcast(widths), "cell")
+      .withColumn("shard",
+        pmod(xxhash64(col("vec_id")), col("nshards").cast("long")).cast("int"))
+      .select(col("vec_id"), col("codes"), col("cdot"), col("m"), col("nrm"),
+        col("shard"), col("cell"))
+      .localCheckpoint() // one pack+assign pass feeds count and write
+    val appended = rows.groupBy(col("cell")).agg(count(lit(1)).as("n_appended"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+
+    centRows.map { r =>
+      val cell = r.getInt(0)
+      (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
+        r.getLong(4) + appended.getOrElse(cell, 0L))
+    }.toSeq
+      .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+
+    appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")
   }
 
   /** IVF top-k answered FROM the persisted index: probe cells come from
     * the materialized centroid table (an nlist-row scalar collect, the
     * same documented discipline as the build side) and the corpus side
-    * is the postings scan as-is — no centroid derivation, no assignment
-    * scan, no re-quantization, no norm recompute anywhere on the corpus
-    * path (SimilaritySpec gates the executed plan: exactly ONE
-    * nearestcellsexpr / quantize3expr, both on the query side).
-    * Row-identical to [[ivfTopK]] with the same nlist: same stride
-    * centroids, same first-max assignment, same quantized scoring —
-    * the spec pins the parity. */
+    * is the int8 postings scan AS-IS — no centroid derivation, no
+    * assignment scan, no per-vector recompute anywhere on the postings
+    * path (SimilaritySpec gates the executed plan: one postings scan,
+    * with pack/probe expressions on the query side only). Candidates
+    * score in CODE space from the 64 B posting payload; [[graft
+    * .functions.TopKScreenAgg]] keeps, per query, exactly the
+    * candidates whose sound interval [cos_code − M, cos_code + M]
+    * (Cauchy–Schwarz margin — derivation at [[cosineNearDup]]) could
+    * still reach the top k; only that survivor set re-attaches exact
+    * vectors — query side from `queries`, corpus side from
+    * `corpusExact` (the float source table the index was built from) —
+    * and the exact re-rank is ROW-IDENTICAL to [[ivfTopKInt8]] with the
+    * same nlist (same int8 cell geometry, same first-max assignment,
+    * sound screen ⇒ no true top-k member pruned; the spec pins the
+    * parity). Probe rows replicate across hot-cell shards from the
+    * persisted widths — result-identical, see [[shardHotCells]]. */
   def ivfTopKIndexed(
       queries: DataFrame,
+      corpusExact: DataFrame,
       indexDir: String,
       k: Int,
       nprobe: Int = 4): DataFrame = {
@@ -483,20 +680,55 @@ object Similarity {
       .orderBy(col("cell")).collect()
     val centroids = centRows.map(_.getSeq[Double](1).toArray)
     val cnorms = centRows.map(_.getDouble(2))
+    val totalN = centRows.map(_.getLong(4)).sum
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
 
+    import spark.implicits._
+    val widths = centRows.map(r => (r.getInt(0), r.getInt(3))).toSeq
+      .toDF("cell", "nshards")
+    val q = queries.repartition(n, col("vec_id"))
+      .withColumn("pk", VectorFunctions.int8Pack(col("embedding")))
+      .select(
+        col("vec_id").as("qid"), col("pk.codes").as("ca"),
+        col("pk.cdot").as("cda"), col("pk.m").as("ma"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("na"),
+        explode(nearestCellsCol(matBc, int8GeomCol(col("embedding")), nprobe))
+          .as("cell"))
+      .join(broadcast(widths), "cell")
+      .withColumn("shard",
+        explode(sequence(lit(0), greatest(col("nshards"), lit(1)) - 1)))
+      .drop("nshards")
     val postings = spark.read.parquet(s"$indexDir/postings").select(
-      col("vec_id").as("nid"), col("qvec").as("nv"),
-      col("nrm").as("nn"), col("cell"))
-    val q = queries.repartition(n, col("vec_id")).select(
-      col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
-      VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("qn"),
-      explode(nearestCellsCol(matBc, col("embedding"), nprobe)).as("cell"))
-    val scored = q.join(postings, Seq("cell"))
+      col("vec_id").as("nid"), col("codes").as("cb"), col("cdot").as("cdb"),
+      col("m").as("mb"), col("nrm").as("nb"), col("shard"), col("cell"))
+
+    val ra = screenResid(col("ca"), col("ma"), col("na"))
+    val rb = screenResid(col("cb"), col("mb"), col("nb"))
+    val cosCode = screenCosCode(col("ca"), col("cda"), col("cb"), col("cdb"))
+    val margin = lit(2.0) * (ra + rb) + lit(4.0) * ra * rb
+    val cand = q.join(postings, Seq("cell", "shard"))
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (cosCode - margin).as("lb"), (cosCode + margin).as("ub"))
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val screen = ColumnBridge.column(graft.functions.TopKScreenAgg(
+      ColumnBridge.expression(col("nid")), ColumnBridge.expression(col("lb")),
+      ColumnBridge.expression(col("ub")), k).toAggregateExpression())
+    val surv = cand.groupBy(col("qid")).agg(screen.as("cands"))
+      .select(col("qid"), explode(col("cands")).as("nid"))
+
+    val dotF = VectorFunctions.dotScaledFast _
+    val qv = queries.select(col("vec_id").as("qid"),
+      VectorFunctions.quantize3(col("embedding")).as("qv"),
+      dotF(col("embedding"), col("embedding")).as("qn"))
+    val cv = corpusExact.select(col("vec_id").as("nid"),
+      VectorFunctions.quantize3(col("embedding")).as("nv"),
+      dotF(col("embedding"), col("embedding")).as("nn"))
+    val scored = surv.join(qv, "qid").join(cv, "nid")
       .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
-    rankTopK(scored, k, spark.read.parquet(s"$indexDir/postings").count())
+    rankTopK(scored, k, totalN)
   }
 
   /** IVF candidate pairs, ids only — the SimilaritySpec instrument for
@@ -931,9 +1163,30 @@ object Similarity {
     // band count still drops ~2× (7 vs 13 at n = 10⁶). Probes trade
     // against BOTH bands and bucket width — the standard multi-probe
     // parameterization.
-    val b = bitsPerBand.getOrElse(
+    // Single-probe band WIDTH minimizes MEASURED total work, not bucket
+    // aesthetics. The two b-dependent cost terms are hashing (n·B·b·d
+    // multiplies — grows with b via both factors) and candidate
+    // processing (B·n²/2^b pairs through score+top-k — shrinks ~(2p)^b
+    // per bit); stage-isolated runs at 10⁶ vectors put their unit costs
+    // at ~1e-9 s/multiply and ~5.7e-8 s/pair (BENCH_LOCAL.md round-8
+    // attribution: at the old b = log2(n)/2 "√n buckets" width, pair
+    // scoring alone was 92 of 173 s — the shuffle-bytes theory of the
+    // round-7 plan was WRONG, per-pair traffic dominates). Equating the
+    // marginal terms gives 2^b·b ≈ n·κc/(κh·d) ≈ 0.9·n, i.e.
+    // b ≈ log2(n) − log2(log2(n)): 8 bits at the 2k fixture (buckets
+    // ~8), 16 at 10⁶ (buckets ~15), ~25 at 10⁹ — buckets of TENS, not
+    // √n. Candidates per query stay B·n/2^b (the √n spec bound still
+    // holds, loosely); recall is UNCHANGED by construction because the
+    // band count is re-derived from the same miss budget at whatever
+    // width (bandsForRecall), which the planted-tier measurements
+    // confirm at 10⁵/10⁶.
+    val b = bitsPerBand.getOrElse {
       if (multiProbe) math.max(6, (log2ceil(n0) + 1) / 2 + 4)
-      else math.max(4, (log2ceil(n0) + 1) / 2))
+      else {
+        val lg = math.log(math.max(n0, 16L).toDouble) / math.log(2.0)
+        math.max(4, math.round(lg - math.log(lg) / math.log(2.0)).toInt)
+      }
+    }
     // either way the band count is DERIVED from the same recall target:
     // a neighbor at cosine ≥ 0.9 survives with ≥ 95% at any corpus size
     val nBands = bands.getOrElse(

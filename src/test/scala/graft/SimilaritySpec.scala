@@ -200,34 +200,123 @@ class SimilaritySpec extends SparkSpec {
     assert(again == survivors)
   }
 
-  test("persisted IVF index: complete, read-path parity with direct, no corpus recompute in-plan") {
-    import org.apache.spark.sql.execution.ExplainMode
+  test("persisted int8 IVF index: complete, parity with l22's direct path, single postings scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
     val counts = Similarity.buildIvfIndex(
-      emb.select(col("vec_id"), col("embedding")), dir)
-    // completeness: every corpus vector posted exactly once
+      emb.select(col("vec_id"), col("embedding")), dir, cellCap = Some(256))
+    // completeness: every corpus vector posted exactly once, and the
+    // persisted metadata agrees (the read path's corpus size comes from
+    // the centroid table, never a postings scan)
     assert(counts.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
-    // parity: the indexed read path answers EXACTLY what the direct
-    // path computes (same stride centroids, assignment, scoring)
-    val idx = Similarity.ivfTopKIndexed(emb, dir, 3)
+    // the postings ARE the int8 tier: 1 B/elem codes + three scalars
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.columns.toSet ==
+      Set("vec_id", "codes", "cdot", "m", "nrm", "shard", "cell"))
+    val dim = emb.head().getSeq[Float](1).length
+    assert(post.select(max(length(col("codes")))).head().getInt(0) == dim)
+    // parity: code-space screening + exact re-rank answers EXACTLY what
+    // the direct int8 path computes (same int8 cell geometry, same
+    // first-max assignment; sound margin ⇒ no true top-k member pruned)
+    val idx = Similarity.ivfTopKIndexed(emb, emb, dir, 3)
     val got = idx.collect().map(_.toSeq).sortBy(_.toString)
-    val want = Similarity.ivfTopK(emb, emb, 3).collect().map(_.toSeq).sortBy(_.toString)
+    val want = Similarity.ivfTopKInt8(emb, emb, 3).collect().map(_.toSeq).sortBy(_.toString)
     assert(got.length == want.length && got.sameElements(want))
-    // no-recompute gate: the corpus side must come straight off the
-    // postings scan — the ONLY assignment probe and the ONLY per-row
-    // quantization in the executed plan belong to the query side.
-    // executedPlan.toString (post-collect, AQE-final) inlines full
-    // expression strings and scan locations, which the formatted
-    // adaptive tree omits; gate only the final-plan section (the
-    // adaptive toString appends an "== Initial Plan ==" copy)
+    // serving regime (|Q| ≪ |C|, the l31 shape): same parity against
+    // the direct path restricted to the query batch
+    val qb = emb.filter(col("vec_id") % 20 === 0)
+    val serve = Similarity.ivfTopKIndexed(qb, emb, dir, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val serveWant = Similarity.ivfTopKInt8(qb, emb, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(serve.sameElements(serveWant))
+    // plan gates, on the AQE-final section: exactly ONE postings scan
+    // (the corpus-size/count job is gone — round-7 advisory), and no
+    // per-vector recompute on the postings side — the only assignment
+    // probe and the only int8 pack belong to the query side, and the
+    // only quantize3 pair belongs to the survivor re-rank inputs
     val p = idx.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head.toLowerCase
-    assert(p.contains("postings"), s"read path must scan the postings table:\n${p.take(1200)}")
     def occurrences(needle: String): Int = needle.r.findAllIn(p).size
+    assert(p.linesIterator.count(l => l.contains("scan") && l.contains("postings")) == 1,
+      s"read path must scan the postings table exactly once:\n${p.take(1500)}")
     assert(occurrences("nearestcellsexpr") == 1,
       s"corpus-side assignment recompute detected:\n${p.take(1500)}")
-    assert(occurrences("quantize3expr") == 1,
-      s"corpus-side re-quantization detected:\n${p.take(1500)}")
+    assert(occurrences("int8packexpr") == 1,
+      s"corpus-side re-pack detected:\n${p.take(1500)}")
+    // quantize3 belongs to the two survivor re-rank inputs only (AQE
+    // prints broadcast build sides as stage references, so the count
+    // can collapse to 1 — never more than the two rerank sides)
+    val q3 = occurrences("quantize3expr")
+    assert(q3 >= 1 && q3 <= 2,
+      s"quantize3 outside the re-rank inputs:\n${p.take(1500)}")
+  }
+
+  test("index append: read path after append is row-identical to a fixed-centroid rebuild") {
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_idx_reb").toString
+    Similarity.buildIvfIndex(base.select(col("vec_id"), col("embedding")),
+      dir1, cellCap = Some(256)).count()
+    // untouched-cell witness: a cell the batch does not post into must
+    // keep its file set byte-for-byte (append never rewrites it)
+    val appended = Similarity.appendToIvfIndex(
+      batch.select(col("vec_id"), col("embedding")), dir1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(appended.values.sum == batch.count())
+    // metadata refresh: centroid table counts now cover the full corpus
+    val meta = spark.read.parquet(s"$dir1/centroids")
+    assert(meta.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
+    // parity: append ≡ rebuild at the SAME centroids (centroidsFrom)
+    Similarity.buildIvfIndex(emb.select(col("vec_id"), col("embedding")),
+      dir2, centroidsFrom = Some(dir1)).count()
+    def rows(d: String) = Similarity.ivfTopKIndexed(emb, emb, d, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(dir1).sameElements(rows(dir2)))
+  }
+
+  test("IVF hot-cell guard: sharding is result-identical and bounds the join bucket") {
+    import spark.implicits._
+    // the semDedup cellCap fixture shape: a tight 300-member cluster
+    // whose ODD ids dodge the stride-centroid seed, so the whole blob
+    // lands in one cell — the quadratic-bucket adversary
+    val rng = new scala.util.Random(11)
+    val dim = 8
+    def jitter(i: Int): Seq[Float] =
+      (Seq(10.0f) ++ Seq.fill(dim - 1)(0.0f)).zipWithIndex.map {
+        case (x, j) => x + (rng.nextGaussian() * 0.02).toFloat + (if (j == i % 7 + 1) 0.01f else 0f)
+      }
+    val cluster = (0 until 300).map(i => (1001L + 2 * i, jitter(i)))
+    val background = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(dim)((rng.nextGaussian() * 3).toFloat)))
+    val corpus = (cluster ++ background).toDF("vec_id", "embedding")
+
+    // result identity: probe rows replicate across every shard of a hot
+    // cell, so the candidate set — and the top-k — cannot change
+    def rows(cap: Option[Int]) =
+      Similarity.ivfTopKInt8(corpus, corpus, 3, nlist = Some(8), cellCap = cap)
+        .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(Some(32)).sameElements(rows(None)))
+    // persisted form of the same guard: no (cell, shard) join bucket in
+    // the index exceeds ~2×cap (id-hash sharding is random, not
+    // exact-equal slicing — content hashing would pile the near-
+    // identical cluster, whose int8 codes collide, back into one
+    // shard), while uncapped the hot cell is one bucket
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_hot").toString
+    Similarity.buildIvfIndex(corpus, dir, nlistOpt = Some(8),
+      cellCap = Some(32)).count()
+    val buckets = spark.read.parquet(s"$dir/postings")
+      .groupBy(col("cell"), col("shard")).agg(count(lit(1)).as("c"))
+    assert(buckets.agg(max(col("c"))).head().getLong(0) <= 64,
+      "hot cell must shard to ≤ 2×cap per join bucket")
+    assert(buckets.filter(col("c") > 0).count() >= 10,
+      "the 300-member hot cell must split into ≥ ceil(300/32) shards")
+    // indexed read on the clustered corpus still matches the direct path
+    val got = Similarity.ivfTopKIndexed(corpus, corpus, dir, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val want = Similarity.ivfTopKInt8(corpus, corpus, 3, nlist = Some(8))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.sameElements(want))
   }
 
   test("semDedup: cascade drops along sub-threshold chains (pinned greedy semantics)") {
