@@ -58,6 +58,8 @@ object Bench {
     "l13_lsh_topk",         // LSH ANN (sqrt-scaled buckets)
     "l14_ivf_topk",         // IVF ANN (sqrt-scaled cells)
     "l22_ivf_int8_topk",    // IVF ANN over int8 codes + float re-rank
+    "l30_ann_index_query",  // ANN from the persisted int8 index (read path)
+    "l31_ann_serve",        // asymmetric serving: |Q| ≪ |C| vs the index
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *     centroid cell.
   *
   * Scale parameterization (NOT fixture-tuned — derived from corpus size):
-  *   - LSH band width defaults to ceil(log2(n)/2) bits, so buckets hold
-  *     ~sqrt(n) vectors and candidates per query are O(bands * sqrt(n)).
+  *   - LSH band width defaults to the measured work optimum
+  *     b ≈ log2(n) − log2(log2(n)) bits (see [[lshParams]]) — buckets of
+  *     tens, candidates per query O(bands · n/2^b) ≪ O(bands · sqrt(n)).
   *   - IVF nlist defaults to ceil(sqrt(n)), so cells hold ~sqrt(n)
   *     vectors and candidates per query are O(nprobe * sqrt(n)).
   *   - Near-dup band width defaults to ceil(log2(n)) bits — the
@@ -416,7 +417,12 @@ object Similarity {
       col("vec_id").as("qid"), VectorFunctions.quantize3(col("embedding")).as("qv"),
       dotF(col("embedding"), col("embedding")).as("qn"),
       explode(nearestCellsCol(matBc, col("geom"), nprobe)).as("cell"))
-    val c = withGeom(corpus).select(
+    // wide-before-assignment: the corpus-side probe scans all nlist ≈ √n
+    // centroids per row (~6.4e4 multiplies at 10⁶), and a parquet
+    // corpus reads as a handful of 128 MB partitions — one narrow
+    // corpus shuffle buys full-width assignment (round-8 find, same
+    // fix as the LSH band sides)
+    val c = withGeom(corpus.repartition(n, col("vec_id"))).select(
       col("vec_id").as("nid"), VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"),
       nearestCellsCol(matBc, col("geom"), 1).as("cell"))
@@ -1127,9 +1133,10 @@ object Similarity {
   }
 
   /** Scored LSH candidate pairs (qid, nid, cos), pair-deduped — the
-    * fused candidate+scoring stage. Band width defaults to
-    * ceil(log2(n)/2) bits ⇒ ~sqrt(n) vectors per bucket ⇒ ~bands·sqrt(n)
-    * candidates per query; a FIXED band width (the round-2 defect) makes
+    * fused candidate+scoring stage. Band width defaults to the measured
+    * work optimum ≈ log2(n) − log2(log2(n)) bits (see [[lshParams]]) ⇒
+    * buckets of tens ⇒ ~bands·n/2^b candidates per query; a FIXED band
+    * width (the round-2 defect) makes
     * buckets — and thus per-query work — grow linearly with the corpus.
     * The band COUNT scales too: per-band agreement for a true neighbor
     * is p^b, so wider bands (growing with log n) shrink it, and a fixed
@@ -1227,7 +1234,13 @@ object Similarity {
           dotF(col("embedding"), col("embedding")).as("qn"),
           posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
       }
-    val c = corpus.select(
+    // the corpus side must be WIDE before hashing: at the work-optimal
+    // band width the per-row key budget is B·b·d ≈ 3.6e4 multiplies,
+    // and a parquet corpus naturally reads as a handful of 128 MB
+    // partitions — hashing 10⁶ rows on ~8 tasks was a minutes-long
+    // sub-parallel straggler (round-8 find). One narrow corpus shuffle
+    // (n rows) buys 32-wide hashing of n·B band rows
+    val c = corpus.repartition(n, col("vec_id")).select(
       col("vec_id").as("nid"), VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"),
       posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
@@ -1310,7 +1323,9 @@ object Similarity {
           dotF(col("embedding"), col("embedding")).as("na"),
           posexplode(keysUdf(col("embedding"))).as(Seq("band", "bkey")))
       }
-    val c = packed(corpus).select(
+    // wide-before-hashing, same as the direct shape: the band-key UDF
+    // budget per row dwarfs the narrow corpus shuffle that buys 32-way
+    val c = packed(corpus.repartition(n, col("vec_id"))).select(
       col("vec_id").as("nid"), col("pk.codes").as("cb"),
       col("pk.cdot").as("cdb"), col("pk.m").as("mb"),
       dotF(col("embedding"), col("embedding")).as("nb"),
@@ -1347,9 +1362,10 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: rank candidates by exact cosine
     * within the union of matching buckets (see [[lshScoredPairs]] for
-    * both scaling laws: band WIDTH ~ log2(n)/2 keeps buckets ~sqrt(n),
-    * band COUNT = bandsForRecall(0.9, width, 0.05) keeps recall at
-    * cosine ≥ 0.9 from decaying as the corpus grows). Seeded
+    * both scaling laws: band WIDTH ≈ log2(n) − log2(log2(n)) sits at
+    * the measured work optimum between hashing and candidate
+    * processing, band COUNT = bandsForRecall(0.9, width, 0.05) keeps
+    * recall at cosine ≥ 0.9 from decaying as the corpus grows). Seeded
     * hyperplanes → deterministic.
     *
     * `codeScreen = true` (the default and the declared l13 shape) runs
@@ -1368,12 +1384,13 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       multiProbe: Boolean = false,
-      codeScreen: Boolean = true): DataFrame =
+      codeScreen: Boolean = true,
+      corpusSize: Option[Long] = None): DataFrame =
     if (codeScreen)
       lshScreenedTopK(queries, corpus, k, bands, bitsPerBand, dim, seed,
-        None, multiProbe)
+        corpusSize, multiProbe)
     else
       rankTopKAgg(
         lshScoredPairs(queries, corpus, bands, bitsPerBand, dim, seed,
-          multiProbe = multiProbe), k)
+          corpusSize = corpusSize, multiProbe = multiProbe), k)
 }
