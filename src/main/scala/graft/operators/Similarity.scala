@@ -278,6 +278,120 @@ object Similarity {
     (centroids, norms)
   }
 
+  /** Deterministic Lloyd refinement of a seed centroid set — spherical
+    * k-means over the assignment geometry, `iters` passes (the
+    * clustered-corpus complement of the [[shardHotCells]] guard: the
+    * cap bounds the DAMAGE of a bad cell layout, refinement improves
+    * the LAYOUT — stride seeds sit wherever the id order put them,
+    * Lloyd moves them to the mass centers, so cell-boundary recall
+    * misses and probe waste both shrink on clustered data; scattered
+    * corpora are near the fixed point already and see ~no change).
+    *
+    * DETERMINISM (the reason this is not `ml.KMeans`): distributed
+    * float summation is evaluation-order-dependent, and a per-run
+    * centroid wobble would unpin every declared-query oracle and spec
+    * downstream. Member vectors are summed as exact 1e-3-quantized
+    * Longs (floor(x·1000 + 0.5), the [[VectorFunctions.quantize3]]
+    * grid — via built-ins because the geometry view may be
+    * array<float> OR array<double>): Long addition is associative, so
+    * ANY aggregation tree yields the same sums, and the mean
+    * (sum / (1000·count)) is divided once on the driver.
+    * Assignment uses the same first-max [[NearestCellsExpr]] as
+    * production, so ties break identically everywhere.
+    *
+    * Scale shape: each iteration is one assignment pass (n·nlist·d
+    * madds — the same cost the final assignment pays anyway) plus one
+    * narrow (cell, pos) hash-agg over n·d exploded elements
+    * (map-side-combined to ≤ nlist·d partial rows per task). The
+    * driver collect is nlist·d scalar rows (√n·d — at n = 10¹⁰, d = 64
+    * that is ~6×10⁶ rows ≈ 50 MB: still driver-safe; past that, keep
+    * the means distributed and broadcast-join them back instead).
+    * Empty cells keep their previous centroid (no respawn — stride
+    * seeding makes true emptiness rare, and a deterministic respawn
+    * rule would need a global order anyway). */
+  private def refineCentroids(
+      df: DataFrame,
+      vecCol: String,
+      seed: (Array[Array[Double]], Array[Double]),
+      iters: Int): (Array[Array[Double]], Array[Double]) = {
+    val sc = df.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    var centroids = seed._1
+    var cnorms = seed._2
+    // wide-before-assignment, same as every celled path: the per-row
+    // centroid scan is the cost, a parquet scan is ~8 tasks
+    val view = df.repartition(n, col("vec_id"))
+    var it = 0
+    while (it < iters) {
+      val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+      val sums = view
+        .select(nearestCellsCol(matBc, col(vecCol), 1).as("cell"),
+          posexplode(transform(col(vecCol),
+            x => floor(x.cast("double") * 1000 + 0.5).cast("long")))
+            .as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          r.getLong(2).toDouble / (1000.0 * r.getLong(3))
+      }
+      centroids = next
+      cnorms = centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        math.sqrt(s)
+      }
+      it += 1
+    }
+    (centroids, cnorms)
+  }
+
+  /** Seed-then-optionally-refine centroid derivation — the shared stage
+    * behind every celled path, also the SimilaritySpec instrument for
+    * the refinement laws (determinism, refineIters = 0 ≡ seed,
+    * alignment improvement on clustered data). */
+  private[graft] def deriveCentroids(
+      df: DataFrame,
+      vecCol: String,
+      nlist: Int,
+      stride: Long,
+      refineIters: Int): (Array[Array[Double]], Array[Double]) = {
+    val seed = strideCentroids(df, vecCol, nlist, stride)
+    if (refineIters <= 0) seed
+    else refineCentroids(df, vecCol, seed, refineIters)
+  }
+
+  /** The k-means objective the refinement improves, as a measurable
+    * scalar: mean best-cell cosine alignment (dot(v, c)/(|v||c|),
+    * maximized over cells) across the corpus — the SimilaritySpec
+    * instrument for "refined centroids fit a clustered corpus better
+    * than raw stride seeds". */
+  private[graft] def centroidAlignment(
+      df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], cnorms: Array[Double]): Double = {
+    val sc = df.sparkSession.sparkContext
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+    val best = nearestCellsCol(matBc, col(vecCol), 1)
+    // cosine to the assigned centroid, via one interpreted pass —
+    // instrument only, never on a production path
+    val cosUdf = udf { (v: Seq[Float], cell: Int) =>
+      val c = matBc.value
+      var dot = 0.0; var nv = 0.0
+      var i = 0
+      val len = math.min(v.length, c.dim)
+      while (i < len) {
+        val x = v(i).toDouble
+        dot += x * c.flat(cell * c.dim + i); nv += x * x
+        i += 1
+      }
+      if (nv == 0 || c.norms(cell) == 0) 0.0
+      else dot / (math.sqrt(nv) * c.norms(cell))
+    }
+    df.select(avg(cosUdf(col(vecCol), best)).as("a")).collect()(0).getDouble(0)
+  }
+
   /** Probe column: the `m` nearest centroid indices of `vec` (INT for
     * m = 1, ARRAY<INT> otherwise), ranked by dot(v,c)/|c| — a positive
     * per-row scalar (1/|v|) away from cosine, so the ordering is
@@ -332,11 +446,12 @@ object Similarity {
       k: Int,
       nlist: Option[Int] = None,
       nprobe: Int = 4,
-      cellCap: Option[Int] = None): DataFrame = {
+      cellCap: Option[Int] = None,
+      refineIters: Int = 0): DataFrame = {
     val total = corpus.count()
     rankTopK(
       ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = false, Some(total),
-        cellCap),
+        cellCap, refineIters),
       k, total)
   }
 
@@ -355,11 +470,12 @@ object Similarity {
       k: Int,
       nlist: Option[Int] = None,
       nprobe: Int = 4,
-      cellCap: Option[Int] = None): DataFrame = {
+      cellCap: Option[Int] = None,
+      refineIters: Int = 0): DataFrame = {
     val total = corpus.count()
     rankTopK(
       ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = true, Some(total),
-        cellCap),
+        cellCap, refineIters),
       k, total)
   }
 
@@ -386,7 +502,8 @@ object Similarity {
       nprobe: Int,
       int8: Boolean,
       totalOpt: Option[Long] = None,
-      cellCap: Option[Int] = None): DataFrame = {
+      cellCap: Option[Int] = None,
+      refineIters: Int = 0): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val n = sc.defaultParallelism
     val total = totalOpt.getOrElse(corpus.count())
@@ -409,7 +526,8 @@ object Similarity {
       if (int8) df.withColumn("geom", int8GeomCol(col("embedding")))
       else df.withColumn("geom", col("embedding"))
 
-    val (centroids, cnorms) = strideCentroids(withGeom(corpus), "geom", nlist, stride)
+    val (centroids, cnorms) =
+      deriveCentroids(withGeom(corpus), "geom", nlist, stride, refineIters)
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
 
     val dotF = VectorFunctions.dotScaledFast _
@@ -518,6 +636,9 @@ object Similarity {
     * existing index instead of deriving from this corpus — the
     * fixed-centroids rebuild that [[appendToIvfIndex]]'s parity
     * contract is stated against.
+    * `refineIters`: deterministic Lloyd passes over the seed centroids
+    * before assignment ([[refineCentroids]]) — opt-in for clustered
+    * corpora, where stride seeds sit wherever the id order put them.
     * Returns per-cell posting counts (cell, n_vectors) — deterministic
     * (stride centroids, first-max assignment). */
   def buildIvfIndex(
@@ -525,7 +646,8 @@ object Similarity {
       dir: String,
       nlistOpt: Option[Int] = None,
       cellCap: Option[Int] = None,
-      centroidsFrom: Option[String] = None): DataFrame = {
+      centroidsFrom: Option[String] = None,
+      refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
@@ -539,9 +661,8 @@ object Similarity {
         val nlist = nlistOpt.getOrElse(
           math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
         val stride = math.max(1L, total / nlist)
-        strideCentroids(
-          view.withColumn("geom", int8GeomCol(col("embedding"))), "geom",
-          nlist, stride)
+        deriveCentroids(view.withColumn("geom", int8GeomCol(col("embedding"))),
+          "geom", nlist, stride, refineIters)
     }
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
 
@@ -580,7 +701,13 @@ object Similarity {
       .select(col("vec_id"), col("codes"), col("cdot"), col("m"), col("nrm"),
         col("shard"), col("cell"))
       .repartition(n, col("cell")) // ~nlist/n cells per writer, not n files per cell
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/postings")
+      // zstd, not the snappy default: write-once read-many is the
+      // regime where a better ratio costs nothing. The win is MODEST
+      // by measurement — 4% at 20k vectors (layout-identical A/B) —
+      // because the int8 codes are ~2/3 of the bytes and random codes
+      // compress under nothing; the metadata columns are what shrink
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("cell").parquet(s"$dir/postings")
 
     import spark.implicits._
     centroids.zip(cnorms).zipWithIndex.map { case ((c, nm), i) =>
@@ -641,7 +768,8 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+      .write.mode("append").option("compression", "zstd")
+      .partitionBy("cell").parquet(s"$dir/postings")
 
     centRows.map { r =>
       val cell = r.getInt(0)
@@ -798,8 +926,9 @@ object Similarity {
       embCol: String,
       threshold: Double,
       nlistOpt: Option[Int] = None,
-      cellCap: Option[Int] = None): DataFrame = {
-    val celled = semDedupCells(emb, idCol, embCol, nlistOpt, cellCap)
+      cellCap: Option[Int] = None,
+      refineIters: Int = 0): DataFrame = {
+    val celled = semDedupCells(emb, idCol, embCol, nlistOpt, cellCap, refineIters)
     val joinKeys = if (cellCap.isDefined) Seq("cell", "shard") else Seq("cell")
     val x = celled.select((Seq(col("id").as("id_a"), col("v").as("va"),
       col("nrm").as("na")) ++ joinKeys.map(col)): _*)
@@ -838,14 +967,16 @@ object Similarity {
       idCol: String,
       embCol: String,
       nlistOpt: Option[Int] = None,
-      cellCap: Option[Int] = None): DataFrame = {
+      cellCap: Option[Int] = None,
+      refineIters: Int = 0): DataFrame = {
     val sc = emb.sparkSession.sparkContext
     val n = sc.defaultParallelism
     val total = emb.count()
     val nlist = nlistOpt.getOrElse(math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
     val stride = math.max(1L, total / nlist)
     val view = emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val (centroids, cnorms) = strideCentroids(view, "embedding", nlist, stride)
+    val (centroids, cnorms) =
+      deriveCentroids(view, "embedding", nlist, stride, refineIters)
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
     val dotF = VectorFunctions.dotScaledFast _
     val celled = view.repartition(n, col("vec_id")).select(
@@ -995,6 +1126,13 @@ object Similarity {
     * identical signatures in every band — zero miss risk, not even
     * probabilistic.
     *
+    * `bucketCap` is the hot-bucket guard: an id-hash triangle sharding
+    * of any (band, key) bucket larger than the cap — result-identical
+    * (see the inline derivation at the join), bounding the largest
+    * join bucket a boilerplate-duplicate mass can create. Off by
+    * default: banding keeps buckets at tens of rows on scattered
+    * corpora, and the guard pays a localCheckpoint of the banded rows.
+    *
     * `miss` is the per-pair miss budget and the SCALE lever: production
     * dedup tolerates ~1e-2 (the default — a 99%-recall sweep still
     * removes 99% of the duplicate mass, and B ≈ 4.6·n^0.33 bands at
@@ -1013,7 +1151,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       corpusSize: Option[Long] = None,
-      codePrefilter: Boolean = true): DataFrame = {
+      codePrefilter: Boolean = true,
+      bucketCap: Option[Int] = None): DataFrame = {
     val n0 = corpusSize.getOrElse(emb.count())
     val (b, bands) = nearDupParams(threshold, n0, miss, bitsPerBand, bandsOverride)
     val sc = emb.sparkSession.sparkContext
@@ -1072,16 +1211,61 @@ object Similarity {
         col("pk.codes").as("codes"), col("pk.cdot").as("cdot"), col("pk.m").as("m"),
         VectorFunctions.dotScaledFast(col(embCol), col(embCol)).as("nrm"),
         posexplode(keysUdf(col(embCol))).as(Seq("band", "bkey")))
-    def side(suffix: String) = banded.select(
-      col("id").as(s"id_$suffix"), col("codes").as(s"c$suffix"),
-      col("cdot").as(s"cd$suffix"), col("m").as(s"m$suffix"),
-      col("nrm").as(s"n$suffix"), col("band"), col("bkey"))
+    def fields(df: DataFrame, suffix: String) = Seq(
+      df("id").as(s"id_$suffix"), df("codes").as(s"c$suffix"),
+      df("cdot").as(s"cd$suffix"), df("m").as(s"m$suffix"),
+      df("nrm").as(s"n$suffix"))
+    // THE HOT-BUCKET GUARD (`bucketCap`) — the self-join counterpart of
+    // [[shardHotCells]], for the band join. Banding bounds EXPECTED
+    // bucket sizes (2^b keys per band), but a boilerplate mass — 10⁵+
+    // near-identical documents, the web-scale norm — shares every band
+    // key, and that one (band, bkey) bucket is a quadratic join key no
+    // executor count can spread. With a cap, rows of a bucket of size
+    // s > cap get an id-hash shard u ∈ [0, m), m = ceil(s/cap), and the
+    // join key widens to (band, bkey, s1, s2): the a-side row ships
+    // replicas (u, t) for all t, the b-side (t, v) for all t, so a pair
+    // with shards (u, v) meets at exactly ONE key — (u, v) — and the
+    // output is ROW-IDENTICAL to the unguarded join (SimilaritySpec
+    // pins it on a planted duplicate mass). Per-key join input drops
+    // from s to ~2·cap; the price is 2m-way replication of hot-bucket
+    // rows (cold buckets: m = 1, one replica, key (0, 0) — the plan is
+    // unchanged when no bucket exceeds the cap). The hot list itself is
+    // tiny by construction (buckets over the cap are the anomaly), so
+    // it broadcasts; `banded` is pinned first so the signature UDF runs
+    // once, not thrice (count + both sides — at warehouse scale use
+    // persist(DISK_ONLY) instead).
+    val (xSide, ySide, joinKeys) = bucketCap match {
+      case None =>
+        val x = banded.select(fields(banded, "a") ++ Seq(col("band"), col("bkey")): _*)
+        val y = banded.select(fields(banded, "b") ++ Seq(col("band"), col("bkey")): _*)
+        (x, y, Seq("band", "bkey"))
+      case Some(cap) =>
+        require(cap > 0, s"bucketCap must be positive, got $cap")
+        val mat = banded.localCheckpoint()
+        val hot = mat.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("s"))
+          .filter(col("s") > cap)
+          .select(col("band"), col("bkey"),
+            ceil(col("s") / cap.toDouble).cast("int").as("nsh"))
+        val sharded = mat.join(broadcast(hot), Seq("band", "bkey"), "left")
+          .withColumn("nsh", coalesce(col("nsh"), lit(1)))
+          .withColumn("shard",
+            pmod(xxhash64(col("id")), col("nsh").cast("long")).cast("int"))
+        val x = sharded.select(fields(sharded, "a") ++ Seq(
+          col("band"), col("bkey"), col("shard").as("s1"),
+          explode(sequence(lit(0), col("nsh") - 1)).as("s2")): _*)
+        val y = sharded.select(fields(sharded, "b") ++ Seq(
+          col("band"), col("bkey"),
+          explode(sequence(lit(0), col("nsh") - 1)).as("s1"),
+          col("shard").as("s2")): _*)
+        (x, y, Seq("band", "bkey", "s1", "s2"))
+    }
     // r = E/‖a‖ = √len·(0.5 + 500·m/127) / √nrm ; nrm = 0 ⇒ screen-keep
     def rCol(suffix: String) =
       screenResid(col(s"c$suffix"), col(s"m$suffix"), col(s"n$suffix"))
     val cosCode = screenCosCode(col("ca"), col("cda"), col("cb"), col("cdb"))
     val margin = lit(2.0) * (rCol("a") + rCol("b")) + lit(4.0) * rCol("a") * rCol("b")
-    val survivors = side("a").join(side("b"), Seq("band", "bkey"))
+    val survivors = xSide.join(ySide, joinKeys)
       .filter(col("id_a") < col("id_b"))
       .filter(cosCode >= lit(threshold) - margin)
       .select(col("id_a"), col("id_b"))

@@ -612,6 +612,85 @@ class SimilaritySpec extends SparkSpec {
     assert(z.forall(_ == 0L))
   }
 
+  test("near-dup hot-bucket guard: triangle sharding is result-identical on a duplicate mass") {
+    import spark.implicits._
+    // the band-join adversary: a 150-member near-identical mass shares
+    // EVERY band key, making one (band, bkey) bucket quadratic; plus
+    // scattered background and an exact planted pair far from the mass
+    val rng = new scala.util.Random(31)
+    val dim = 16
+    val mass = (0 until 150).map { i =>
+      (i.toLong, (0 until dim).map(j =>
+        ((if (j == 0) 8.0 else 0.1) + rng.nextGaussian() * 0.01).toFloat))
+    }
+    val background = (200 until 300).map(i =>
+      (i.toLong, Seq.fill(dim)((rng.nextGaussian() * 2).toFloat)))
+    val twinBase = Seq.fill(dim)((rng.nextGaussian() * 2).toFloat)
+    val corpus = (mass ++ background ++
+      Seq((900L, twinBase), (901L, twinBase))).toDF("vec_id", "embedding")
+
+    def pairs(cap: Option[Int]) =
+      Similarity.cosineNearDup(corpus, "vec_id", "embedding", threshold = 0.8,
+          dim = dim, bucketCap = cap)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    val unguarded = pairs(None)
+    val guarded = pairs(Some(16))
+    // every pair meets at exactly one (band, bkey, s1, s2) key, so the
+    // guard changes the physical bucket bound and NOTHING else
+    assert(guarded == unguarded,
+      s"guarded=${guarded.size} unguarded=${unguarded.size}")
+    assert(guarded.contains((900L, 901L)), "planted exact twin must survive")
+    // the mass really is the adversary: its pairs dominate the output
+    assert(guarded.keys.count { case (a, b) => a < 150 && b < 150 } > 1000)
+  }
+
+  test("centroid refinement: deterministic, refineIters=0 is the seed, alignment improves on clustered data") {
+    import spark.implicits._
+    // three well-separated direction clusters laid out so the id-stride
+    // seed picks 3 seeds from cluster A and 1 from B, and NONE from C —
+    // the clustered-corpus adversary where raw stride seeding leaves a
+    // whole cluster with no aligned centroid (its members fall into the
+    // B seed's cell at cosine ≈ 0)
+    val rng = new scala.util.Random(23)
+    val dim = 8
+    def member(axis: Int): Seq[Float] =
+      (0 until dim).map(j =>
+        (if (j == axis) 10.0 else 0.0) + rng.nextGaussian() * 0.05).map(_.toFloat)
+    val corpus = ((0 until 600).map(i => (i.toLong, member(0))) ++
+      (600 until 800).map(i => (i.toLong, member(1))) ++
+      (800 until 1000).map(i => (i.toLong, member(2))))
+      .toDF("vec_id", "embedding")
+    val nlist = 4
+    val stride = 1000L / nlist
+
+    def centroids(iters: Int) =
+      Similarity.deriveCentroids(corpus, "embedding", nlist, stride, iters)
+    val seed = centroids(0)
+    val refined = centroids(2)
+
+    // refineIters = 0 IS the stride seed (no hidden refinement)
+    assert(seed._1.map(_.toSeq).toSeq == centroids(0)._1.map(_.toSeq).toSeq)
+    // determinism: the integer-sum mean makes repeat runs bit-identical
+    val again = centroids(2)
+    assert(refined._1.map(_.toSeq).toSeq == again._1.map(_.toSeq).toSeq)
+    assert(refined._2.toSeq == again._2.toSeq)
+    // Lloyd moved the B-cluster seed toward the B∪C mass: mean best-cell
+    // alignment strictly improves (cluster C sat at ≈0 under the seed)
+    val alignSeed = Similarity.centroidAlignment(corpus, "embedding", seed._1, seed._2)
+    val alignRef = Similarity.centroidAlignment(corpus, "embedding", refined._1, refined._2)
+    assert(alignRef > alignSeed + 0.02,
+      s"refinement must improve alignment on clustered data: $alignSeed -> $alignRef")
+
+    // the refined path still returns a valid, well-formed top-k
+    val topk = Similarity.ivfTopK(corpus, corpus, 3, nlist = Some(nlist),
+      refineIters = 2)
+    assert(topk.filter(col("qid") === col("nid")).count() == 0)
+    val perQ = topk.groupBy(col("qid")).agg(count(lit(1)).as("c"))
+    assert(perQ.filter(col("c") > 3).count() == 0)
+    assert(topk.count() > 0)
+  }
+
   test("multimodal: pack -> decode stub -> frame sample plumbing") {
     val packed = graft.sources.Multimodal.pack(Tables(spark, sf, "documents"), "text")
     val decoded = graft.sources.Multimodal.decodeStub(packed)
