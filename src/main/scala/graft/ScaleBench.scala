@@ -122,6 +122,42 @@ object ScaleBench {
         "id_a", "id_b").count()
     }
 
+    // ---- the hot-mass adversary (the bucketCap regime): a
+    // deterministic ~3% id-hash slice of the corpus replaced by
+    // near-identical vectors — at web scale this is the boilerplate
+    // mass, and unguarded it concentrates one (band, bkey) bucket per
+    // band with the whole slice in it. The A/B measures the triangle
+    // guard on the exact same corpus (results are spec-identical, so
+    // any delta is physical-bucket shape). NOTE the honest caveat for
+    // local[32]: the unguarded run already gets B-way parallelism (one
+    // hot bucket per band), so the measured win understates the
+    // cluster regime, where cores ≫ bands and the per-key bound is
+    // everything.
+    lazy val massEmb = {
+      val eps = pmod(xxhash64(col("vec_id")), lit(1000L)).cast("double") / 1e5
+      val massVec = array(
+        (Seq((lit(8.0) + eps).cast("float")) ++
+          Seq.fill(63)(lit(0.1f))): _*)
+      emb.withColumn("embedding",
+        when(pmod(xxhash64(col("vec_id") + 17L), lit(33L)) === 0, massVec)
+          .otherwise(col("embedding")))
+        .localCheckpoint()
+    }
+    if (wanted("neardup_mass")) runs("neardup_mass") = timed("neardup_mass") {
+      Similarity.cosineNearDup(massEmb, "vec_id", "embedding", threshold = 0.8,
+        bitsPerBand = ndBits).count()
+    }
+    if (wanted("neardup_mass_guard")) runs("neardup_mass_guard") = timed("neardup_mass_guard") {
+      Similarity.cosineNearDup(massEmb, "vec_id", "embedding", threshold = 0.8,
+        bitsPerBand = ndBits, bucketCap = Some(4096)).count()
+    }
+    // refinement overhead on the SCATTERED fixture: one Lloyd pass is
+    // one extra assignment sweep — the point is the additive cost, the
+    // recall effect on clustered data is spec-pinned at fixture scale
+    if (wanted("ivf_topk_refined")) runs("ivf_topk_refined") = timed("ivf_topk_refined") {
+      Similarity.ivfTopK(emb, emb, 3, refineIters = 1).count()
+    }
+
     // ---- the asymmetric SERVING regime (|Q| ≪ |C|): 1k queries vs the
     // corpus. This is where multi-probe's corpus-side band savings stop
     // being paid for by query-side fanout, and where the persisted
