@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt re-logs the forked process's stdout with an
+// "[info] " prefix — which breaks any consumer that expects a
+// machine-readable line (the bench driver json-parses Bench's one
+// metric line and has to find it starting at column 0).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +31,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks inside THIS heap. At 8g the
+  // unified memory pool is ~4.6 GB for 32 shingle-explode/hash-agg
+  // tasks plus localCheckpoint blocks — measured GC thrash made the
+  // same sf0.1 query swing 12.7 s ↔ 160 s run-to-run. The box has
+  // 125 GB; size the heap like the executor fleet it stands in for.
+  // Xms = Xmx + AlwaysPreTouch: this is a microVM whose memory is
+  // faulted in on first touch — thread dumps during "slow" runs showed
+  // 2-3 tasks burning 40-70 s of apparent CPU inside plain allocation/
+  // copy paths (serializer, BytesToBytesMap page acquire) while 30
+  // threads idled, i.e. page-fault service time billed to the task.
+  // Pre-faulting the whole heap at JVM start moves that cost out of
+  // every first-run measurement.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -113,16 +113,21 @@ object Bench {
     val gaugeQ = "d1_q1_pricing"
     val selected = headline.filter(qs.contains).filter(n => only.forall(_.contains(n)))
 
+    // millisecond precision keeps the metric line well inside the
+    // 2000-char stdout tail the driver archives; full ns precision
+    // pushed it past the window and truncated the JSON for 8 rounds
+    def r3(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
     /** One full bracketed pass: gauge query, timed set, gauge query again. */
     case class Attempt(results: Seq[(String, Double)], gaugeFirst: Double,
                        gaugeLast: Double, drift: Double,
                        loadStart: Double, loadEnd: Double) {
       def contaminated: Boolean = drift > DriftRetryThreshold || loadStart > LoadRetryThreshold
       def json: String = {
-        val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s"""{"queries":$qJson,"total":${results.map(_._2).sum},""" +
-          s""""gauge":{"query":"$gaugeQ","first":$gaugeFirst,"last":$gaugeLast,"drift":$drift},""" +
-          s""""load_avg":{"start":$loadStart,"end":$loadEnd}}"""
+        val qJson = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+        s"""{"queries":$qJson,"total":${r3(results.map(_._2).sum)},""" +
+          s""""gauge":{"query":"$gaugeQ","first":${r3(gaugeFirst)},"last":${r3(gaugeLast)},"drift":${r3(drift)}},""" +
+          s""""load_avg":{"start":${r3(loadStart)},"end":${r3(loadEnd)}}}"""
       }
     }
     def runAttempt(tag: String): Attempt = {
@@ -153,13 +158,27 @@ object Bench {
     // alone let a load-6 pass beat a clean one. All passes ship under
     // "attempts" so the artifact stays honest about what happened.
     val maxAttempts = 3
+    // A fixed settle sleep is not enough: the 1-min load average still
+    // carries the PREVIOUS attempt's own 32-thread burst for a minute
+    // or more, so a retry launched on a timer reads loadStart ≈ 5 and
+    // gets mis-flagged as contaminated even on an otherwise idle box.
+    // Wait until the load actually decays under the gate (bounded).
+    def waitUntilQuiet(maxWaitMs: Long): Unit = {
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var l = loadAvg()
+      while (l > LoadRetryThreshold && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] load $l%.2f > $LoadRetryThreshold%.1f — settling")
+        Thread.sleep(15000)
+        l = loadAvg()
+      }
+    }
     val attempts = {
       val buf = scala.collection.mutable.ArrayBuffer(runAttempt("1"))
       while (buf.last.contaminated && buf.size < maxAttempts) {
         System.err.println(
           f"[bench] attempt ${buf.size} contaminated (drift ${buf.last.drift}%.2f, " +
-            f"load ${buf.last.loadStart}%.2f) — sleeping 60 s, then retrying")
-        Thread.sleep(60000) // let the co-resident workload drain
+            f"load ${buf.last.loadStart}%.2f) — waiting for the machine to settle")
+        waitUntilQuiet(180000)
         buf += runAttempt(s"${buf.size + 1}")
       }
       buf.toSeq
@@ -168,13 +187,18 @@ object Bench {
     val official = (if (pool.nonEmpty) pool else attempts)
       .minBy(a => math.abs(math.log(math.max(a.drift, 1e-3))))
 
-    val qJson = official.results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qJson = official.results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = official.results.map(_._2).sum
-    val gaugeJson = s"""{"query":"$gaugeQ","first":${official.gaugeFirst},"last":${official.gaugeLast},"drift":${official.drift}}"""
-    val loadJson = s"""{"start":${official.loadStart},"end":${official.loadEnd}}"""
-    val attemptsJson = attempts.map(_.json).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"retried":${attempts.size > 1},"attempts":$attemptsJson}""")
+    val gaugeJson = s"""{"query":"$gaugeQ","first":${r3(official.gaugeFirst)},"last":${r3(official.gaugeLast)},"drift":${r3(official.drift)}}"""
+    val loadJson = s"""{"start":${r3(official.loadStart)},"end":${r3(official.loadEnd)}}"""
+    // Every pass ships for honesty, but on its OWN line: folding the
+    // attempts array into the metric line made that line ~4–6 KB, and
+    // the driver archives only the last 2000 chars of stdout — the
+    // metric JSON arrived decapitated and unparseable in rounds 1–8.
+    // The metric line itself goes LAST and stays ≲1.2 KB.
+    println(s"""{"attempts":${attempts.map(_.json).mkString("[", ",", "]")}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"retried":${attempts.size > 1}}""")
     spark.stop()
   }
 }

@@ -18,17 +18,27 @@ object Tables {
 
   /** Load one fixture table as a DataFrame.
     *
-    * `events.ts` is physically Parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); we read it as a
-    * raw nanosecond Long (legacy conf) and truncate to a microsecond
-    * TimestampType — every fixture timestamp is ms-aligned, so nothing
-    * observable is lost and DuckDB comparisons stay exact.
+    * `events.ts` has shipped in two physical forms across fixture
+    * generations: Parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]), so it is read as a raw
+    * nanosecond Long (legacy conf) and truncated to microseconds — and
+    * plain TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ. Both
+    * normalize to the session-zone TimestampType every downstream query
+    * and oracle was written against (session TZ is pinned UTC, so the
+    * NTZ→TZ cast is value-preserving and DuckDB comparisons stay
+    * exact).
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case _ =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -20,11 +20,26 @@ object Dedup {
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of a token array (higher-order fns, no UDF). */
+  /** Word n-gram shingles of a token array (higher-order fns, no UDF).
+    * Reference form for specs; the hot paths key shingles by
+    * [[shingleHash64]] — HOF lambdas run through interpreted
+    * `Expression.eval` per window and thread sampling caught exactly
+    * this chain dominating every shingle stage. */
   def shingles(tokens: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(size(tokens) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(tokens, i, lit(n))))
+
+  /** Native 64-bit shingle fingerprints ([[graft.functions
+    * .ShingleHash64Expr]]): one codegen call per row, no shingle
+    * strings, no interpreted lambdas. `keepPartial = true` mirrors
+    * [[shingles]] (a doc shorter than n yields one partial window);
+    * `false` mirrors the gram-counting `when(size >= n)` convention. */
+  def shingleHash64(tokens: Column, n: Int, keepPartial: Boolean = true): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.ShingleHash64Expr(
+      ColumnBridge.expression(tokens), n, keepPartial))
+  }
 
   /** k seeded minhashes of a shingle array: min over shingles of
     * xxhash64(shingle, seed). Pure-built-ins reference form — correct but
@@ -193,8 +208,8 @@ object Dedup {
     // rep-pair expansion + both sides of the intra-group self-join),
     // each of which would re-run the whole-text grouping otherwise —
     // materialize the narrow (id, rid) table once per invocation
-    lazy val members = base.join(groups, "txt").select(col("id"), col("rid"))
-      .localCheckpoint()
+    lazy val members = graft.Checkpoints.rotate("dedup.ngramJaccard.members",
+      base.join(groups, "txt").select(col("id"), col("rid")))
     val reps =
       if (preDeduped) base else groups.select(col("rid").as("id"), col("txt"))
 
@@ -205,20 +220,24 @@ object Dedup {
     // spills to disk) — NOT .cache(), whose plan-keyed entry would
     // survive the call and make a re-run read stale warm state instead
     // of doing its own work.
-    // Shingles are keyed by xxhash64, not the string: the self-join
-    // shuffles ~|sets| rows twice and the distinct/df aggs key on it, so
-    // 8-byte keys vs ~20-char strings roughly halve the bytes moved and
-    // make every compare primitive. Two distinct shingles colliding
-    // would overcount one intersection — odds ~|shingles|²/2⁶⁵ (≈3e-8
-    // at 10⁶ distinct shingles), the standard fingerprint trade every
-    // shingle pipeline makes; the DuckDB oracle hash-match would surface
-    // a collision at fixture scale (none exists).
-    val sets = reps
+    // Shingles are keyed by 64-bit fingerprint, not the string
+    // ([[shingleHash64]] — native codegen, no interpreted HOF lambdas,
+    // no shingle strings): the self-join shuffles ~|sets| rows twice and
+    // the distinct/df aggs key on it, so 8-byte keys vs ~20-char strings
+    // roughly halve the bytes moved and make every compare primitive.
+    // Two distinct shingles colliding would overcount one intersection —
+    // odds ~|shingles|²/2⁶⁴ (≈6e-8 at 10⁶ distinct shingles), the
+    // standard fingerprint trade every shingle pipeline makes; the
+    // DuckDB oracle hash-match (real string sets) would surface a
+    // collision at fixture scale (none exists).
+    // repartition first: reps often arrives as ONE AQE-coalesced (or
+    // checkpointed) partition, and without the spread the explode+hash
+    // map side of the distinct runs single-threaded.
+    val sets = graft.Checkpoints.rotate("dedup.ngramJaccard.sets", reps
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"),
-        explode(shingles(split(col("txt"), " "), shingleN)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("s"))
-      .distinct()
-      .localCheckpoint()
+        explode(shingleHash64(split(col("txt"), " "), shingleN)).as("s"))
+      .distinct())
     val dfs = sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rare shingles only through the self-join — the df histogram is one
     // extra agg on data already shuffled by shingle, and it bounds the
@@ -289,7 +308,8 @@ object Dedup {
     * otherwise), and the final filter is a left_anti join on doc id.
     * Nothing is pairwise in document space; cost is O(shingles), same
     * family as [[ngramJaccard]]'s candidate stage. Shingles are
-    * xxhash64-keyed (8-byte join keys, ~n²/2⁶⁵ collision odds — a
+    * fingerprint-keyed ([[shingleHash64]], 8-byte join keys, ~n²/2⁶⁴
+    * collision odds — a
     * collision could only OVER-drop, never leak a benchmark n-gram). */
   def decontaminate(
       docs: DataFrame,
@@ -301,15 +321,13 @@ object Dedup {
     def keys(df: DataFrame) = df
       .repartition(n, col(idCol))
       .select(col(idCol).as("id"),
-        explode(shingles(split(col(textCol), " "), shingleN)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("s"))
+        explode(shingleHash64(split(col(textCol), " "), shingleN)).as("s"))
       .distinct()
     // bench side only ever needs the distinct shingle-KEY set — going
     // through keys() would shuffle (id, s) pairs and repartition by id
     // first, two wasted shuffle rounds over every benchmark shingle
     val benchKeys = bench
-      .select(explode(shingles(split(col(textCol), " "), shingleN)).as("sh"))
-      .select(xxhash64(col("sh")).as("s"))
+      .select(explode(shingleHash64(split(col(textCol), " "), shingleN)).as("s"))
       .distinct()
     val contaminated = keys(docs).join(benchKeys, "s")
       .select(col("id").as(idCol)).distinct()
@@ -453,6 +471,9 @@ object Dedup {
         "pair graph has a longer diameter than a dedup workload should; " +
         "raise maxIter or switch to star-contraction for chain graphs")
     freeCheckpoint(sym)
-    labels
+    // the final labels checkpoint must outlive this call (the caller's
+    // plan reads it), so it rotates: the next invocation frees this
+    // generation's blocks instead of letting bench loops accumulate them
+    graft.Checkpoints.adopt("dedup.connectedComponents.labels", labels)
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.Multimodal
-import graft.{Q, Tables}
+import graft.{Checkpoints, Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2b group L — the LLM training-data pipeline operators, as
@@ -634,9 +634,9 @@ object LlmQueries {
       val corpus = all.filter(col("doc_id") % 50 =!= 0)
       // materialized once — four downstream branches re-run the
       // whole-text groupBy otherwise (same rationale as l28)
-      val reps = Dedup.exact(corpus, "text", "doc_id")
-        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
-        .localCheckpoint()
+      val reps = Checkpoints.rotate("l27.reps",
+        Dedup.exact(corpus, "text", "doc_id")
+          .join(corpus.select(col("doc_id"), col("source")), "doc_id"))
       val gated = reps
         .filter(length(col("text")) >= 100 && size(split(col("text"), " ")) >= 20)
         .join(TextAnalysis.repetitionSignals(reps, "doc_id", "text")
@@ -719,9 +719,9 @@ object LlmQueries {
       // (pair stage, anti-join, quality gates, repetition signals,
       // decontamination, final agg) would each re-run the whole-text
       // groupBy otherwise — measured as most of the query's cost
-      val reps = Dedup.exact(corpus, "text", "doc_id")
-        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
-        .localCheckpoint()
+      val reps = Checkpoints.rotate("l28.reps",
+        Dedup.exact(corpus, "text", "doc_id")
+          .join(corpus.select(col("doc_id"), col("source")), "doc_id"))
       // component collapse: drop every doc whose component label is a
       // smaller id (the survivor is the component min — deterministic).
       // reps is exact-deduped by construction, so the pair stage skips

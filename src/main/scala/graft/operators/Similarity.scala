@@ -709,6 +709,13 @@ object Similarity {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("cell").parquet(s"$dir/postings")
 
+    // the pack+assign staging table is fully consumed (counts collected,
+    // postings written) — free its blocks before returning instead of
+    // letting per-build generations pile up in the storage pool
+    rows.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
     import spark.implicits._
     centroids.zip(cnorms).zipWithIndex.map { case ((c, nm), i) =>
       val (nv, ns) = cellMeta.getOrElse(i, (0L, 1))
@@ -1241,7 +1248,7 @@ object Similarity {
         (x, y, Seq("band", "bkey"))
       case Some(cap) =>
         require(cap > 0, s"bucketCap must be positive, got $cap")
-        val mat = banded.localCheckpoint()
+        val mat = graft.Checkpoints.rotate("similarity.bandedGuard", banded)
         val hot = mat.groupBy(col("band"), col("bkey"))
           .agg(count(lit(1)).as("s"))
           .filter(col("s") > cap)

@@ -163,9 +163,10 @@ object TextAnalysis {
     *   - `dup_3gram_frac`  = 1 − distinct/total 3-grams.
     *
     * Two execution shapes on purpose: the 3-gram fraction is entirely
-    * ROW-LOCAL (`transform`/`sequence`/`slice`/`array_distinct` — pure
-    * codegen, zero shuffles; the shape to prefer when only a
-    * distinct-count is needed), while the 2-gram stats need per-gram
+    * ROW-LOCAL (native [[graft.functions.ShingleHash64Expr]]
+    * fingerprints + `array_distinct` over longs, zero shuffles; the
+    * shape to prefer when only a distinct-count is needed), while the
+    * 2-gram stats need per-gram
     * occurrence counts, so they run explode → two-level hash aggregate —
     * ONE shuffle whose map side combines per-doc gram counts (never
     * wider than the tokenized corpus, the same scale envelope as
@@ -176,20 +177,29 @@ object TextAnalysis {
     * their fractions are defined as 0. */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    def grams(n: Int) =
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array())
+    // grams are consumed ONLY through equality (distinct counts /
+    // occurrence counts), so they ride as native 64-bit fingerprints
+    // ([[Dedup.shingleHash64]], keepPartial = false ≡ the old
+    // `when(size >= n)` guard) — the string-building
+    // transform/concat_ws/slice chain ran interpreted per window and
+    // dominated this operator's stages under thread sampling
+    def grams(n: Int) = Dedup.shingleHash64(toks, n, keepPartial = false)
+
+    // spread first: callers hand this survivors-of-a-join frames that
+    // AQE has often coalesced to ONE partition, and this operator's
+    // result is usually a broadcast-subquery build — without the spread
+    // the whole gram explode runs on a single thread
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
 
     // row-local tier: distinct fraction needs no occurrence counts
-    val local = docs.select(
+    val local = spread.select(
       col(idCol).as("id"),
       size(grams(3)).cast("long").as("n_3grams"),
       size(array_distinct(grams(3))).cast("long").as("d3"))
 
     // counting tier: per-gram occurrences, then per-doc rollup
-    val counts = docs
+    val counts = spread
       .select(col(idCol).as("id"), explode(grams(2)).as("g"))
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("id")).agg(

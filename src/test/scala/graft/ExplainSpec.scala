@@ -88,6 +88,48 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHash64Expr is window-aligned with the HOF string shingles on fixtures") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val edge = Seq(
+      (9001L, ""),                       // split("") = [""] — one empty token
+      (9002L, "one"),                    // shorter than n: partial window
+      (9003L, "a b"),                    // exactly n-1 tokens
+      (9004L, "a b c"),                  // exactly n tokens
+      (9005L, "x x x x x x"),            // repeated token: windows collide BY VALUE
+      (9006L, "naïve café 東京 a b c")    // non-ASCII token bytes
+    ).toDF("doc_id", "text")
+    val docs = Tables(spark, sf, "documents").limit(300)
+      .select($"doc_id", $"text").unionByName(edge)
+    val toks = split($"text", " ")
+    // the consumer contract is grouping structure, not hash values: a
+    // fingerprint must equal another iff the shingle STRINGS are equal.
+    // Per-doc AND global distinct counts matching the string form pins
+    // both window alignment and (fixture-scale) injectivity.
+    val both = docs.select(
+      $"doc_id",
+      size(array_distinct(Dedup.shingles(toks, 3))).as("d_str"),
+      size(array_distinct(Dedup.shingleHash64(toks, 3))).as("d_fp"),
+      size(Dedup.shingles(toks, 3)).as("n_str"),
+      size(Dedup.shingleHash64(toks, 3)).as("n_fp"))
+    assert(both.filter($"d_str" =!= $"d_fp" || $"n_str" =!= $"n_fp").count() == 0)
+    val gStr = docs.select(explode(Dedup.shingles(toks, 3)).as("sh")).distinct().count()
+    val gFp = docs.select(explode(Dedup.shingleHash64(toks, 3)).as("s")).distinct().count()
+    assert(gStr == gFp, s"cross-doc fingerprint grouping diverged: $gStr strings vs $gFp fps")
+    // keepPartial=false mirrors the gram-counting convention exactly
+    val short = docs.filter(size(toks) < 3)
+      .select(size(Dedup.shingleHash64(toks, 3, keepPartial = false)).as("n"))
+    assert(short.filter($"n" =!= 0).count() == 0)
+    val full = docs.filter(size(toks) >= 3).select(
+      (size(toks) - 2).as("want"),
+      size(Dedup.shingleHash64(toks, 3, keepPartial = false)).as("got"))
+    assert(full.filter($"want" =!= $"got").count() == 0)
+    // and the expression rides inside codegen, no fallback marker
+    val p = docs.select(Dedup.shingleHash64(toks, 3))
+      .queryExecution.explainString(ExtendedMode)
+    assert(!p.contains("CodegenFallback"), p.take(2000))
+  }
+
   test("a5: bucketed sort-merge join shuffles neither input") {
     import spark.implicits._
     SparkEntry.queries("a5_bucketed_join")(spark, sf).collect() // creates tables
