@@ -44,17 +44,26 @@ object Dedup {
   /** k seeded minhashes of a shingle array: min over shingles of
     * xxhash64(shingle, seed). Pure-built-ins reference form — correct but
     * interpreted (k × |shingles| boxed lambda evals per row); the hot
-    * path uses [[minhashSignatureFast]]. */
-  def minhashSignature(sh: Column, k: Int): Column =
+    * path uses [[minhashSignature]]. */
+  def minhashSignatureHof(sh: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
       s => array_min(transform(sh, x => xxhash64(x, s))))
 
-  /** Tight-loop signature UDF over token arrays: n-gram shingle hashes
-    * are ROLLED from per-token FNV-1a hashes (each token hashed once, no
-    * shingle strings materialized), then k splitmix64-style seed mixes
-    * take the min. One JVM call per row, all primitive arithmetic,
-    * deterministic (fixed constants). */
+  /** Native minhash signature ([[graft.functions.MinHashSigExpr]]):
+    * rolled-FNV shingle hashes + k splitmix64 seed-mix minima in one
+    * codegen call per row — no boxed Seq[String], no ScalaUDF
+    * converter round-trip. */
+  def minhashSignature(tokens: Column, k: Int, shingleN: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSigExpr(
+      ColumnBridge.expression(tokens), k, shingleN))
+  }
+
+  /** Reference-form signature UDF (kept for the law spec): same rolled
+    * shingle-hash + seed-mix structure as [[minhashSignature]], but
+    * hashing UTF-16 chars through a boxed Seq[String] — the shape the
+    * native expression replaced on the hot path. */
   def minhashSignatureFast(k: Int, shingleN: Int = 3) = udf { (tokens: Seq[String]) =>
     val sig = Array.fill(k)(Long.MaxValue)
     if (tokens != null && tokens.nonEmpty) {
@@ -94,15 +103,24 @@ object Dedup {
   }
 
   /** LSH banding: hash each of `bands` contiguous `rowsPerBand`-slices of
-    * the signature into a bucket key. */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      i => xxhash64(slice(sig, i * rowsPerBand + 1, lit(rowsPerBand)), i))
+    * the signature into a bucket key (native [[graft.functions
+    * .BandKeysExpr]] — the HOF slice-and-xxhash form ran an interpreted
+    * lambda per band per row). */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.BandKeysExpr(
+      ColumnBridge.expression(sig), bands, rowsPerBand))
+  }
 
-  /** Estimated Jaccard = fraction of agreeing signature positions. */
-  def estJaccard(sigA: Column, sigB: Column, k: Int): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)) / lit(k.toDouble)
+  /** Estimated Jaccard = fraction of agreeing signature positions
+    * (native [[graft.functions.SigAgreeExpr]] — the zip_with/filter
+    * form ran interpreted per position per candidate PAIR, the band
+    * join's hottest site). */
+  def estJaccard(sigA: Column, sigB: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SigAgreeExpr(
+      ColumnBridge.expression(sigA), ColumnBridge.expression(sigB))) / lit(k.toDouble)
+  }
 
   /** MinHash + LSH near-duplicate candidate pairs.
     *
@@ -128,7 +146,7 @@ object Dedup {
     // group can't be split), and row-local compute must spread
     val sigs = docs.repartition(n, col(idCol)).select(
       col(idCol).as("id"),
-      minhashSignatureFast(k, shingleN)(split(col(textCol), " ")).as("sig"))
+      minhashSignature(split(col(textCol), " "), k, shingleN).as("sig"))
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -334,29 +352,13 @@ object Dedup {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash of a token array: per-bit votes weighted by token
-    * hash. Row-local UDF (no state, no shuffle); a custom codegen
-    * Expression would only matter if profiling shows this dominating. */
-  val simhash64 = udf { (tokens: Seq[String]) =>
-    if (tokens == null) 0L
-    else {
-      val votes = new Array[Int](64)
-      tokens.foreach { t =>
-        // xxhash-free deterministic 64-bit string hash (FNV-1a)
-        var h = 0xcbf29ce484222325L
-        var i = 0
-        while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-        var bit = 0
-        while (bit < 64) {
-          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-          bit += 1
-        }
-      }
-      var out = 0L
-      var bit = 0
-      while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
-      out
-    }
+  /** 64-bit SimHash of a token array ([[graft.functions.SimHash64Expr]]
+    * — native codegen, no boxed Seq[String] per row). Row-local, no
+    * state, no shuffle. */
+  def simhash64(tokens: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHash64Expr(
+      ColumnBridge.expression(tokens)))
   }
 
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit

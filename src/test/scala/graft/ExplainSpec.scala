@@ -130,6 +130,43 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CodegenFallback"), p.take(2000))
   }
 
+  test("MinHashSigExpr/SigAgreeExpr/BandKeysExpr agree with their reference forms") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents").limit(200)
+      .select($"doc_id", split($"text", " ").as("toks"))
+    // fixture text is ASCII, where the UDF's UTF-16-char FNV and the
+    // expression's UTF-8-byte FNV are bit-identical — signatures must
+    // match exactly
+    val sigs = docs.select(
+      $"doc_id",
+      Dedup.minhashSignature($"toks", 16).as("native"),
+      Dedup.minhashSignatureFast(16)($"toks").as("ref"))
+    assert(sigs.filter($"native" =!= $"ref").count() == 0)
+    // SigAgree == the interpreted zip_with/filter count on sig pairs
+    val pairs = sigs.select($"doc_id".as("ia"), $"native".as("sa"))
+      .crossJoin(sigs.limit(30).select($"doc_id".as("ib"), $"native".as("sb")))
+      .filter($"ia" < $"ib")
+    val agreeRef = size(filter(zip_with($"sa", $"sb", (x, y) => x === y), b => b))
+    val mism = pairs.select(
+      (Dedup.estJaccard($"sa", $"sb", 16) * 16).cast("int").as("native"),
+      agreeRef.as("ref")).filter($"native" =!= $"ref").count()
+    assert(mism == 0)
+    // band keys: equal signatures ⇒ equal keys, band count fixed, and
+    // two docs sharing a band key must share that band's slice
+    val keyed = sigs.select($"doc_id", $"native".as("sig"),
+      Dedup.lshBandKeys($"native", 4, 4).as("bk"))
+    assert(keyed.filter(size($"bk") =!= 4).count() == 0)
+    val collide = keyed.select($"doc_id".as("ia"), $"sig".as("sa"),
+        posexplode($"bk").as(Seq("band", "key")))
+      .join(keyed.select($"doc_id".as("ib"), $"sig".as("sb"),
+        posexplode($"bk").as(Seq("band", "key"))), Seq("band", "key"))
+      .filter($"ia" < $"ib")
+      .filter(expr("slice(sa, band * 4 + 1, 4)") =!= expr("slice(sb, band * 4 + 1, 4)"))
+      .count()
+    assert(collide == 0, s"$collide band-key collisions across distinct slices")
+  }
+
   test("a5: bucketed sort-merge join shuffles neither input") {
     import spark.implicits._
     SparkEntry.queries("a5_bucketed_join")(spark, sf).collect() // creates tables
