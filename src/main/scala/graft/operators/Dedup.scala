@@ -444,8 +444,15 @@ object Dedup {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(blocking = false))
 
-    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // materialize the PAIR INPUT once before symmetrizing: the union's
+    // two branches are separate scans of `pairs`, and Spark does not
+    // dedupe common subtrees inside a plan — with an expensive producer
+    // (the banded near-dup join) the whole pair pipeline executed TWICE
+    // (measured: dedup_groups at 10⁵ paid ~2× its near-dup stage before
+    // the CC rounds even started)
+    val p0 = graft.Checkpoints.rotate("dedup.connectedComponents.pairs",
+      pairs.select(col(aCol).as("u"), col(bCol).as("v")))
+    val sym = p0.unionAll(p0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
