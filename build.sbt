@@ -43,7 +43,26 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // threads idled, i.e. page-fault service time billed to the task.
   // Pre-faulting the whole heap at JVM start moves that cost out of
   // every first-run measurement.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  "-XX:+AlwaysPreTouch",
-)
+  // Default is ADAPTIVE, not a baked-in 32g: on a box with less free
+  // memory than the heap, -Xms + AlwaysPreTouch would fail the JVM at
+  // start (or thrash swap pre-faulting it). Pick min(32g, ~half of
+  // MemAvailable), floored at 4g; SPARK_DRIVER_MEM still overrides.
+  s"-Xms$graftHeap", s"-Xmx$graftHeap",
+) ++ (if (graftPreTouch) Seq("-XX:+AlwaysPreTouch") else Nil)
+
+// Heap sizing helper for the javaOptions above. AlwaysPreTouch only
+// pays off when the full target heap actually fits (the microVM
+// first-touch-fault fix, see the comment block above) — skip it when
+// the adaptive default had to shrink below 32g.
+lazy val graftHeap: String = sys.env.getOrElse("SPARK_DRIVER_MEM", {
+  val availGb: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("MemAvailable:"))
+        .map(_.split("\\s+")(1).toLong / (1024 * 1024)).getOrElse(8L)
+      finally src.close()
+    } catch { case _: Throwable => 8L }
+  s"${math.max(4L, math.min(32L, availGb / 2))}g"
+})
+lazy val graftPreTouch: Boolean =
+  sys.env.contains("SPARK_DRIVER_MEM") || graftHeap == "32g"

@@ -100,12 +100,27 @@ object Bench {
       require(names.nonEmpty && unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in Bench.headline: ${unknown.mkString(", ")}")
     }
+    // A failing query must be VISIBLE in the artifact: the former shape
+    // swallowed exceptions and recorded the (tiny) time-to-failure, so a
+    // broken query made the bench look FASTER — the one direction an
+    // honest artifact must never err. Failures record time = -1.0 plus
+    // the exception class/message, and the process exits nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timed(name: String): Double = {
       val fn = qs(name)
       try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(160)
+          errors(name) = msg
+          System.err.println(s"[bench] QUERY FAILED $name — $msg")
+          -1.0
+      }
     }
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
@@ -118,10 +133,13 @@ object Bench {
       * is still "busy"). */
     def cpuStat(): (Long, Long) =
       try {
-        val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-        // user nice system idle iowait irq softirq steal
-        (cols.take(3).sum + cols.drop(5).take(2).sum, if (cols.length > 7) cols(7) else 0L)
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val cols = src.getLines()
+            .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+          // user nice system idle iowait irq softirq steal
+          (cols.take(3).sum + cols.drop(5).take(2).sum, if (cols.length > 7) cols(7) else 0L)
+        } finally src.close()
       } catch { case _: Throwable => (0L, 0L) }
 
     val gaugeQ = "d1_q1_pricing"
@@ -221,8 +239,15 @@ object Bench {
     // the driver archives only the last 2000 chars of stdout — the
     // metric JSON arrived decapitated and unparseable in rounds 1–8.
     // The metric line itself goes LAST and stays ≲1.2 KB.
+    // errors carry the LAST failure message per query across all passes
+    // (a query that failed in any pass is broken — its -1.0 entries are
+    // already visible in the per-attempt timings)
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     println(s"""{"attempts":${attempts.map(_.json).mkString("[", ",", "]")}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"steal_pct":${r3(official.stealPct)},"retried":${attempts.size > 1}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"steal_pct":${r3(official.stealPct)},"retried":${attempts.size > 1},"errors":$errJson}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

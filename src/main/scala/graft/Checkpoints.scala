@@ -23,39 +23,61 @@ import org.apache.spark.sql.execution.LogicalRDD
   * checkpoint generation per site.
   */
 object Checkpoints {
-  /** Generations retained per key. 2, not 1: parity specs routinely
-    * build BOTH sides of an A/B comparison (direct path vs index path)
-    * before executing either — depth-1 rotation would free blocks the
-    * not-yet-executed side still needs, and a localCheckpoint's
-    * truncated lineage cannot recompute them. Depth 2 keeps every
-    * build-build-execute-execute pattern sound while still bounding the
-    * storage pool. */
-  private val Depth = 2
+  /** Default generations retained per key. 2, not 1: parity specs
+    * routinely build BOTH sides of an A/B comparison (direct path vs
+    * index path) before executing either — depth-1 rotation would free
+    * blocks the not-yet-executed side still needs, and a
+    * localCheckpoint's truncated lineage cannot recompute them. Depth 2
+    * keeps every build-build-execute-execute pattern sound while still
+    * bounding the storage pool.
+    *
+    * THE CALLER CONTRACT (per key, process-wide — keys are global, so
+    * it spans every query that shares the call site): at most `depth`
+    * DataFrames referencing the same key may be un-executed when the
+    * (depth+1)-th build under that key happens — eviction frees blocks
+    * whose truncated lineage CANNOT be recomputed, so a still-pending
+    * older frame would fail with a missing-block error at execution. A
+    * caller that builds more variants up front before executing any
+    * (e.g. a sweep spec constructing k query shapes) must pass a
+    * matching `depth`. Evictions log the key + RDD ids at debug level
+    * so a later missing-block crash is attributable to its eviction. */
+  val DefaultDepth = 2
+
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val live = new java.util.concurrent.ConcurrentHashMap[
     String, List[Seq[org.apache.spark.rdd.RDD[_]]]]()
 
-  private def push(key: String, rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit = {
+  private def push(key: String, rdds: Seq[org.apache.spark.rdd.RDD[_]],
+                   depth: Int): Unit = {
+    require(depth >= 1, s"checkpoint rotation depth must be >= 1, got $depth")
     val evicted = live.synchronized {
       val gens = rdds :: Option(live.get(key)).getOrElse(Nil)
-      val (keep, drop) = gens.splitAt(Depth)
+      val (keep, drop) = gens.splitAt(depth)
       live.put(key, keep)
       drop
     }
+    if (evicted.nonEmpty && logger.isDebugEnabled)
+      logger.debug(s"evicting checkpoint generation(s) under '$key': rdds " +
+        evicted.flatten.map(_.id).mkString("[", ",", "]") +
+        s" (depth $depth) — any still-unexecuted frame built from them will fail")
     evicted.flatten.foreach(_.unpersist(blocking = false))
   }
 
-  /** Eagerly checkpoint `df`; evict generations beyond [[Depth]] under `key`. */
-  def rotate(key: String, df: DataFrame): DataFrame =
-    adopt(key, df.localCheckpoint())
+  /** Eagerly checkpoint `df`; evict generations beyond `depth` under
+    * `key`. See the [[DefaultDepth]] caller contract. */
+  def rotate(key: String, df: DataFrame, depth: Int = DefaultDepth): DataFrame =
+    adopt(key, df.localCheckpoint(), depth)
 
   /** Register an ALREADY-checkpointed frame under `key`, evicting stale
     * generations — for checkpoints built inside operators that manage
     * their own intermediate lifecycle (e.g. the iterative
     * label-propagation loop, which frees per-round checkpoints itself
-    * but must hand its final labels to the caller). */
-  def adopt(key: String, ck: DataFrame): DataFrame = {
-    push(key, ck.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd })
+    * but must hand its final labels to the caller). See the
+    * [[DefaultDepth]] caller contract. */
+  def adopt(key: String, ck: DataFrame, depth: Int = DefaultDepth): DataFrame = {
+    push(key, ck.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd },
+      depth)
     ck
   }
 }

@@ -354,7 +354,19 @@ object Dedup {
 
   /** 64-bit SimHash of a token array ([[graft.functions.SimHash64Expr]]
     * — native codegen, no boxed Seq[String] per row). Row-local, no
-    * state, no shuffle. */
+    * state, no shuffle.
+    *
+    * Null semantics (DELIBERATE change from the pre-round-9 UDF): a
+    * NULL token array yields a NULL hash, so null-text documents drop
+    * out of simhash banding entirely — the old UDF mapped null to hash
+    * 0L, which silently clustered every null-text doc into one
+    * "near-duplicate" group, a wrong answer dressed as a convention.
+    * Callers that want null-text docs deduplicated should exact-dedup
+    * on a content hash first (the l27/l28 composition does). Token
+    * hashing is FNV-1a over UTF-8 BYTES (the UDF hashed UTF-16 chars),
+    * so bucket assignments and Hamming distances differ from the old
+    * form for non-ASCII text; identical texts still collide under any
+    * hash, which is the only property the band join relies on. */
   def simhash64(tokens: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.SimHash64Expr(

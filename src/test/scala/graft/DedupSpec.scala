@@ -46,6 +46,26 @@ class DedupSpec extends SparkSpec {
     assert((highJaccardPairs & sh).nonEmpty)
   }
 
+  test("simhash: null text drops out of banding; non-ASCII identical texts pair") {
+    import spark.implicits._
+    // null semantics (documented in simhash64's scaladoc): NULL text →
+    // NULL hash → the doc never enters a band, instead of the old UDF's
+    // hash-0 behavior that clustered every null-text doc together
+    val t = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]),
+      (3L, "naïve café 東京 résumé Ωmega"),  // UTF-8 multi-byte path
+      (4L, "naïve café 東京 résumé Ωmega"),
+      (5L, "totally different words here entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(t, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)),
+      s"expected only the identical non-ASCII pair, got $pairs")
+    val hashed = t.select(Dedup.simhash64(split($"text", " ")).as("sh"))
+    assert(hashed.filter($"sh".isNull).count() == 2)
+  }
+
   test("exact dedup collapses doubled corpus to one row per text") {
     val out = LlmQueries.l1ExactDedup.run(spark, sf)
     assert(out.count() == docs.count())

@@ -133,11 +133,16 @@ class ExplainSpec extends SparkSpec {
   test("MinHashSigExpr/SigAgreeExpr/BandKeysExpr agree with their reference forms") {
     import spark.implicits._
     import graft.operators.Dedup
-    val docs = Tables(spark, sf, "documents").limit(200)
+    // ASCII-only sample BY CONSTRUCTION, not by fixture luck: the UDF's
+    // UTF-16-char FNV and the expression's UTF-8-byte FNV are
+    // bit-identical exactly on ASCII, so the exact-equality assertion
+    // below must pin its own precondition — a regenerated fixture with
+    // one non-ASCII doc would otherwise fail the spec with both
+    // implementations correct. (Non-ASCII behavior is covered by the
+    // grouping-structure laws in the ShingleHash64Expr test above.)
+    val docs = Tables(spark, sf, "documents")
+      .filter($"text".rlike("^[\\x00-\\x7F]*$")).limit(200)
       .select($"doc_id", split($"text", " ").as("toks"))
-    // fixture text is ASCII, where the UDF's UTF-16-char FNV and the
-    // expression's UTF-8-byte FNV are bit-identical — signatures must
-    // match exactly
     val sigs = docs.select(
       $"doc_id",
       Dedup.minhashSignature($"toks", 16).as("native"),
