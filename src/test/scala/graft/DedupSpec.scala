@@ -195,29 +195,82 @@ class DedupSpec extends SparkSpec {
   test("connected components: chains close transitively, min-id labels, convergence guard") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3: the non-transitivity near-dup case),
-    // separate pair 10-11, triangle 20-21-22 with redundant edges
+    // separate pair 10-11, triangle 20-21-22 with redundant edges —
+    // checked through BOTH implementations (production star contraction
+    // and the propagation reference)
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L)
     ).toDF("id_a", "id_b")
-    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(
+    val want = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // the convergence guard fires on a chain longer than maxIter allows
-    // instead of returning a silently-wrong partition
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    val comp = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == want)
+    val compProp = graft.operators.Dedup.connectedComponentsProp(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compProp == want)
+    // the convergence guards fire instead of returning a silently-wrong
+    // partition: propagation needs diameter rounds (11 > 2 here), star
+    // contraction needs ~log rounds (a 500-chain is no star forest
+    // after one alternation)
     val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
     intercept[IllegalArgumentException] {
-      graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+      graft.operators.Dedup.connectedComponentsProp(chain, "id_a", "id_b", maxIter = 2)
+    }
+    val longChain = (1L to 500L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.connectedComponents(longChain, "id_a", "id_b", maxIter = 1)
     }
     // ...and the same chain converges with the default budget
     val full = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(full.values.toSet == Set(1L) && full.size == 12)
+  }
+
+  test("star-contraction CC: same labels as propagation on chains/cliques/random graphs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the hand-checked shapes from the propagation spec
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStars(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the regime split that motivates the algorithm: a 500-node chain
+    // has diameter 499 — propagation would need 499 rounds, star
+    // contraction closes it inside the default 15-round budget
+    val chain = (1L to 500L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id_a", "id_b")
+    val chainComp = Dedup.connectedComponentsStars(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainComp.values.toSet == Set(1L) && chainComp.size == 500)
+    // seeded random graph: star contraction must agree with label
+    // propagation exactly (same node set, same component labels)
+    val rnd = new scala.util.Random(42)
+    val rndPairs = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .toDF("id_a", "id_b")
+    val byStars = Dedup.connectedComponentsStars(rndPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byProp = Dedup.connectedComponentsProp(rndPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStars == byProp)
+    // degenerate self-pair keeps its endpoint in the output
+    val selfy = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    val selfComp = Dedup.connectedComponentsStars(selfy, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfComp == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
   test("repetition signals: hand-computed fractions, short-doc zero convention") {
