@@ -447,11 +447,12 @@ object Similarity {
       nlist: Option[Int] = None,
       nprobe: Int = 4,
       cellCap: Option[Int] = None,
-      refineIters: Int = 0): DataFrame = {
+      refineIters: Int = 0,
+      autoGuard: Boolean = true): DataFrame = {
     val total = corpus.count()
     rankTopK(
       ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = false, Some(total),
-        cellCap, refineIters),
+        cellCap, refineIters, autoGuard),
       k, total)
   }
 
@@ -471,11 +472,12 @@ object Similarity {
       nlist: Option[Int] = None,
       nprobe: Int = 4,
       cellCap: Option[Int] = None,
-      refineIters: Int = 0): DataFrame = {
+      refineIters: Int = 0,
+      autoGuard: Boolean = true): DataFrame = {
     val total = corpus.count()
     rankTopK(
       ivfScoredPairs(queries, corpus, nlist, nprobe, int8 = true, Some(total),
-        cellCap, refineIters),
+        cellCap, refineIters, autoGuard),
       k, total)
   }
 
@@ -503,7 +505,8 @@ object Similarity {
       int8: Boolean,
       totalOpt: Option[Long] = None,
       cellCap: Option[Int] = None,
-      refineIters: Int = 0): DataFrame = {
+      refineIters: Int = 0,
+      autoGuard: Boolean = true): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val n = sc.defaultParallelism
     val total = totalOpt.getOrElse(corpus.count())
@@ -544,7 +547,11 @@ object Similarity {
       col("vec_id").as("nid"), VectorFunctions.quantize3(col("embedding")).as("nv"),
       dotF(col("embedding"), col("embedding")).as("nn"),
       nearestCellsCol(matBc, col("geom"), 1).as("cell"))
-    val (qk, ck, joinKeys) = shardHotCells(q, c, cellCap)
+    // data-driven hot-cell guard: explicit cellCap wins; otherwise the
+    // sample probe decides (None on scattered corpora — identical plan)
+    val effCellCap = cellCap.orElse(if (autoGuard)
+      autoCellCap(withGeom(corpus), "geom", total, nlist, matBc) else None)
+    val (qk, ck, joinKeys) = shardHotCells(q, c, effCellCap)
     qk.join(ck, joinKeys)
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
@@ -601,6 +608,110 @@ object Similarity {
           explode(sequence(lit(0), greatest(col("nshards"), lit(1)) - 1)))
         .drop("nshards")
       (qk, ck, Seq("cell", "shard"))
+  }
+
+  /** Sampling fraction denominator for the skew probes: ids with
+    * xxhash64(id) ≡ 0 (mod k) are sampled, k sized so ~10⁵ rows are
+    * probed regardless of corpus size. */
+  private def probeModulus(n0: Long): Long = math.max(1L, n0 / 100000L)
+
+  /** Engagement rule shared by both auto guards: the guard turns on
+    * when the estimated largest bucket exceeds 8× its expected size AND
+    * an absolute floor (4096 rows — below that a "hot" bucket is still
+    * one cheap task, and small-corpus noise would flap the decision).
+    * The cap, once engaged, bounds per-key join input at ~4× expected
+    * (floored at 1024 so shard counts stay sane on tiny expected
+    * sizes). Estimates come from an id-hash sample, so a duplicate
+    * MASS — the case that matters, ≥ thousands of rows in one bucket —
+    * is seen at full statistical strength while the probe stays ~10⁵
+    * rows of one-band/one-cell work. */
+  private def engageCap(estMax: Double, expected: Double): Option[Int] =
+    if (estMax > math.max(8.0 * expected, 4096.0))
+      Some(math.max(1024.0, 4.0 * expected).toInt)
+    else None
+
+  /** AUTO-ENGAGEMENT probe for [[cosineNearDup]]'s hot-bucket guard.
+    *
+    * The guards exist (`bucketCap`, `cellCap`) but an OPT-IN guard is a
+    * guard that is off when the clustered 100 TB corpus arrives — so
+    * when no explicit cap is passed, the operator decides from the data:
+    * hash one band's keys (band 0 of the production plane set — the
+    * planes are seeded-random, so any single band's histogram sees a
+    * duplicate mass at full strength) over an id-hash ~10⁵-row sample,
+    * take the largest sampled bucket, scale by the sampling modulus,
+    * and engage per [[engageCap]]. Cost: one narrow job of
+    * sample·b·dim multiplies (~10⁸ at any corpus size) + a tiny agg —
+    * noise next to one band shuffle. A scattered corpus probes under
+    * the threshold and the operator builds the EXACT pre-auto plan;
+    * SimilaritySpec pins both the engagement decision on a planted
+    * mass and the plan identity on the scattered fixture. */
+  private[graft] def autoBucketCap(
+      emb: DataFrame,
+      idCol: String,
+      embCol: String,
+      n0: Long,
+      bitsPerBand: Int,
+      dim: Int = 64,
+      seed: Long = 42L): Option[Int] = {
+    if (n0 == 0L) return None
+    val k = probeModulus(n0)
+    // hyperplanes() fills sequentially from the seed, so the first
+    // `bitsPerBand` planes ARE production band 0 — the probe sees the
+    // exact bucket the real join will build
+    val planesBc = emb.sparkSession.sparkContext
+      .broadcast(hyperplanes(bitsPerBand, dim, seed))
+    val band0 = bandKeysUdf(planesBc, 1, bitsPerBand)
+    val maxBucket = emb
+      .filter(pmod(xxhash64(col(idCol)), lit(k)) === 0)
+      .select(band0(col(embCol)).getItem(0).as("k0"))
+      .groupBy(col("k0")).agg(count(lit(1)).as("s"))
+      .agg(max(col("s"))).head.getAs[Any](0)
+    if (maxBucket == null) return None
+    val expected = math.max(1.0, n0.toDouble / (1L << math.min(bitsPerBand, 62)))
+    engageCap(maxBucket.asInstanceOf[Long].toDouble * k, expected)
+  }
+
+  /** AUTO-ENGAGEMENT probe for the IVF paths' hot-cell guard — the
+    * [[autoBucketCap]] counterpart over centroid cells: assign an
+    * id-hash ~10⁵-row corpus sample to its nearest cell (the production
+    * centroid set, already broadcast), histogram, scale, engage per
+    * [[engageCap]] with expected = total/nlist. Scattered corpora probe
+    * under the threshold and [[shardHotCells]] receives None — the
+    * pre-auto plan, byte-identical. */
+  private[graft] def autoCellCap(
+      corpus: DataFrame,
+      geomCol: String,
+      total: Long,
+      nlist: Int,
+      matBc: org.apache.spark.broadcast.Broadcast[CentroidMatrix]): Option[Int] = {
+    if (total == 0L) return None
+    val k = probeModulus(total)
+    val maxCell = corpus
+      .filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
+      .select(nearestCellsCol(matBc, col(geomCol), 1).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("s"))
+      .agg(max(col("s"))).head.getAs[Any](0)
+    if (maxCell == null) return None
+    val expected = math.max(1.0, total.toDouble / nlist)
+    engageCap(maxCell.asInstanceOf[Long].toDouble * k, expected)
+  }
+
+  /** Spec entry for [[autoCellCap]]: derives the same float-geometry
+    * centroid set an [[ivfTopK]] call would and probes it — so a spec
+    * can pin the engagement DECISION without reaching into the
+    * broadcast plumbing. */
+  private[graft] def autoCellCapFor(
+      corpus: DataFrame,
+      nlistOpt: Option[Int] = None): Option[Int] = {
+    val total = corpus.count()
+    val nlist = nlistOpt.getOrElse(
+      math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
+    val stride = math.max(1L, total / nlist)
+    val g = corpus.withColumn("geom", col("embedding"))
+    val (centroids, cnorms) = deriveCentroids(g, "geom", nlist, stride, 0)
+    val matBc = corpus.sparkSession.sparkContext
+      .broadcast(CentroidMatrix(centroids, cnorms))
+    autoCellCap(g, "geom", total, nlist, matBc)
   }
 
   /** Builds the PERSISTED IVF index tier (the "real deployment" this
@@ -1136,9 +1247,15 @@ object Similarity {
     * `bucketCap` is the hot-bucket guard: an id-hash triangle sharding
     * of any (band, key) bucket larger than the cap — result-identical
     * (see the inline derivation at the join), bounding the largest
-    * join bucket a boilerplate-duplicate mass can create. Off by
-    * default: banding keeps buckets at tens of rows on scattered
-    * corpora, and the guard pays a localCheckpoint of the banded rows.
+    * join bucket a boilerplate-duplicate mass can create. With no
+    * explicit cap the operator decides FROM THE DATA (`autoGuard`,
+    * default on): a one-band sample probe ([[autoBucketCap]]) engages
+    * the guard only when a hot bucket actually exists — scattered
+    * corpora, where banding keeps buckets at tens of rows, build the
+    * identical unguarded plan and skip the guard's banded-row
+    * localCheckpoint; a clustered corpus gets the cap without anyone
+    * remembering a flag. `autoGuard = false` pins the unguarded plan
+    * unconditionally (spec/A-B use).
     *
     * `miss` is the per-pair miss budget and the SCALE lever: production
     * dedup tolerates ~1e-2 (the default — a 99%-recall sweep still
@@ -1159,13 +1276,21 @@ object Similarity {
       seed: Long = 42L,
       corpusSize: Option[Long] = None,
       codePrefilter: Boolean = true,
-      bucketCap: Option[Int] = None): DataFrame = {
+      bucketCap: Option[Int] = None,
+      autoGuard: Boolean = true): DataFrame = {
     val n0 = corpusSize.getOrElse(emb.count())
     val (b, bands) = nearDupParams(threshold, n0, miss, bitsPerBand, bandsOverride)
     val sc = emb.sparkSession.sparkContext
     val planesBc = sc.broadcast(hyperplanes(bands * b, dim, seed))
     val n = sc.defaultParallelism
     val keysUdf = bandKeysUdf(planesBc, bands, b)
+    // data-driven hot-bucket guard (see [[autoBucketCap]]): an explicit
+    // bucketCap always wins; otherwise a cheap one-band sample probe
+    // decides — None on scattered corpora, so the plan below is
+    // byte-identical to the pre-auto shape there
+    val effBucketCap: Option[Int] =
+      bucketCap.orElse(if (autoGuard && codePrefilter)
+        autoBucketCap(emb, idCol, embCol, n0, b, dim, seed) else None)
 
     if (!codePrefilter) {
       // reference shape: full quantized vectors ride the banded rows and
@@ -1241,7 +1366,7 @@ object Similarity {
     // it broadcasts; `banded` is pinned first so the signature UDF runs
     // once, not thrice (count + both sides — at warehouse scale use
     // persist(DISK_ONLY) instead).
-    val (xSide, ySide, joinKeys) = bucketCap match {
+    val (xSide, ySide, joinKeys) = effBucketCap match {
       case None =>
         val x = banded.select(fields(banded, "a") ++ Seq(col("band"), col("bkey")): _*)
         val y = banded.select(fields(banded, "b") ++ Seq(col("band"), col("bkey")): _*)

@@ -645,6 +645,79 @@ class SimilaritySpec extends SparkSpec {
     assert(guarded.keys.count { case (a, b) => a < 150 && b < 150 } > 1000)
   }
 
+  test("auto guards: engage on a planted mass, stay off (identical plan) on scattered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    // a 4500-member EXACT-duplicate mass — past the guards' 4096-row
+    // absolute floor, the regime where one (band, bkey) bucket or one
+    // IVF cell is a quadratic join key. Exact copies, not noised ones,
+    // BY DESIGN: stride-derived centroids from a merely-noised cluster
+    // land ~proportionally inside it and split the mass across many
+    // near-identical cells (no hot cell — and the probe correctly
+    // declines), while exact copies tie-break to ONE cell, which is
+    // precisely the boilerplate-duplicate hazard the guards exist for.
+    val massVec = (0 until dim).map(j =>
+      (if (j == 0) 8.0f else 0.1f))
+    val mass = (0 until 4500).map(i => (i.toLong, massVec))
+    val background = (10000 until 10600).map(i =>
+      (i.toLong, Seq.fill(dim)((rng.nextGaussian() * 2).toFloat)))
+    val clustered = (mass ++ background).toDF("vec_id", "embedding")
+    val n0 = clustered.count()
+
+    // the DECISION: clustered corpus engages both guards, the scattered
+    // fixture engages neither
+    val bits = Similarity.nearDupBits(n0)
+    assert(Similarity.autoBucketCap(clustered, "vec_id", "embedding",
+      n0, bits, dim = dim).isDefined, "mass must engage the bucket guard")
+    // nlist matters for engageability: expected = n/nlist, and a hot
+    // cell can never exceed 8× expected when nlist ≤ 8 (that would be
+    // the whole corpus) — 64 cells put the 4500-row mass at ~56×
+    // expected, well past both the ratio and the 4096 floor
+    assert(Similarity.autoCellCapFor(clustered, Some(64)).isDefined,
+      "mass must engage the cell guard")
+    val scat = emb.select(col("vec_id"), col("embedding"))
+    val nScat = scat.count()
+    assert(Similarity.autoBucketCap(scat, "vec_id", "embedding",
+      nScat, Similarity.nearDupBits(nScat)).isEmpty,
+      "scattered fixture must not engage the bucket guard")
+    assert(Similarity.autoCellCapFor(scat).isEmpty,
+      "scattered fixture must not engage the cell guard")
+
+    // scattered corpora: auto ON must build the BYTE-IDENTICAL plan
+    // (the probe runs and declines; nothing else changes)
+    // (expression ids and broadcast indices are allocation counters —
+    // normalize them; everything structural must match)
+    def ndPlan(auto: Boolean) = Similarity.cosineNearDup(scat, "vec_id",
+        "embedding", threshold = 0.8, autoGuard = auto)
+      .queryExecution.optimizedPlan.toString
+      .replaceAll("#\\d+", "#").replaceAll("Broadcast\\(\\d+\\)", "Broadcast()")
+    assert(ndPlan(auto = true) == ndPlan(auto = false))
+
+    // clustered corpora: auto-guarded results are row-identical to the
+    // unguarded run (narrow band params keep the deliberately-quadratic
+    // mass output at spec scale; both sides share them, and the probe's
+    // engagement only needs the mass, not the band count)
+    def ndChk(auto: Boolean) = {
+      val d = Similarity.cosineNearDup(clustered, "vec_id", "embedding",
+        threshold = 0.8, bitsPerBand = Some(8), bandsOverride = Some(1),
+        dim = dim, autoGuard = auto)
+      // bit_xor, not sum: ANSI mode makes a 10M-row hash sum overflow
+      d.agg(count(lit(1)), expr("bit_xor(xxhash64(id_a, id_b, cos))"))
+        .head.toSeq
+    }
+    assert(ndChk(auto = true) == ndChk(auto = false))
+    def ivfChk(auto: Boolean) = {
+      // nlist = 64 so the auto probe actually ENGAGES (see above) and
+      // this identity exercises guarded-vs-unguarded, not trivial-equal
+      val d = Similarity.ivfTopKInt8(clustered, clustered, 3,
+        nlist = Some(64), autoGuard = auto)
+      d.agg(count(lit(1)), expr("bit_xor(xxhash64(qid, nid, cos))"))
+        .head.toSeq
+    }
+    assert(ivfChk(auto = true) == ivfChk(auto = false))
+  }
+
   test("centroid refinement: deterministic, refineIters=0 is the seed, alignment improves on clustered data") {
     import spark.implicits._
     // three well-separated direction clusters laid out so the id-stride
