@@ -60,6 +60,8 @@ object Bench {
     "l22_ivf_int8_topk",    // IVF ANN over int8 codes + float re-rank
     "l30_ann_index_query",  // ANN from the persisted int8 index (read path)
     "l31_ann_serve",        // asymmetric serving: |Q| ≪ |C| vs the index
+    "l33_ann_index_fresh",  // index INGEST, cache-busted fresh build per run
+    "l32_ann_index_append", // incremental index append (build base + append)
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups

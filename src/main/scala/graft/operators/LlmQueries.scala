@@ -577,11 +577,12 @@ object LlmQueries {
     * drive deletion; the component (with min-id survivor) is the
     * correct dedup unit. The DuckDB oracle reproduces the same pair
     * construction and closes it with a recursive CTE, so the full
-    * (id, comp) partition hash-matches. Propagation rounds = component
-    * diameter; `connectedComponents`' default maxIter (15) assumes the
-    * clique/cluster shape real dedup graphs have — a corpus with LONG
-    * near-dup chains needs maxIter raised (the operator throws loudly
-    * rather than returning a partial partition). */
+    * (id, comp) partition hash-matches. The closure is star contraction
+    * ([[Dedup.connectedComponentsStars]], the production default behind
+    * `connectedComponents`): O(log n) alternations on ANY graph shape,
+    * so long near-dup chains converge inside the default budget instead
+    * of requiring a raised maxIter (the operator still throws loudly if
+    * a degenerate input exhausts it). */
   val l26DedupGroups = Q(
     "l26_dedup_groups",
     (s, dir) => Dedup.connectedComponents(
@@ -929,6 +930,33 @@ object LlmQueries {
     },
     None)
 
+  /** L: the index INGEST cost, unamortized — a fresh [[Similarity
+    * .buildIvfIndex]] into a new directory on every invocation (no
+    * session cache; a rotating counter keeps the paths distinct, all
+    * under the JVM-exit-cleaned root). l29 measures the tier a
+    * deployment READS (built once, amortized); this row measures what
+    * a growing 100 TB deployment PAYS daily — the write path — which
+    * the r9 verdict flagged as invisible because l29's cache let the
+    * first l30 run absorb it silently. Output = the same deterministic
+    * per-cell histogram as l29 (same corpus, same centroids, same
+    * cellCap), so the driver's rows-only check pins the build's
+    * assignment behavior too. */
+  private val freshIndexCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  val l33AnnIndexFresh = Q(
+    "l33_ann_index_fresh",
+    (s, dir) => {
+      val out = annIndexRoot.resolve(
+        "fresh_" + Integer.toHexString(dir.hashCode) + "_" +
+          freshIndexCounter.getAndIncrement()).toString
+      Similarity.buildIvfIndex(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        out, cellCap = Some(256)).count()
+      s.read.parquet(s"$out/centroids")
+        .filter(col("n_vectors") > 0)
+        .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -936,5 +964,5 @@ object LlmQueries {
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
-    l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend)
+    l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh)
 }
