@@ -56,25 +56,59 @@ object ScaleBench {
     }
 
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
-    // SPARK_GRAFT_ND_BITS overrides the near-dup band width for curve
-    // experiments (the derived default is the production setting)
-    val ndBits = sys.env.get("SPARK_GRAFT_ND_BITS").map(_.toInt)
-    if (wanted("cosine_neardup")) runs("cosine_neardup") = timed("cosine_neardup") {
-      Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8,
-        bitsPerBand = ndBits).count()
+    // SPARK_GRAFT_ND_BITS / SPARK_GRAFT_LSH_BITS override the band
+    // widths for curve experiments (derived defaults are the production
+    // settings). A COMMA LIST sweeps widths inside ONE warm JVM — the
+    // only honest way to compare widths, since a cold first run carries
+    // 2+ minutes of JIT warm-up that would be billed to whichever width
+    // ran first (measured: 619 s cold vs ~250 s warm for the identical
+    // near-dup query in this very harness). Sweep entries are keyed
+    // query_b<bits>; a single value keeps the plain key.
+    def bitsList(envVar: String): Seq[Option[Int]] =
+      sys.env.get(envVar) match {
+        case None    => Seq(None)
+        case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(v => Some(v.toInt)).toSeq
+      }
+    val ndBitsList = bitsList("SPARK_GRAFT_ND_BITS")
+    val lshBitsList = bitsList("SPARK_GRAFT_LSH_BITS")
+    val ndBits = ndBitsList.head
+    val lshBits = lshBitsList.head
+    // repeated widths get a run suffix (alternating-order sweeps are the
+    // bias detector: if _b15_r0 ≠ _b15_r2 the session drifted)
+    def sweepKeys(base: String, sweep: Seq[Option[Int]]): Seq[String] =
+      if (sweep.size <= 1) Seq(base)
+      else sweep.zipWithIndex.map { case (b, i) =>
+        if (sweep.count(_ == b) > 1) s"${base}_b${b.get}_r$i" else s"${base}_b${b.get}"
+      }
+    if (wanted("cosine_neardup")) {
+      // warm-up at FULL scale: a sliced warm-up leaves enough JIT depth
+      // on the table that the first full run measures ~2-4× its steady
+      // state and the sweep's first width eats the bias (measured:
+      // b15@10⁶ 508 s as sweep-head vs ~250 s warm; b12@10⁵ 48 s as
+      // sweep-head vs 11.5 s in the round-9 record)
+      Similarity.cosineNearDup(emb, "vec_id", "embedding",
+        threshold = 0.8, bitsPerBand = ndBitsList.head).count()
+      for ((b, key) <- ndBitsList.zip(sweepKeys("cosine_neardup", ndBitsList)))
+        runs(key) = timed(key) {
+          Similarity.cosineNearDup(emb, "vec_id", "embedding",
+            threshold = 0.8, bitsPerBand = b).count()
+        }
     }
-    // SPARK_GRAFT_LSH_BITS overrides the top-k band width for curve
-    // experiments (the derived default is the production setting)
-    val lshBits = sys.env.get("SPARK_GRAFT_LSH_BITS").map(_.toInt)
     if (wanted("lsh_topk")) runs("lsh_topk") = timed("lsh_topk") {
       Similarity.lshTopK(emb, emb, 3, bitsPerBand = lshBits,
         codeScreen = false).count()
     }
     // the code-screened two-pass shape, same process — the honest A/B
     // for the branch-and-bound screen (single-shot forks confound JIT)
-    if (wanted("lsh_topk_screen")) runs("lsh_topk_screen") = timed("lsh_topk_screen") {
-      Similarity.lshTopK(emb, emb, 3, bitsPerBand = lshBits, codeScreen = true)
-        .count()
+    if (wanted("lsh_topk_screen")) {
+      Similarity.lshTopK(emb, emb, 3, bitsPerBand = lshBitsList.head,
+        codeScreen = true).count() // full-scale warm-up (see above)
+      for ((b, key) <- lshBitsList.zip(sweepKeys("lsh_topk_screen", lshBitsList)))
+        runs(key) = timed(key) {
+          Similarity.lshTopK(emb, emb, 3, bitsPerBand = b, codeScreen = true)
+            .count()
+        }
     }
     // stage isolation for the LSH cost model (mirrors the IVF probes):
     // hash_count builds band keys for the corpus side only (1-row query
@@ -120,6 +154,18 @@ object ScaleBench {
       graft.operators.Dedup.connectedComponents(
         Similarity.cosineNearDup(emb, "vec_id", "embedding", threshold = 0.8),
         "id_a", "id_b").count()
+    }
+    // stage isolation for dedup_groups: time the COMPONENT CLOSURE
+    // alone on a pre-materialized pair input — attributes the
+    // dedup_groups total to pair construction vs CC rounds (the
+    // full-pipeline number cannot separate them, and at the planted
+    // fixture's 6k-edge graph the rounds SHOULD be noise)
+    if (wanted("cc_only")) runs("cc_only") = {
+      val pairs = Similarity.cosineNearDup(emb, "vec_id", "embedding",
+        threshold = 0.8, bitsPerBand = ndBits).localCheckpoint()
+      timed("cc_only") {
+        graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }
     }
 
     // ---- the hot-mass adversary (the bucketCap regime): a

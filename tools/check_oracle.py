@@ -66,7 +66,184 @@ for name, sql in sorted(oracle.items()):
     else:
         ok.append(name)
 
-print(f"PASS {len(ok)}/{len(oracle)}: {' '.join(ok)}")
+# ---------------------------------------------------------------------------
+# Python cross-oracle for the DETERMINISTIC no_oracle queries.
+#
+# l9 (FNV fingerprint), l16 (winnowing), l2 (seeded minhash LSH) and l3
+# (simhash) are not SQL-expressible (wrapping 64-bit arithmetic), so the
+# driver records rows-only checks and the Spark specs verify them against
+# Spark-computed ground truth. That is sound but single-engine: the code
+# below reimplements each algorithm INDEPENDENTLY in pure Python from its
+# written definition (FNV-1a over UTF-16 code units for the char-based
+# fingerprints, over UTF-8 bytes for the tokenized signatures; splitmix64
+# seed mixes; signed-long comparisons where the JVM compares signed) and
+# compares full result sets with the same canonicalization as the SQL
+# oracles. A bug in the Scala implementation and an identical bug here
+# would have to be made twice in two languages to slip through.
+# ---------------------------------------------------------------------------
+M64 = (1 << 64) - 1
+FNV_OFF, FNV_P, GOLD = 0xcbf29ce484222325, 0x100000001b3, 0x9e3779b97f4a7c15
+
+
+def s64(x):
+    x &= M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def utf16_units(text):
+    """Java charAt() semantics: UTF-16 code units, surrogates separate."""
+    return memoryview(text.encode("utf-16-le")).cast("H")
+
+
+def fnv_units(units, h=FNV_OFF):
+    for u in units:
+        h = ((h ^ u) * FNV_P) & M64
+    return h
+
+
+def fingerprint_py(text):            # TextAnalysis.fingerprint
+    return 0 if text is None else s64(fnv_units(utf16_units(text)))
+
+
+def winnow_py(text, k=5, w=4):       # TextAnalysis.winnow
+    if text is None:
+        return []
+    cu = utf16_units(text)
+    n = len(cu) - k + 1
+    if n <= 0:
+        return []
+    hs = [s64(fnv_units(cu[i:i + k])) for i in range(n)]
+    out = set()
+    width = min(w, n)
+    for start in range(max(n - w + 1, 1)):
+        m = start                    # rightmost minimum, signed compare
+        for t in range(start + 1, start + width):
+            if hs[t] <= hs[m]:
+                m = t
+        out.add(hs[m])
+    return sorted(out)
+
+
+def token_hashes(tokens):
+    """FNV-1a over UTF-8 bytes per token (MinHashSigExpr/SimHash64Expr)."""
+    return [fnv_units(t.encode("utf-8")) for t in tokens]
+
+
+def minhash_sig_py(tokens, k=32, shingle_n=3):   # MinHashSigExpr.signature
+    sig = [(1 << 63) - 1] * k
+    if not tokens:
+        return sig
+    th = token_hashes(tokens)
+    for p in range(max(len(tokens) - shingle_n + 1, 1)):
+        h = GOLD
+        for j in range(shingle_n):
+            if p + j >= len(tokens):
+                break
+            h = ((h ^ th[p + j]) * FNV_P) & M64
+        for seed in range(k):
+            z = (h + GOLD * (seed + 1)) & M64
+            z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) & M64
+            z = ((z ^ (z >> 27)) * 0x94d049bb133111eb) & M64
+            z ^= z >> 31
+            z = s64(z)
+            if z < sig[seed]:
+                sig[seed] = z
+    return sig
+
+
+def band_keys_py(sig, bands=8, rows=4):          # BandKeysExpr.keys
+    out = []
+    for b in range(bands):
+        h = FNV_OFF ^ ((b * GOLD) & M64)
+        for j in range(b * rows, min(b * rows + rows, len(sig))):
+            h = ((h ^ (sig[j] & M64)) * FNV_P) & M64
+            h ^= h >> 29
+        out.append(h)
+    return out
+
+
+def simhash_py(tokens):                          # SimHash64Expr.simhash
+    votes = [0] * 64
+    for h in token_hashes(tokens):
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    return s64(sum(1 << b for b in range(64) if votes[b] > 0))
+
+
+def l2_py(docs):                                 # Dedup.minhashLsh defaults
+    sigs = {i: minhash_sig_py(t.split(" ")) for i, t in docs if t is not None}
+    buckets = {}
+    for i, sig in sigs.items():
+        for band, key in enumerate(band_keys_py(sig)):
+            buckets.setdefault((band, key), []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    pairs.add((a, b))
+    rows = []
+    for a, b in pairs:
+        agree = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y)
+        ej = agree / 32.0
+        if ej >= 0.5:
+            rows.append((a, b, ej))
+    return rows
+
+
+def l3_py(docs, max_hamming=12):                 # Dedup.simhashPairs
+    sh = {i: simhash_py(t.split(" ")) for i, t in docs if t is not None}
+    buckets = {}
+    for i, h in sh.items():
+        for band in range(4):
+            buckets.setdefault((band, (h >> (band * 16)) & 65535), []).append(i)
+    rows = set()
+    for ids in buckets.values():
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    rows.add((a, b, bin((sh[a] ^ sh[b]) & M64).count("1")))
+    return [r for r in rows if r[2] <= max_hamming]
+
+
+def crosscheck(name, cols, expected_rows):
+    try:
+        got_rel = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
+        got_cols = [d[0] for d in got_rel.description]
+        got_rows = got_rel.fetchall()
+    except Exception as e:
+        bad.append((name, f"CROSS EXEC ERROR: {e}"))
+        return
+    g, gc = canon(got_rows, got_cols)
+    e, ec = canon(expected_rows, cols)
+    if gc != ec:
+        bad.append((name, f"CROSS SCHEMA: spark={gc} python={ec}"))
+    elif g != e:
+        n_bad = sum(1 for a, b in zip(g, e) if a != b) + abs(len(g) - len(e))
+        diff = next(((a, b) for a, b in zip(g, e) if a != b),
+                    (len(g), len(e)))
+        bad.append((name, f"CROSS VALUES ({n_bad} rows): {diff}"))
+    else:
+        ok.append(name + "[cross]")
+
+
+docs = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+crosscheck("l9_fingerprint", ["doc_id", "fp"],
+           [(i, fingerprint_py(t)) for i, t in docs])
+l16 = []
+for i, t in docs:
+    fps = winnow_py(t)
+    x = 0
+    for f in fps:
+        x ^= f & M64
+    # array_min(empty) is NULL but aggregate(empty, 0L, xor) is 0
+    l16.append((i, len(fps), min(fps) if fps else None, s64(x)))
+crosscheck("l16_winnow", ["doc_id", "n_fp", "fp_min", "fp_xor"], l16)
+crosscheck("l2_minhash_lsh", ["id_a", "id_b", "est_jaccard"], l2_py(docs))
+crosscheck("l3_simhash", ["id_a", "id_b", "hamming"], l3_py(docs))
+
+print(f"PASS {len(ok)}/{len(oracle) + 4}: {' '.join(ok)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
