@@ -1495,19 +1495,27 @@ object Similarity {
     // attribution: at the old b = log2(n)/2 "√n buckets" width, pair
     // scoring alone was 92 of 173 s — the shuffle-bytes theory of the
     // round-7 plan was WRONG, per-pair traffic dominates). Equating the
-    // marginal terms gives 2^b·b ≈ n·κc/(κh·d) ≈ 0.9·n, i.e.
-    // b ≈ log2(n) − log2(log2(n)): 8 bits at the 2k fixture (buckets
-    // ~8), 16 at 10⁶ (buckets ~15), ~25 at 10⁹ — buckets of TENS, not
-    // √n. Candidates per query stay B·n/2^b (the √n spec bound still
-    // holds, loosely); recall is UNCHANGED by construction because the
-    // band count is re-derived from the same miss budget at whatever
-    // width (bandsForRecall), which the planted-tier measurements
-    // confirm at 10⁵/10⁶.
+    // marginal terms gives 2^b·b ≈ n·κc/(κh·d), i.e.
+    // b ≈ log2(n) − log2(log2(n)) + log2(κc/(κh·d·0.9)). The cost
+    // RATIO is fixture-dependent: on the pre-round-9 data κ-ratio ≈ 1
+    // gave b = log2(n) − log2(log2(n)) (16 at 10⁶); the regenerated
+    // round-9 fixture carries a ~3× denser near-threshold planted tier,
+    // raising per-candidate work enough that a round-10 alternating
+    // two-replicate sweep at 10⁶ measured b17 < b15 < b16 in BOTH
+    // replicates (b17 median 106 s over five runs vs b16's 150/196 —
+    // BENCH_LOCAL.md round-10 sweep table; b18 was 55-206 s across
+    // three runs, too contention-variant to prove a second notch).
+    // Hence the +1 term: 9 bits at the 2k fixture, 17 at 10⁶, ~26 at
+    // 10⁹ — still buckets of tens, not √n. Candidates per query stay
+    // B·n/2^b (the √n spec bound still holds, loosely); recall is
+    // UNCHANGED by construction because the band count is re-derived
+    // from the same miss budget at whatever width (bandsForRecall),
+    // which the planted-tier measurements confirm at 10⁵/10⁶.
     val b = bitsPerBand.getOrElse {
       if (multiProbe) math.max(6, (log2ceil(n0) + 1) / 2 + 4)
       else {
         val lg = math.log(math.max(n0, 16L).toDouble) / math.log(2.0)
-        math.max(4, math.round(lg - math.log(lg) / math.log(2.0)).toInt)
+        math.max(4, math.round(lg - math.log(lg) / math.log(2.0)).toInt + 1)
       }
     }
     // either way the band count is DERIVED from the same recall target:

@@ -45,8 +45,17 @@ class SimilaritySpec extends SparkSpec {
     val recall = hits.toDouble / bf1.size
     // fixture embeddings are near-orthogonal (max pairwise cosine ~0.51),
     // the adversarial case for hyperplane LSH — random guessing would be
-    // ~1/500; anything well above that shows the buckets carry signal.
-    assert(recall >= 0.3, s"recall@1 = $recall")
+    // ~1/500; anything two orders above that shows the buckets carry
+    // signal. The floor is calibrated to the derived band width: the
+    // RECALL CONTRACT (miss ≤ 5% at cosine ≥ 0.9) is held at any width
+    // because bandsForRecall re-derives the band count, but a cos≈0.5
+    // top-1's survival is 1−(1−p^b)^B with p ≈ 0.67, which the
+    // round-10 +1-bit width (measured optimum at 10⁶ on the denser
+    // fixture) lowers from ~0.35 to ~0.25 for the best pair — observed
+    // ~0.22 over the whole top-1 population (cos 0.3–0.5). Planted
+    // ≥0.9-tier recall is asserted by the multi-probe test below and
+    // measured at 10⁵/10⁶ in BENCH_LOCAL.md.
+    assert(recall >= 0.15, s"recall@1 = $recall")
     // candidates actually pruned: LSH answered from buckets, not all pairs
     assert(lsh1.nonEmpty)
   }
