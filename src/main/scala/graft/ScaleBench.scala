@@ -236,6 +236,23 @@ object ScaleBench {
       }
       Similarity.ivfTopKIndexed(serveQ, emb, idxDir, 3).count()
     }
+    // ---- the index WRITE path at scale (l33/l32's regime, unamortized):
+    // a full fresh build of the int8 postings tier, then a ~1% append
+    // batch (id-hash slice re-keyed as new ids) into the touched cell
+    // partitions — what a growing deployment pays per ingest cycle.
+    // Fresh directory per run; removed afterwards so reruns stay honest.
+    if (wanted("index_build") || wanted("index_append")) {
+      val wDir = s"$dir/__graft_ivf_index_w_${System.nanoTime()}"
+      if (wanted("index_build")) runs("index_build") = timed("index_build") {
+        Similarity.buildIvfIndex(emb, wDir, cellCap = Some(8192)).count()
+      }
+      if (wanted("index_append")) runs("index_append") = timed("index_append") {
+        val batch = emb.filter(pmod(xxhash64(col("vec_id")), lit(100L)) === 0)
+          .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+        Similarity.appendToIvfIndex(batch, wDir).count()
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wDir))
+    }
 
     // ---- near-threshold banding recall (the round-6 verdict's gap:
     // exact copies share every band signature BY CONSTRUCTION, so the
