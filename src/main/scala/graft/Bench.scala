@@ -62,6 +62,7 @@ object Bench {
     "l31_ann_serve",        // asymmetric serving: |Q| ≪ |C| vs the index
     "l33_ann_index_fresh",  // index INGEST, cache-busted fresh build per run
     "l32_ann_index_append", // incremental index append (build base + append)
+    "l34_jl_project",       // seeded sparse JL projection 64→16 (row-local)
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups

@@ -47,12 +47,28 @@ object ScaleBench {
     // near-threshold noised copies at +5M (gen_embed.py contract)
     val planted = emb.filter(col("vec_id") < 5000000L).count()
 
+    // SPARK_GRAFT_SCALE_REPS > 1 runs every timed body N times in the
+    // same JVM and reports the MINIMUM — the settling-depth experiments
+    // (BENCH_LOCAL.md round-10) showed runs 1-2 of a shape carry 2.5-4×
+    // JIT bias even after a full-scale warm-up, so a single-shot number
+    // is an upper bound, not a measurement; min-of-N under one-sided
+    // contention noise is the steady state. Every rep is printed so the
+    // settling curve itself stays visible. NOTE: bodies with side
+    // effects (index_build/index_append) repeat those effects — their
+    // timings stay honest (build overwrites, append grows the index by
+    // another batch) but leave reps at 1 unless that is understood.
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
     def timed(name: String)(body: => Long): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val rows = body
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[scalebench] $name%-22s $dt%8.2f s  ($rows rows)")
-      (dt, rows)
+      val outcomes = (1 to scaleReps).map { i =>
+        val t0 = System.nanoTime()
+        val rows = body
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(
+          f"[scalebench] $name%-22s $dt%8.2f s  ($rows rows)" +
+            (if (scaleReps > 1) s"  [rep $i/$scaleReps]" else ""))
+        (dt, rows)
+      }
+      outcomes.minBy(_._1)
     }
 
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]

@@ -957,6 +957,22 @@ object LlmQueries {
     },
     None)
 
+  /** L: seeded sparse JL dimensionality reduction of the embedding
+    * column (Achlioptas 2003 "Database-friendly random projections") —
+    * 64 → 16 dims, row-local, no shuffle; the pre-ANN compression step.
+    * No SQL oracle (counter-based splitmix64 matrix derivation needs
+    * 64-bit wrapping arithmetic DuckDB lacks), but the Python
+    * cross-oracle in tools/check_oracle.py reproduces the projection
+    * BIT-EXACTLY (integer-derived matrix + identical IEEE op order),
+    * so this query is cross-engine-checked, not rows-only. */
+  val l34JlProject = Q(
+    "l34_jl_project",
+    (s, dir) => Similarity.jlProject(
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", outDim = 16)
+      .orderBy(col("vec_id")),
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -964,5 +980,6 @@ object LlmQueries {
     l16Winnow, l17Decontaminate, l18Chunk, l19HashSplit, l20Redact,
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
-    l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh)
+    l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
+    l34JlProject)
 }

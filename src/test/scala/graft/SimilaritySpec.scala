@@ -727,6 +727,46 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfChk(auto = true) == ivfChk(auto = false))
   }
 
+  test("JL projection: bit-deterministic, copy-invariant, distortion bounded and shrinking in outDim") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    // bit-determinism across invocations (seeded counter-based matrix,
+    // fixed-order dot — the property the Python cross-oracle relies on)
+    val p1 = Similarity.jlProject(base, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = Similarity.jlProject(base, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2)
+    assert(p1.head._2.length == 16)
+    // exact copies project to identical vectors (row-local determinism)
+    val dd = Similarity.jlProject(doubled, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- p1) assert(dd(id + 1000000L) == v)
+    // distance preservation: JL distortion on pairwise cosines is
+    // bounded in aggregate and SHRINKS as outDim grows (seeded, so the
+    // thresholds are stable, not flaky)
+    def meanCosErr(outDim: Int): Double = {
+      val proj = Similarity.jlProject(base, "vec_id", "embedding",
+        outDim = outDim)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val orig = base.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val ids = orig.keys.toArray.sorted.take(60)
+      val errs = for (a <- ids; b <- ids if a < b)
+        yield math.abs(cos(proj(a), proj(b)) - cos(orig(a), orig(b)))
+      errs.sum / errs.length
+    }
+    val e8 = meanCosErr(8); val e32 = meanCosErr(32)
+    assert(e8 < 0.35, s"mean cosine distortion at outDim=8 is $e8")
+    assert(e32 < 0.15, s"mean cosine distortion at outDim=32 is $e32")
+    assert(e32 < e8, s"distortion must shrink with outDim: $e32 !< $e8")
+  }
+
   test("centroid refinement: deterministic, refineIters=0 is the seed, alignment improves on clustered data") {
     import spark.implicits._
     // three well-separated direction clusters laid out so the id-stride

@@ -228,6 +228,33 @@ def crosscheck(name, cols, expected_rows):
         ok.append(name + "[cross]")
 
 
+def jl_matrix_py(out_dim=16, dim=64, seed=42):  # Similarity.jlMatrix
+    s = math.sqrt(3.0 / out_dim)
+
+    def sm64(x):
+        z = (x + 0x9e3779b97f4a7c15) & M64
+        z = ((z ^ (z >> 30)) * 0xbf58476d1ce4e5b9) & M64
+        z = ((z ^ (z >> 27)) * 0x94d049bb133111eb) & M64
+        return z ^ (z >> 31)
+
+    return [[(s, -s, 0.0, 0.0, 0.0, 0.0)[sm64((seed + j * dim + i) & M64) % 6]
+             for i in range(dim)]
+            for j in range(out_dim)]
+
+
+def jl_project_py(vec, mat):                     # Similarity.jlProject
+    # identical IEEE op order to the Scala loop: ascending i, f32
+    # widened to f64 before the multiply, sequential adds — the
+    # comparison below is bit-exact, no rounding
+    out = []
+    for row in mat:
+        acc = 0.0
+        for i in range(min(len(row), len(vec))):
+            acc += row[i] * float(vec[i])
+        out.append(acc)
+    return out
+
+
 docs = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
 crosscheck("l9_fingerprint", ["doc_id", "fp"],
            [(i, fingerprint_py(t)) for i, t in docs])
@@ -242,8 +269,13 @@ for i, t in docs:
 crosscheck("l16_winnow", ["doc_id", "n_fp", "fp_min", "fp_xor"], l16)
 crosscheck("l2_minhash_lsh", ["id_a", "id_b", "est_jaccard"], l2_py(docs))
 crosscheck("l3_simhash", ["id_a", "id_b", "hamming"], l3_py(docs))
+embs = con.execute(
+    "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+jl_mat = jl_matrix_py()
+crosscheck("l34_jl_project", ["vec_id", "proj"],
+           [(i, jl_project_py(v, jl_mat)) for i, v in embs])
 
-print(f"PASS {len(ok)}/{len(oracle) + 4}: {' '.join(ok)}")
+print(f"PASS {len(ok)}/{len(oracle) + 5}: {' '.join(ok)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
