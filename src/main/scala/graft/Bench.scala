@@ -109,9 +109,17 @@ object Bench {
     // honest artifact must never err. Failures record time = -1.0 plus
     // the exception class/message, and the process exits nonzero.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // TWO untimed warm-up runs, not one: the round-10 settling-depth
+    // experiments (BENCH_LOCAL.md) showed runs 1-2 of a query's shapes
+    // in a JVM carry 2.5-4× JIT bias even when other queries already
+    // ran — with a single warm-up the timed pass measures run 2 and
+    // l4-class codegen-heavy queries drew anywhere in 1.8-12 s across
+    // otherwise-identical sessions. The second warm-up costs ~20-30 s
+    // across the headline set and puts every timed run at depth 3.
     def timed(name: String): Double = {
       val fn = qs(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up 1
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up 2
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

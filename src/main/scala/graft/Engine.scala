@@ -37,6 +37,18 @@ object Engine {
       // distinct keys per partition by default — a per-query-key top-k
       // has thousands. Keep it hash-based; buffers here are k-row arrays
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // AQE's advisoryPartitionSizeInBytes stays at Spark's 64 MB here
+      // DELIBERATELY, and the evidence cuts both ways (round-10 A/B,
+      // BENCH_LOCAL.md): at 10⁶ vectors the CPU-dense int8 scoring join
+      // coalesced its 2.2 GB shuffle to 34 minute-long tasks on 32
+      // cores (ragged two-wave schedule, 92-180 s swings) and dropping
+      // the advisory to 16 MB ran it 49-64 s — but the SAME 16 MB
+      // default regressed the sf0.1 relational joins 10-30× (c7
+      // broadcast 0.5 → 14.8 s; AQE replans small-shuffle joins into
+      // many under-filled reducers). The 16 MB setting is therefore
+      // applied only where it is measured to win: ScaleBench (the 10⁶+
+      // regime) defaults to it via SPARK_GRAFT_ADVISORY, which any
+      // caller can also export to retune this session.
       .config("spark.ui.enabled", "false")
     shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
     val s = b.getOrCreate()

@@ -40,6 +40,16 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session(s"local[$cpus]", "graft-scalebench",
       shufflePartitions = Some(cpus.toInt))
+    // CPU-dense-per-byte shuffles (int8 code screens, band scoring:
+    // tens of candidate dots per shuffled row) want advisory partitions
+    // far below Spark's IO-tuned 64 MB: at 10⁶ vectors the int8 scoring
+    // join coalesced to 34 minute-long tasks on 32 cores (two-wave
+    // tail, 92-180 s swings); at 16 MB the same query runs 49-64 s.
+    // This is the 10⁶+ regime's default ONLY — the same 16 MB regressed
+    // sf0.1 relational joins 10-30× (see Engine.session), so the
+    // setting lives here, not in the shared session builder.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "16m"))
 
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val n = emb.count()
@@ -58,13 +68,31 @@ object ScaleBench {
     // timings stay honest (build overwrites, append grows the index by
     // another batch) but leave reps at 1 unless that is understood.
     val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt
+    // per-rep steal bracketing (same /proc/stat signal as Bench): on a
+    // shared host a steal burst lands inside whatever rep is running
+    // and load averages cannot see it — printing it per rep is what
+    // lets a 103→152 s upward rep drift be attributed to the NEIGHBOR
+    // instead of silently poisoning a min-of-N or a sweep comparison
+    def cpuStat(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val cols = src.getLines()
+            .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+          (cols.take(3).sum + cols.drop(5).take(2).sum, if (cols.length > 7) cols(7) else 0L)
+        } finally src.close()
+      } catch { case _: Throwable => (0L, 0L) }
     def timed(name: String)(body: => Long): (Double, Long) = {
       val outcomes = (1 to scaleReps).map { i =>
+        val (b0, s0) = cpuStat()
         val t0 = System.nanoTime()
         val rows = body
         val dt = (System.nanoTime() - t0) / 1e9
+        val (b1, s1) = cpuStat()
+        val steal = if (b1 + s1 > b0 + s0)
+          100.0 * (s1 - s0) / math.max(1L, (b1 - b0) + (s1 - s0)) else 0.0
         System.err.println(
-          f"[scalebench] $name%-22s $dt%8.2f s  ($rows rows)" +
+          f"[scalebench] $name%-22s $dt%8.2f s  ($rows rows, steal $steal%.1f%%)" +
             (if (scaleReps > 1) s"  [rep $i/$scaleReps]" else ""))
         (dt, rows)
       }
