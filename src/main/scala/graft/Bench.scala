@@ -60,6 +60,7 @@ object Bench {
     "l22_ivf_int8_topk",    // IVF ANN over int8 codes + float re-rank
     "l30_ann_index_query",  // ANN from the persisted int8 index (read path)
     "l31_ann_serve",        // asymmetric serving: |Q| ≪ |C| vs the index
+    "l35_pq_serve",         // serving from the product-quantized tier (ADC)
     "l33_ann_index_fresh",  // index INGEST, cache-busted fresh build per run
     "l32_ann_index_append", // incremental index append (build base + append)
     "l34_jl_project",       // seeded sparse JL projection 64→16 (row-local)

@@ -973,6 +973,39 @@ object LlmQueries {
       .orderBy(col("vec_id")),
     None)
 
+  /** The l35 PQ index for `dir`'s embeddings table, session-cached like
+    * [[annIndex]] and sharing its centroid table (`centroidsFrom`) so
+    * the two tiers probe identical cells — which is also what lets
+    * SimilaritySpec pin serve parity between them. */
+  private val pqIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    pqIndexBuilt.computeIfAbsent(dir, _ => {
+      val out = annIndexRoot.resolve("pq_" + Integer.toHexString(dir.hashCode)).toString
+      Similarity.buildPqIndex(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        out, cellCap = Some(256), centroidsFrom = Some(annIndex(s, dir))).count()
+      out
+    })
+
+  /** L: ANN serving from the PRODUCT-QUANTIZED index tier — the same
+    * |Q| ≪ |C| retrieval shape as l31, answered from m-byte PQ postings
+    * (~8× less postings IO than the int8 tier at d = 64, m = 8) with
+    * per-query ADC lookup tables and the sound residual-interval screen
+    * ([[Similarity.pqTopKIndexed]]). Row-identical to l31 at the shared
+    * centroid table (SimilaritySpec pins the parity) — compression
+    * chooses candidates, never scores. No SQL oracle (codebook training
+    * is k-means); rows-only here, parity + soundness spec-checked. */
+  val l35PqServe = Q(
+    "l35_pq_serve",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Similarity.pqTopKIndexed(
+        emb.filter(col("vec_id") % 20 === 0), emb, pqIndex(s, dir), 3)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -981,5 +1014,5 @@ object LlmQueries {
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
-    l34JlProject)
+    l34JlProject, l35PqServe)
 }

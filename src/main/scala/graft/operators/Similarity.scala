@@ -1057,6 +1057,271 @@ object Similarity {
     rankTopK(scored, k, totalN)
   }
 
+  /** Builds the PRODUCT-QUANTIZED postings tier: same cell layout,
+    * shard guard and centroid table as [[buildIvfIndex]], but each
+    * posting stores `m` one-byte PQ codeword indices plus two scalars
+    * (reconstruction residual `rn`, exact q3 norm² `nrm`) instead of
+    * the d-byte int8 blob — ~8× less postings payload at d = 64,
+    * m = 8, the storage/IO tier below int8 for a 100 TB corpus whose
+    * index must stay scan-able. Codebooks ([[graft.functions
+    * .PqCodebooks]]) are trained ONCE at build on a deterministic
+    * hash-ordered sample of `sampleN` q3 vectors (driver-side Lloyd —
+    * sampleN·d ints ≈ 4 MB at the 16k default, a documented bounded
+    * collect, the standard PQ practice of training on a sample) and
+    * persisted at `dir/codebooks` so serving and appends reuse them
+    * bit-identically. `centroidsFrom` shares a coarse quantizer with an
+    * existing index (the spec pins serve parity against the int8 tier
+    * through it). Returns the same per-cell histogram as
+    * [[buildIvfIndex]]. */
+  def buildPqIndex(
+      corpus: DataFrame,
+      dir: String,
+      nlistOpt: Option[Int] = None,
+      cellCap: Option[Int] = None,
+      centroidsFrom: Option[String] = None,
+      refineIters: Int = 0,
+      m: Int = 8,
+      ks: Int = 256,
+      sampleN: Int = 16384,
+      trainIters: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    val n = sc.defaultParallelism
+    val view = corpus.select(col("vec_id"), col("embedding"))
+    val (centroids, cnorms) = centroidsFrom match {
+      case Some(src) =>
+        val rows = spark.read.parquet(s"$src/centroids").orderBy(col("cell")).collect()
+        (rows.map(_.getSeq[Double](1).toArray), rows.map(_.getDouble(2)))
+      case None =>
+        val total = view.count()
+        val nlist = nlistOpt.getOrElse(
+          math.max(16, math.ceil(math.sqrt(total.toDouble)).toInt))
+        val stride = math.max(1L, total / nlist)
+        deriveCentroids(view.withColumn("geom", int8GeomCol(col("embedding"))),
+          "geom", nlist, stride, refineIters)
+    }
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+
+    // codebook training sample: TOTAL deterministic order (hash, then
+    // id — ties impossible in practice but the order must not depend on
+    // them), bounded collect documented above
+    val sample = view
+      .select(col("vec_id"), VectorFunctions.quantize3(col("embedding")).as("qv"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleN)
+      .select(col("qv")).collect().map(_.getSeq[Int](0).toArray)
+    val cb = graft.functions.PqCodebooks.train(sample, m, ks, trainIters)
+    val cbBc = sc.broadcast(cb)
+
+    // one quantize+assign+encode pass, pinned (counts + write both read
+    // it) — the same staging discipline as buildIvfIndex
+    val rows = view.repartition(n, col("vec_id"))
+      .withColumn("qv", VectorFunctions.quantize3(col("embedding")))
+      .withColumn("enc", pqEncodeUdf(cbBc)(col("qv")))
+      .select(
+        col("vec_id"),
+        col("enc._1").as("pqc"), col("enc._2").as("rn"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nrm"),
+        nearestCellsCol(matBc, int8GeomCol(col("embedding")), 1).as("cell"))
+      .localCheckpoint()
+    val counts = rows.groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val widths = cellCap match {
+      case Some(cap) =>
+        require(cap > 0, s"cellCap must be positive, got $cap")
+        counts.withColumn("nshards",
+          greatest(ceil(col("n_vectors") / cap.toDouble).cast("int"), lit(1)))
+      case None => counts.withColumn("nshards", lit(1))
+    }
+    val cellMeta = widths.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+    rows
+      .join(broadcast(widths.select(col("cell"), col("nshards"))), "cell")
+      .withColumn("shard",
+        pmod(xxhash64(col("vec_id")), col("nshards").cast("long")).cast("int"))
+      .select(col("vec_id"), col("pqc"), col("rn"), col("nrm"),
+        col("shard"), col("cell"))
+      .repartition(n, col("cell"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("cell").parquet(s"$dir/postings")
+
+    rows.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+    import spark.implicits._
+    // m·ks rows of dsub doubles — the whole table is ~128 KB at the
+    // defaults; serving collects it once per session
+    (0 until cb.m).flatMap { sub =>
+      (0 until cb.ks).map { code =>
+        (sub, code, (0 until cb.dsub).map(j => cb.cw(sub, code, j)))
+      }
+    }.toDF("sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+
+    centroids.zip(cnorms).zipWithIndex.map { case ((c, nm), i) =>
+      val (nv, ns) = cellMeta.getOrElse(i, (0L, 1))
+      (i, c.toSeq, nm, ns, nv)
+    }.toSeq
+      .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+
+    spark.read.parquet(s"$dir/centroids")
+      .filter(col("n_vectors") > 0)
+      .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
+  }
+
+  /** q3 vector → (PQ codes, inflated residual norm) with broadcast
+    * codebooks — a tight primitive loop per row, the same UDF-with-
+    * broadcast-handle precedent as the hyperplane band keys. */
+  private def pqEncodeUdf(
+      cbBc: org.apache.spark.broadcast.Broadcast[graft.functions.PqCodebooks]) =
+    udf { (v: Seq[Int]) =>
+      if (v == null) null
+      else graft.functions.PqCodebooks.encode(cbBc.value, v.toArray)
+    }
+
+  /** q3 query vector → the m·ks ADC table lut[sub·ks + code] =
+    * q̃_sub · codeword(sub, code): one m·ks·dsub pass per QUERY row, so
+    * every candidate pair downstream costs m lookups
+    * ([[graft.functions.PqAdcExpr]]) instead of d madds. */
+  private def pqLutUdf(
+      cbBc: org.apache.spark.broadcast.Broadcast[graft.functions.PqCodebooks]) =
+    udf { (v: Seq[Int]) =>
+      val cb = cbBc.value
+      val lut = new Array[Double](cb.m * cb.ks)
+      if (v != null) {
+        var sub = 0
+        while (sub < cb.m) {
+          var c = 0
+          while (c < cb.ks) {
+            var acc = 0.0
+            var j = 0
+            while (j < cb.dsub) {
+              val idx = sub * cb.dsub + j
+              if (idx < v.length) acc += v(idx).toDouble * cb.cw(sub, c, j)
+              j += 1
+            }
+            lut(sub * cb.ks + c) = acc
+            c += 1
+          }
+          sub += 1
+        }
+      }
+      lut
+    }
+
+  /** PQ candidate pairs with their sound screen interval — the shared
+    * derivation under [[pqTopKIndexed]] and the SimilaritySpec
+    * soundness instrument (every candidate's [lb, ub] must contain its
+    * exact q3 cosine). Bound: cos = q̃·a/(‖q̃‖‖a‖) and
+    * |q̃·a − adc| ≤ ‖q̃‖·‖a − x̂‖ ≤ ‖q̃‖·rn (Cauchy–Schwarz; rn stored
+    * inflated at encode), so cos ∈ adc/√(qn·nn) ± rn/√nn. Zero-norm
+    * rows collapse to [0, 0] — exactly the downstream exact score. */
+  private[graft] def pqCandidatesIndexed(
+      queries: DataFrame,
+      indexDir: String,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val n = sc.defaultParallelism
+    val centRows = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy(col("cell")).collect()
+    val centroids = centRows.map(_.getSeq[Double](1).toArray)
+    val cnorms = centRows.map(_.getDouble(2))
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+      .orderBy(col("sub"), col("code")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksEff = cbRows.map(_.getInt(1)).max + 1
+    val dsub = cbRows(0).getSeq[Double](2).length
+    val flat = new Array[Double](m * ksEff * dsub)
+    cbRows.foreach { r =>
+      val base = (r.getInt(0) * ksEff + r.getInt(1)) * dsub
+      val cw = r.getSeq[Double](2)
+      var j = 0
+      while (j < dsub) { flat(base + j) = cw(j); j += 1 }
+    }
+    val cbBc = sc.broadcast(graft.functions.PqCodebooks(flat, m, ksEff, dsub))
+
+    import spark.implicits._
+    val widths = centRows.map(r => (r.getInt(0), r.getInt(3))).toSeq
+      .toDF("cell", "nshards")
+    val q = queries.repartition(n, col("vec_id"))
+      .select(
+        col("vec_id").as("qid"),
+        VectorFunctions.quantize3(col("embedding")).as("qv"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("qn"),
+        explode(nearestCellsCol(matBc, int8GeomCol(col("embedding")), nprobe))
+          .as("cell"))
+      .join(broadcast(widths), "cell")
+      .withColumn("shard",
+        explode(sequence(lit(0), greatest(col("nshards"), lit(1)) - 1)))
+      // LUT computed on the replicated probe row (|Q|·nprobe·shards
+      // small in the serving regime this tier exists for) and the q3
+      // vector dropped — the join payload is the 2 KB table + a scalar
+      .withColumn("lut", pqLutUdf(cbBc)(col("qv")))
+      .select(col("qid"), col("qn"), col("cell"), col("shard"), col("lut"))
+    val postings = spark.read.parquet(s"$indexDir/postings").select(
+      col("vec_id").as("nid"), col("pqc"), col("rn"), col("nrm").as("nb"),
+      col("shard"), col("cell"))
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val adc = ColumnBridge.column(graft.functions.PqAdcExpr(
+      ColumnBridge.expression(col("lut")), ColumnBridge.expression(col("pqc"))))
+    // q3 norm² product in double — same documented Long-product domain
+    // bound as cosCol
+    val base = adc / sqrt((col("qn") * col("nb")).cast("double"))
+    val marg = col("rn") / sqrt(col("nb").cast("double"))
+    q.join(postings, Seq("cell", "shard"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        when(col("qn") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(base - marg).as("lb"),
+        when(col("qn") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(base + marg).as("ub"))
+  }
+
+  /** ANN top-k answered FROM the persisted PQ index — the read path of
+    * [[buildPqIndex]], structurally [[ivfTopKIndexed]] with the int8
+    * code screen swapped for ADC: candidates score as m LUT lookups
+    * from an m-byte posting payload, [[graft.functions.TopKScreenAgg]]
+    * prunes on the sound residual interval, and only survivors
+    * re-attach exact vectors. ROW-IDENTICAL to [[ivfTopKIndexed]] over
+    * an int8 index sharing the same centroid table (same cells probed,
+    * both screens sound, same exact re-rank — SimilaritySpec pins the
+    * parity), at ~8× less postings IO. */
+  def pqTopKIndexed(
+      queries: DataFrame,
+      corpusExact: DataFrame,
+      indexDir: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val totalN = spark.read.parquet(s"$indexDir/centroids")
+      .agg(sum(col("n_vectors"))).head().getLong(0)
+    val cand = pqCandidatesIndexed(queries, indexDir, nprobe)
+
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val screen = ColumnBridge.column(graft.functions.TopKScreenAgg(
+      ColumnBridge.expression(col("nid")), ColumnBridge.expression(col("lb")),
+      ColumnBridge.expression(col("ub")), k).toAggregateExpression())
+    val surv = cand.groupBy(col("qid")).agg(screen.as("cands"))
+      .select(col("qid"), explode(col("cands")).as("nid"))
+
+    val dotF = VectorFunctions.dotScaledFast _
+    val qv = queries.select(col("vec_id").as("qid"),
+      VectorFunctions.quantize3(col("embedding")).as("qv"),
+      dotF(col("embedding"), col("embedding")).as("qn"))
+    val cv = corpusExact.select(col("vec_id").as("nid"),
+      VectorFunctions.quantize3(col("embedding")).as("nv"),
+      dotF(col("embedding"), col("embedding")).as("nn"))
+    val scored = surv.join(qv, "qid").join(cv, "nid")
+      .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
+      .select(col("qid"), col("nid"), col("cos"))
+    rankTopK(scored, k, totalN)
+  }
+
   /** IVF candidate pairs, ids only — the SimilaritySpec instrument for
     * the per-query candidate bound (≤ c·nprobe·sqrt(n)). Same candidate
     * set the production path scores (shared derivation). */

@@ -260,6 +260,101 @@ class SimilaritySpec extends SparkSpec {
       s"quantize3 outside the re-rank inputs:\n${p.take(1500)}")
   }
 
+  test("persisted PQ index: m-byte postings, serve parity with the int8 tier, sound ADC bounds") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_pq_int8").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    Similarity.buildIvfIndex(corpus, dirA, cellCap = Some(256)).count()
+    val counts = Similarity.buildPqIndex(corpus, dirB, cellCap = Some(256),
+      centroidsFrom = Some(dirA))
+    // completeness: every corpus vector posted exactly once
+    assert(counts.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
+    // the postings ARE the PQ tier: m one-byte codes + two scalars
+    val post = spark.read.parquet(s"$dirB/postings")
+    assert(post.columns.toSet ==
+      Set("vec_id", "pqc", "rn", "nrm", "shard", "cell"))
+    assert(post.select(max(length(col("pqc")))).head().getInt(0) == 8)
+    // the compression claim, measured: PQ postings bytes < int8 postings
+    // bytes on the same corpus, same cell layout (8 B codes vs 64 B)
+    def bytes(d: String): Long = {
+      def rec(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(rec).sum else f.length()
+      rec(new java.io.File(d))
+    }
+    assert(bytes(s"$dirB/postings") < bytes(s"$dirA/postings"),
+      s"pq=${bytes(s"$dirB/postings")} int8=${bytes(s"$dirA/postings")}")
+    // soundness: EVERY candidate's [lb, ub] contains its exact q3 cosine
+    // (the invariant TopKScreenAgg's no-true-member-pruned guarantee
+    // rests on)
+    val v = corpus.select(col("vec_id"), col("embedding"),
+      VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nrm"))
+    val cand = Similarity.pqCandidatesIndexed(corpus, dirB, 4)
+    val checked = cand
+      .join(v.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")), "qid")
+      .join(v.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("nrm").as("nn")), "nid")
+      .withColumn("cos",
+        when(col("qn") === 0 || col("nn") === 0, lit(0.0))
+          .otherwise(VectorFunctions.dotScaledFast(col("qe"), col("ne")).cast("double") /
+            sqrt((col("qn") * col("nn")).cast("double"))))
+    assert(checked.count() > 0)
+    assert(checked.filter(col("cos") < col("lb") - 1e-9 ||
+      col("cos") > col("ub") + 1e-9).count() == 0)
+    // parity: ADC screening + exact re-rank answers EXACTLY what the
+    // int8 index path answers at the shared centroid table (same cells
+    // probed, both screens sound, same exact re-rank)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(sorted(Similarity.pqTopKIndexed(corpus, corpus, dirB, 3))
+      .sameElements(sorted(Similarity.ivfTopKIndexed(corpus, corpus, dirA, 3))))
+    // serving regime (|Q| ≪ |C|, the l35 shape)
+    val qb = corpus.filter(col("vec_id") % 20 === 0)
+    val pqServe = Similarity.pqTopKIndexed(qb, corpus, dirB, 3)
+    assert(sorted(pqServe)
+      .sameElements(sorted(Similarity.ivfTopKIndexed(qb, corpus, dirA, 3))))
+    // plan gates, on the AQE-final section (same discipline as the int8
+    // index test): exactly ONE postings scan, and the only assignment
+    // probe belongs to the query side — the postings path carries no
+    // per-vector recompute
+    val p = pqServe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.toLowerCase
+    assert(p.linesIterator.count(l => l.contains("scan") && l.contains("postings")) == 1,
+      s"PQ read path must scan the postings table exactly once:\n${p.take(1500)}")
+    assert("nearestcellsexpr".r.findAllIn(p).size == 1,
+      s"corpus-side assignment recompute detected:\n${p.take(1500)}")
+  }
+
+  test("PQ codebooks: bit-identical rebuild, ks self-caps on a tiny corpus") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val d1 = java.nio.file.Files.createTempDirectory("graft_pq_d1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_pq_d2").toString
+    Similarity.buildPqIndex(corpus, d1, cellCap = Some(256)).count()
+    Similarity.buildPqIndex(corpus, d2, cellCap = Some(256)).count()
+    def cb(d: String) = spark.read.parquet(s"$d/codebooks")
+      .orderBy(col("sub"), col("code"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    assert(cb(d1).sameElements(cb(d2)))
+    def codes(d: String) = spark.read.parquet(s"$d/postings")
+      .select(col("vec_id"), col("pqc"), col("rn")).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))
+    assert(codes(d1).sameElements(codes(d2)))
+    // a corpus smaller than ks must still train, cap codewords at the
+    // sample size, and keep serve parity against the int8 tier
+    val tiny = corpus.orderBy(col("vec_id")).limit(40)
+    val tA = java.nio.file.Files.createTempDirectory("graft_pq_ta").toString
+    val tB = java.nio.file.Files.createTempDirectory("graft_pq_tb").toString
+    Similarity.buildIvfIndex(tiny, tA, nlistOpt = Some(4)).count()
+    Similarity.buildPqIndex(tiny, tB, centroidsFrom = Some(tA)).count()
+    assert(spark.read.parquet(s"$tB/codebooks")
+      .groupBy(col("sub")).agg(countDistinct(col("code")).as("k"))
+      .agg(max(col("k"))).head().getLong(0) <= 40)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(sorted(Similarity.pqTopKIndexed(tiny, tiny, tB, 2))
+      .sameElements(sorted(Similarity.ivfTopKIndexed(tiny, tiny, tA, 2))))
+  }
+
   test("index append: read path after append is row-identical to a fixed-centroid rebuild") {
     val base = emb.filter(col("vec_id") % 10 =!= 0)
     val batch = emb.filter(col("vec_id") % 10 === 0)
