@@ -100,6 +100,8 @@ object ScaleBench {
     }
 
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    // misc numeric outputs (recall ratios, measured byte footprints)
+    val recalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // SPARK_GRAFT_ND_BITS / SPARK_GRAFT_LSH_BITS override the band
     // widths for curve experiments (derived defaults are the production
     // settings). A COMMA LIST sweeps widths inside ONE warm JVM — the
@@ -280,6 +282,19 @@ object ScaleBench {
       }
       Similarity.ivfTopKIndexed(serveQ, emb, idxDir, 3).count()
     }
+    // PQ tier serving A/B against the int8 index read (same query
+    // batch, same cell layout semantics): the postings scan is m bytes
+    // per vector instead of d — the claim is IO, and the cost is the
+    // wider residual margin's survivor re-rank
+    if (wanted("pq_serve_indexed")) runs("pq_serve_indexed") = timed("pq_serve_indexed") {
+      val idxDir = s"$dir/__graft_pq_index"
+      if (!new java.io.File(s"$idxDir/centroids").exists()) {
+        val t0 = System.nanoTime()
+        Similarity.buildPqIndex(emb, idxDir, cellCap = Some(8192)).count()
+        System.err.println(f"[scalebench] (pq index build: ${(System.nanoTime() - t0) / 1e9}%.2f s, amortized)")
+      }
+      Similarity.pqTopKIndexed(serveQ, emb, idxDir, 3).count()
+    }
     // ---- the index WRITE path at scale (l33/l32's regime, unamortized):
     // a full fresh build of the int8 postings tier, then a ~1% append
     // batch (id-hash slice re-keyed as new ids) into the touched cell
@@ -297,6 +312,23 @@ object ScaleBench {
       }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wDir))
     }
+    // PQ build write path, unamortized (codebook training + encode +
+    // postings write); also records the measured postings footprint so
+    // the 8×-smaller claim is a number, not an estimate
+    if (wanted("pq_build")) {
+      val pDir = s"$dir/__graft_pq_w_${System.nanoTime()}"
+      runs("pq_build") = timed("pq_build") {
+        Similarity.buildPqIndex(emb, pDir, cellCap = Some(8192)).count()
+      }
+      def dirBytes(d: String): Long = {
+        def rec(f: java.io.File): Long =
+          if (f.isDirectory) { val k = f.listFiles(); if (k == null) 0L else k.map(rec).sum }
+          else f.length()
+        rec(new java.io.File(d))
+      }
+      recalls("pq_postings_bytes") = dirBytes(s"$pDir/postings").toDouble
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pDir))
+    }
 
     // ---- near-threshold banding recall (the round-6 verdict's gap:
     // exact copies share every band signature BY CONSTRUCTION, so the
@@ -306,7 +338,6 @@ object ScaleBench {
     // (id, id+5M) — a 1:1 equi-join over 2k rows — because the engine's
     // tau gate runs in quantized space; recall divides found pairs by
     // pairs whose true quantized cosine clears tau.
-    val recalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def nearTruth(): org.apache.spark.sql.DataFrame = {
       val orig = emb.filter(col("vec_id") < 5000000L)
         .select(col("vec_id").as("oid"), col("embedding").as("va"))

@@ -314,15 +314,20 @@ class SimilaritySpec extends SparkSpec {
     assert(sorted(pqServe)
       .sameElements(sorted(Similarity.ivfTopKIndexed(qb, corpus, dirA, 3))))
     // plan gates, on the AQE-final section (same discipline as the int8
-    // index test): exactly ONE postings scan, and the only assignment
-    // probe belongs to the query side — the postings path carries no
-    // per-vector recompute
+    // index test): exactly ONE postings scan, and ZERO assignment
+    // probes anywhere in the serve plan — the probe side (cells, LUTs)
+    // is materialized once before the candidate join (the
+    // CollapseProject fix: without it the LUT UDF re-evaluated per
+    // candidate row, 24 s of a 26 s pass at 10⁵), so the executed plan
+    // carries neither a corpus-side nor a query-side per-row recompute
     val p = pqServe.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head.toLowerCase
     assert(p.linesIterator.count(l => l.contains("scan") && l.contains("postings")) == 1,
       s"PQ read path must scan the postings table exactly once:\n${p.take(1500)}")
-    assert("nearestcellsexpr".r.findAllIn(p).size == 1,
-      s"corpus-side assignment recompute detected:\n${p.take(1500)}")
+    assert("nearestcellsexpr".r.findAllIn(p).isEmpty,
+      s"per-row assignment recompute in the serve plan:\n${p.take(1500)}")
+    assert(!p.contains("pqludf") && "scalaudf".r.findAllIn(p).isEmpty,
+      s"LUT UDF leaked into the per-candidate serve plan:\n${p.take(1500)}")
   }
 
   test("PQ codebooks: bit-identical rebuild, ks self-caps on a tiny corpus") {
