@@ -64,6 +64,7 @@ object Bench {
     "l33_ann_index_fresh",  // index INGEST, cache-busted fresh build per run
     "l32_ann_index_append", // incremental index append (build base + append)
     "l34_jl_project",       // seeded sparse JL projection 64→16 (row-local)
+    "l36_pack_sequences",   // token-budget sequence packing (sharded windows)
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups

@@ -1006,6 +1006,55 @@ object LlmQueries {
     },
     None)
 
+  /** L: greedy sequence packing into fixed token-budget training
+    * windows — per-shard hash-shuffled streams, running-token-count
+    * window assignment, no global sort ([[TextAnalysis.packSequences]]).
+    * Fully oracle-checked: the shard deal, the md5 shuffle order and
+    * the running sum are all cross-engine-exact, so DuckDB pins every
+    * document's (shard, window) assignment. */
+  val l36PackSequences = Q(
+    "l36_pack_sequences",
+    (s, dir) => TextAnalysis.packSequences(
+      Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                              CAST(doc_id % 8 AS INT) AS shard,
+                              md5('pack#' || CAST(doc_id AS VARCHAR)) AS k
+                       FROM documents)
+            SELECT doc_id, shard,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY k, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 256) AS BIGINT) AS win_id,
+                   n_tokens
+            FROM t ORDER BY doc_id"""))
+
+  /** L: temperature-weighted mixture sampling — per-source quotas
+    * proportional to sqrt(n) (upsampling small domains relative to raw
+    * frequency), survivors = the first quota docs of each source in
+    * deterministic md5 order ([[TextAnalysis.temperatureSample]]). The
+    * oracle states the single-window rank; the engine computes the SAME
+    * exact rank 256-way parallel per domain (hash-prefix bucket offsets
+    * + within-bucket row_number — the distributed exact-rank pattern a
+    * few-huge-domains corpus needs), so the survivor sets hash-match. */
+  val l37TemperatureSample = Q(
+    "l37_temperature_sample",
+    (s, dir) => TextAnalysis.temperatureSample(
+      Tables(s, dir, "documents"), "doc_id", "source")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, source,
+                              md5('mix#' || CAST(doc_id AS VARCHAR)) AS k
+                       FROM documents),
+                 r AS (SELECT doc_id, source,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY k, doc_id) AS rk,
+                              count(*) OVER (PARTITION BY source) AS n
+                       FROM t)
+            SELECT doc_id, source FROM r
+            WHERE rk <= CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) * 10
+            ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1014,5 +1063,5 @@ object LlmQueries {
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
-    l34JlProject, l35PqServe)
+    l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample)
 }

@@ -237,4 +237,93 @@ object TextAnalysis {
       .filter(col("rn") === 1)
       .select(col("id"), col("tok").as("top_term"), round(col("score"), 6).as("score"))
   }
+
+  /** Greedy contiguous SEQUENCE PACKING into fixed token-budget training
+    * windows — the pretraining step that turns a shuffled document
+    * stream into dense context-window batches. Documents are dealt into
+    * `nshards` independent streams (id modulo — placement only needs
+    * balance), shuffled within each stream by a cross-engine hash key
+    * (md5 of the id, so DuckDB oracles the full assignment), and packed
+    * by running token count: window = floor(tokens_before / budget).
+    * A document straddling a budget boundary stays in the window where
+    * it started (the pack-then-truncate-at-the-consumer convention), so
+    * windows can run over by at most one document's tail.
+    *
+    * Scale shape: there is NO global sort — each shard's running sum is
+    * an independent window partition, so parallelism = nshards (set it
+    * to cores × a few at cluster scale; the fixture default keeps the
+    * oracle's window count readable). Token counts are whitespace
+    * counts, matching every other token-budget operator here. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int = 256,
+      nshards: Int = 8): DataFrame = {
+    require(budget > 0 && nshards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__k"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        pmod(col(idCol), lit(nshards)).cast("int").as("shard"),
+        md5(concat(lit("pack#"), col(idCol).cast("string"))).as("__k"))
+      .withColumn("win_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
+          .cast("long"))
+      .select(col(idCol), col("shard"), col("win_id"), col("n_tokens"))
+  }
+
+  /** Temperature-weighted MIXTURE SAMPLING — per-domain quotas
+    * proportional to n^(1/2) (the multilingual/multi-domain "temperature"
+    * rebalance that upsamples small domains relative to raw frequency):
+    * quota(source) = floor(sqrt(n_source)) · `scale`, and the kept rows
+    * are the first `quota` documents of each source in deterministic
+    * hash order. floor∘sqrt over an integer-valued double is a single
+    * correctly-rounded IEEE op in both engines, so the quotas — and
+    * therefore the exact survivor set — cross-engine match.
+    *
+    * Scale shape — the distributed exact-rank pattern: a plain
+    * `row_number() OVER (PARTITION BY source ORDER BY hash)` puts an
+    * entire domain in ONE task, which is exactly the skew a 100 TB
+    * corpus (few, huge domains) breaks on. Instead the hash key's first
+    * byte buckets every source into 256 slices that PRESERVE hash
+    * order, per-(source, bucket) counts (a tiny two-column aggregate)
+    * turn into per-bucket rank offsets via a window over ≤ 256·|sources|
+    * rows, and the per-row rank is offset + row_number within the
+    * (source, bucket) slice — 256-way parallel per domain, same exact
+    * global hash-order rank. The oracle states the semantics directly
+    * with the single-window form; this is a physical-plan divergence
+    * only, pinned equal by the hash gate. */
+  def temperatureSample(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      scale: Int = 10): DataFrame = {
+    require(scale > 0)
+    val keyed = docs.select(col(idCol), col(srcCol),
+      md5(concat(lit("mix#"), col(idCol).cast("string"))).as("__k"))
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    // per-(source, bucket) counts: ≤ 256·|sources| rows — the frame the
+    // offsets AND the quotas both derive from, one narrow aggregate
+    val counts = keyed.groupBy(col(srcCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col(srcCol))
+    val meta = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__quota",
+        (floor(sqrt(sum(col("__c")).over(wTot).cast("double"))) * scale).cast("long"))
+      .select(col(srcCol), col("__b"), col("__off"), col("__quota"))
+    val wRk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol), col("__b")).orderBy(col("__k"), col(idCol))
+    keyed
+      .join(broadcast(meta), Seq(srcCol, "__b"))
+      .withColumn("__rk", col("__off") + row_number().over(wRk))
+      .filter(col("__rk") <= col("__quota"))
+      .select(col(idCol), col(srcCol))
+  }
 }

@@ -319,4 +319,67 @@ class DedupSpec extends SparkSpec {
       .orderBy("chunk_idx").collect().map(_.getString(3)).mkString(" ")
     assert(flat == toks.mkString(" "))
   }
+
+  test("packSequences: total preservation, window budget law, deterministic") {
+    import graft.operators.TextAnalysis
+    val budget = 256
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text", budget = budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // every document assigned exactly once
+    assert(packed.length == docs.count())
+    assert(packed.map(_._1).distinct.length == packed.length)
+    // window laws per shard. A window's short-fall equals the previous
+    // window's overshoot (a doc straddling a boundary stays where it
+    // started, so the next window begins late by that tail), and the
+    // overshoot is strictly less than one document — so every non-final
+    // window holds MORE than budget − maxDocLen tokens, and every
+    // window's total stays UNDER budget + its own longest member.
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val maxShardDoc = rows.map(_._4).max
+      val wins = rows.groupBy(_._3).toSeq.sortBy(_._1)
+      val lastWin = wins.map(_._1).max
+      wins.foreach { case (w, members) =>
+        val tot = members.map(_._4).sum
+        val maxDoc = members.map(_._4).max
+        if (w != lastWin)
+          assert(tot > budget - maxShardDoc,
+            s"non-final window $w shorter than one overshoot: $tot")
+        assert(tot < budget + maxDoc,
+          s"window $w overshoots past one document: $tot")
+      }
+    }
+    // deterministic
+    val again = TextAnalysis.packSequences(docs, "doc_id", "text", budget = budget)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(packed.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("temperatureSample: distributed rank equals the plain window rank, quotas exact") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val got = TextAnalysis.temperatureSample(docs, "doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // reference: the single-window form the oracle states (skew-prone —
+    // fine at fixture scale, it is the semantics)
+    val k = md5(concat(lit("mix#"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"source").orderBy($"__k", $"doc_id")
+    val want = docs.select($"doc_id", $"source", k.as("__k"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .filter($"rk" <= floor(sqrt($"n".cast("double"))).cast("long") * 10)
+      .select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // quota exactness: per source, kept count = floor(sqrt(n))·10,
+    // capped by n itself
+    val bySrc = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySrc = got.groupBy(_._2).map { case (s, rows) => s -> rows.size.toLong }
+    bySrc.foreach { case (s, n) =>
+      val quota = math.min(n, math.floor(math.sqrt(n.toDouble)).toLong * 10)
+      assert(keptBySrc.getOrElse(s, 0L) == quota,
+        s"source $s: kept ${keptBySrc.getOrElse(s, 0L)}, quota $quota of $n")
+    }
+  }
 }
