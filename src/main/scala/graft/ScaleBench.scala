@@ -27,7 +27,9 @@ import graft.operators.Similarity
   *
   * Usage: SPARK_GRAFT_EMBED_DIR=/tmp/sf_embed100k runMain graft.ScaleBench
   * (SPARK_GRAFT_SCALE_ONLY=ivf_topk,lsh_topk restricts the set — the
-  * 10⁶-point runs are ~10 min per operator, so curves are sampled).
+  * 10⁶-point runs are ~10 min per operator, so curves are sampled;
+  * SPARK_GRAFT_DOCS_DIR adds the text-tier decon_join/decon_bloom A/B
+  * over a gen_big docs-only fixture).
   * Emits one JSON line: {"n":…,"queries":{…},"neardup_pairs":…,…}.
   */
 object ScaleBench {
@@ -328,6 +330,52 @@ object ScaleBench {
       }
       recalls("pq_postings_bytes") = dirBytes(s"$pDir/postings").toDouble
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pDir))
+    }
+
+    // ---- text-tier decontamination A/B at document scale (l17 vs l38):
+    // the join form shuffles every distinct (doc, shingle) pair twice;
+    // the Bloom form builds one broadcast filter from the bench side and
+    // probes row-locally with ZERO corpus-side shuffle. The fixture is a
+    // docs-only gen_big replication (tools/gen_big.py N src out documents
+    // — 200 replicas of sf0.1 = 10^6 docs), the regime where the shuffle
+    // volume is the whole story. Both stages count survivors, so the
+    // workload downstream of the filter decision is identical.
+    sys.env.get("SPARK_GRAFT_DOCS_DIR").foreach { ddir =>
+      val docs = Tables(spark, ddir, "documents")
+        .select(col("doc_id"), col("text"))
+      // replica ids shift by 10M ≡ 0 (mod 50), so the bench slice is the
+      // same 2% of TEXTS in every replica — the l38 fixture split at scale
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      if (wanted("decon_join")) runs("decon_join") = timed("decon_join") {
+        graft.operators.Dedup.decontaminate(
+          corpus, bench, "doc_id", "text", 8).count()
+      }
+      if (wanted("decon_bloom")) runs("decon_bloom") = timed("decon_bloom") {
+        graft.operators.Dedup.decontaminateBloom(
+          corpus, bench, "doc_id", "text", 8).count()
+      }
+      // stage isolation for the corpus pass (both forms share it):
+      // scan = parquet read + text materialization; split adds the
+      // regex tokenizer; shingle adds the FNV window hashing — the
+      // deltas attribute the floor both decon forms sit on
+      if (wanted("decon_scan")) runs("decon_scan") = timed("decon_scan") {
+        corpus.agg(sum(length(col("text")))).collect(); n
+      }
+      if (wanted("decon_split")) runs("decon_split") = timed("decon_split") {
+        corpus.agg(sum(size(split(col("text"), " ")))).collect(); n
+      }
+      if (wanted("decon_shingle")) runs("decon_shingle") = timed("decon_shingle") {
+        corpus.agg(sum(size(graft.operators.Dedup.shingleHash64(
+          split(col("text"), " "), 8)))).collect(); n
+      }
+      // the same pass through the fused STRING path (0x20-byte scan, no
+      // regex, no token array) — the delta vs decon_shingle is what the
+      // fused tokenizer saves every shingle consumer
+      if (wanted("decon_shingle_fused")) runs("decon_shingle_fused") = timed("decon_shingle_fused") {
+        corpus.agg(sum(size(graft.operators.Dedup.shingleHash64(
+          col("text"), 8)))).collect(); n
+      }
     }
 
     // ---- near-threshold banding recall (the round-6 verdict's gap:

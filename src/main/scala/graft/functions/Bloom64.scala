@@ -1,6 +1,12 @@
 package graft.functions
 
-/** Bloom filter over 64-bit keys with 64-BIT double hashing — the
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+
+/** Bloom filter over 64-bit keys with k independent 64-BIT hashes — the
   * replacement for `org.apache.spark.util.sketch.BloomFilter`, whose
   * Kirsch–Mitzenmacher probe stream is derived from two 32-BIT Murmur
   * halves and hits a measured false-positive FLOOR around 1e-4
@@ -25,9 +31,20 @@ package graft.functions
   *
   * The bit array ORs: `union` is commutative, associative and
   * idempotent, so a distributed build (per-partition filters reduced
-  * in any tree order) is bit-deterministic. */
+  * in any tree order) is bit-deterministic.
+  *
+  * `numBits` is always a power of two so the per-probe index is a
+  * MASK, not a 64-bit modulus — `floorMod` by a general modulus is a
+  * hardware division (~20-40 cycles) paid k times per probe, and the
+  * probe loop is the inner loop of a whole-corpus scan. Rounding m up
+  * to 2^⌈log2 m⌉ costs ≤ 2× bits and only LOWERS the realized fpp
+  * (same k, more bits ⇒ (1−e^(−kn/m'))^k < requested p). */
 final class Bloom64(val words: Array[Long], val numBits: Long, val k: Int)
     extends Serializable {
+
+  require((numBits & (numBits - 1)) == 0 && numBits >= 64,
+    s"numBits must be a power of two >= 64, got $numBits")
+  private[this] val mask: Long = numBits - 1
 
   @inline private def setBit(i: Long): Unit =
     words((i >>> 6).toInt) |= 1L << (i & 63)
@@ -38,7 +55,7 @@ final class Bloom64(val words: Array[Long], val numBits: Long, val k: Int)
   def put(x: Long): Unit = {
     var i = 0
     while (i < k) {
-      setBit(java.lang.Math.floorMod(Bloom64.mix(x ^ Bloom64.seeds(i)), numBits))
+      setBit(Bloom64.mix(x ^ Bloom64.seeds(i)) & mask)
       i += 1
     }
   }
@@ -46,11 +63,23 @@ final class Bloom64(val words: Array[Long], val numBits: Long, val k: Int)
   def mightContain(x: Long): Boolean = {
     var i = 0
     while (i < k) {
-      if (!getBit(java.lang.Math.floorMod(
-        Bloom64.mix(x ^ Bloom64.seeds(i)), numBits))) return false
+      if (!getBit(Bloom64.mix(x ^ Bloom64.seeds(i)) & mask)) return false
       i += 1
     }
     true
+  }
+
+  /** Whole-array short-circuit probe over an unboxed catalyst array —
+    * the eval body of [[BloomAnyContainExpr]]; lives here so both the
+    * interpreted and the generated path run the identical loop. */
+  def anyContain(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (mightContain(arr.getLong(i))) return true
+      i += 1
+    }
+    false
   }
 
   /** In-place bit-OR merge; both sides must share (numBits, k). */
@@ -82,7 +111,9 @@ object Bloom64 {
     z ^ (z >>> 31)
   }
 
-  /** Textbook sizing for `n` expected keys at false-positive rate `p`. */
+  /** Textbook sizing for `n` expected keys at false-positive rate `p`;
+    * k comes from the textbook m, the stored array rounds m up to the
+    * next power of two (mask-probe; realized fpp only drops). */
   def create(n: Long, p: Double): Bloom64 = {
     require(n >= 0 && p > 0 && p < 1, s"invalid Bloom sizing n=$n p=$p")
     val m = math.max(64L,
@@ -90,6 +121,51 @@ object Bloom64 {
         (math.log(2) * math.log(2))).toLong)
     val k = math.min(seeds.length,
       math.max(1, math.round(m.toDouble / math.max(1L, n) * math.log(2)).toInt))
-    new Bloom64(new Array[Long](((m + 63) >>> 6).toInt), m, k)
+    val m2 = java.lang.Long.highestOneBit(m - 1) << 1 // next pow2 >= m
+    new Bloom64(new Array[Long]((m2 >>> 6).toInt), m2, k)
   }
+}
+
+/** `ARRAY<BIGINT>` → does ANY element hit the broadcast [[Bloom64]]?
+  * The whole-stage-codegen probe for Bloom-filter decontamination
+  * ([[graft.operators.Dedup.decontaminateBloom]]): the boxed
+  * `udf((sh: Seq[Long]) => ...)` form allocated a wrapper Seq plus one
+  * boxed Long PER SHINGLE per row (~1.7 G allocations on a 10⁶-doc
+  * corpus pass) and measured 2× SLOWER than the shuffle-heavy join
+  * form it was meant to beat; this expression is one monomorphic
+  * static call per row over the unboxed catalyst array — same pattern
+  * (and same motivation) as Spark's own `BloomFilterMightContain`
+  * runtime filter. The filter rides a `Broadcast` handle, so the
+  * serialized expression is bytes, not the bit array; executors fetch
+  * the blocks once per node. Null array yields null (the operator
+  * coalesces that to "no hit" to keep join-form parity for null
+  * texts). */
+case class BloomAnyContainExpr(child: Expression, bf: Broadcast[Bloom64])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"BloomAnyContain expects array<bigint>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bf.value.anyContain(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomBc", bf,
+      classOf[Broadcast[Bloom64]].getName)
+    val cls = classOf[Bloom64].getName
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (($cls) $bfRef.value()).anyContain($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -24,20 +24,31 @@ case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = {
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"MinHashSig expects array<string>, got $other")
+          s"MinHashSig expects array<string> or string, got $other")
     }
   }
 
+  // raw-STRING child: tokens come from the fused 0x20-byte scan
+  // (ShingleHash64Expr.tokenHashesText) — bit-identical signatures to
+  // the split(text, " ") form, minus the regex engine and the
+  // token-array materialization
+  private def fused: Boolean = child.dataType == StringType
+
   override def nullSafeEval(input: Any): Any =
-    MinHashSigExpr.signature(input.asInstanceOf[ArrayData], k, shingleN)
+    if (fused)
+      MinHashSigExpr.signatureText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, shingleN)
+    else
+      MinHashSigExpr.signature(input.asInstanceOf[ArrayData], k, shingleN)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = MinHashSigExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.signature($c, $k, $shingleN);")
+    val fn = if (fused) "signatureText" else "signature"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.$fn($c, $k, $shingleN);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -46,39 +57,38 @@ case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
 
 object MinHashSigExpr {
   /** Called from generated code — must stay public and JVM-simple. */
-  def signature(tokens: ArrayData, k: Int, shingleN: Int): UnsafeArrayData = {
+  def signature(tokens: ArrayData, k: Int, shingleN: Int): UnsafeArrayData =
+    if (tokens.numElements() == 0)
+      UnsafeArrayData.fromPrimitiveArray(Array.fill(k)(Long.MaxValue))
+    else
+      fromTokenHashes(ShingleHash64Expr.tokenHashes(tokens), k, shingleN)
+
+  /** Fused STRING path — called from generated code. Bit-identical to
+    * `signature(split(text, " "))` (a string always yields ≥ 1 token
+    * under limit=-1 split semantics, so there is no empty-array case). */
+  def signatureText(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, shingleN: Int): UnsafeArrayData =
+    fromTokenHashes(ShingleHash64Expr.tokenHashesText(text), k, shingleN)
+
+  private def fromTokenHashes(th: Array[Long], k: Int, shingleN: Int): UnsafeArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
-    val len = tokens.numElements()
-    if (len > 0) {
-      val th = new Array[Long](len)
-      var t = 0
-      while (t < len) {
-        var h = 0xcbf29ce484222325L
-        if (!tokens.isNullAt(t)) {
-          val bytes = tokens.getUTF8String(t).getBytes
-          var i = 0
-          while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-        }
-        th(t) = h
-        t += 1
+    val len = th.length
+    val nSh = math.max(len - shingleN + 1, 1)
+    var p = 0
+    while (p < nSh) {
+      var h = 0x9e3779b97f4a7c15L
+      var j = 0
+      while (j < shingleN && p + j < len) { h = (h ^ th(p + j)) * 0x100000001b3L; j += 1 }
+      var seed = 0
+      while (seed < k) {
+        var z = h + 0x9e3779b97f4a7c15L * (seed + 1)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= z >>> 31
+        if (z < sig(seed)) sig(seed) = z
+        seed += 1
       }
-      val nSh = math.max(len - shingleN + 1, 1)
-      var p = 0
-      while (p < nSh) {
-        var h = 0x9e3779b97f4a7c15L
-        var j = 0
-        while (j < shingleN && p + j < len) { h = (h ^ th(p + j)) * 0x100000001b3L; j += 1 }
-        var seed = 0
-        while (seed < k) {
-          var z = h + 0x9e3779b97f4a7c15L * (seed + 1)
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^= z >>> 31
-          if (z < sig(seed)) sig(seed) = z
-          seed += 1
-        }
-        p += 1
-      }
+      p += 1
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }

@@ -10,27 +10,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * native twin of the former `simhash64` Scala UDF, minus the per-row
   * `Seq[String]` boxing. Identical texts produce identical hashes under
   * ANY hash function, which is the property the simhash band join and
-  * its specs rely on. */
+  * its specs rely on.
+  *
+  * The child may also be a raw STRING: tokens then come from the fused
+  * 0x20-byte scan ([[ShingleHash64Expr.tokenHashesText]]) —
+  * bit-identical hashes to the `split(text, " ")` form, minus the
+  * regex engine and the token-array materialization. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = {
     child.dataType match {
-      case ArrayType(StringType, _) =>
+      case ArrayType(StringType, _) | StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"SimHash64 expects array<string>, got $other")
+          s"SimHash64 expects array<string> or string, got $other")
     }
   }
 
+  private def fused: Boolean = child.dataType == StringType
+
   override def nullSafeEval(input: Any): Any =
-    SimHash64Expr.simhash(input.asInstanceOf[ArrayData])
+    if (fused)
+      SimHash64Expr.simhashText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    else
+      SimHash64Expr.simhash(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = SimHash64Expr.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.simhash($c);")
+    val fn = if (fused) "simhashText" else "simhash"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.$fn($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -39,17 +51,19 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
 object SimHash64Expr {
   /** Called from generated code — must stay public and JVM-simple. */
-  def simhash(tokens: ArrayData): Long = {
+  def simhash(tokens: ArrayData): Long =
+    fromTokenHashes(ShingleHash64Expr.tokenHashes(tokens))
+
+  /** Fused STRING path — called from generated code. Bit-identical to
+    * `simhash(split(text, " "))`. */
+  def simhashText(text: org.apache.spark.unsafe.types.UTF8String): Long =
+    fromTokenHashes(ShingleHash64Expr.tokenHashesText(text))
+
+  private def fromTokenHashes(th: Array[Long]): Long = {
     val votes = new Array[Int](64)
-    val len = tokens.numElements()
     var t = 0
-    while (t < len) {
-      var h = 0xcbf29ce484222325L
-      if (!tokens.isNullAt(t)) {
-        val bytes = tokens.getUTF8String(t).getBytes
-        var i = 0
-        while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-      }
+    while (t < th.length) {
+      val h = th(t)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1

@@ -146,7 +146,7 @@ object Dedup {
     // group can't be split), and row-local compute must spread
     val sigs = docs.repartition(n, col(idCol)).select(
       col(idCol).as("id"),
-      minhashSignature(split(col(textCol), " "), k, shingleN).as("sig"))
+      minhashSignature(col(textCol), k, shingleN).as("sig"))
 
     val banded = sigs.select(
       col("id"), col("sig"),
@@ -254,7 +254,7 @@ object Dedup {
     val sets = graft.Checkpoints.rotate("dedup.ngramJaccard.sets", reps
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .select(col("id"),
-        explode(shingleHash64(split(col("txt"), " "), shingleN)).as("s"))
+        explode(shingleHash64(col("txt"), shingleN)).as("s"))
       .distinct())
     val dfs = sets.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // rare shingles only through the self-join — the df histogram is one
@@ -339,13 +339,13 @@ object Dedup {
     def keys(df: DataFrame) = df
       .repartition(n, col(idCol))
       .select(col(idCol).as("id"),
-        explode(shingleHash64(split(col(textCol), " "), shingleN)).as("s"))
+        explode(shingleHash64(col(textCol), shingleN)).as("s"))
       .distinct()
     // bench side only ever needs the distinct shingle-KEY set — going
     // through keys() would shuffle (id, s) pairs and repartition by id
     // first, two wasted shuffle rounds over every benchmark shingle
     val benchKeys = bench
-      .select(explode(shingleHash64(split(col(textCol), " "), shingleN)).as("s"))
+      .select(explode(shingleHash64(col(textCol), shingleN)).as("s"))
       .distinct()
     val contaminated = keys(docs).join(benchKeys, "s")
       .select(col("id").as(idCol)).distinct()
@@ -392,7 +392,7 @@ object Dedup {
       fpp: Double = 1e-6): DataFrame = {
     val spark = docs.sparkSession
     val benchKeys = bench
-      .select(explode(shingleHash64(split(col(textCol), " "), shingleN)).as("s"))
+      .select(explode(shingleHash64(col(textCol), shingleN)).as("s"))
       .distinct()
     val nKeys = math.max(1L, benchKeys.count())
     // distributed build: one pass over the bench keys, per-partition
@@ -406,17 +406,16 @@ object Dedup {
       (b: graft.functions.Bloom64, r: Row) => { b.put(r.getLong(0)); b },
       (a: graft.functions.Bloom64, b: graft.functions.Bloom64) => a.union(b))
     val bfBc = spark.sparkContext.broadcast(bf)
-    val hitUdf = udf { (sh: Seq[Long]) =>
-      if (sh == null) false
-      else {
-        val b = bfBc.value
-        var i = 0
-        var hit = false
-        while (i < sh.length && !hit) { hit = b.mightContain(sh(i)); i += 1 }
-        hit
-      }
-    }
-    docs.filter(!hitUdf(shingleHash64(split(col(textCol), " "), shingleN)))
+    // native codegen probe (graft.functions.BloomAnyContainExpr): the
+    // boxed-Seq UDF form measured 2× slower than the JOIN at 10⁶ docs —
+    // the scan was allocation-bound, not probe-bound. Null text ⇒ null
+    // shingles ⇒ null hit, coalesced to "no hit" so null-text docs
+    // survive exactly as they do through the join form's anti-join.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hit = ColumnBridge.column(graft.functions.BloomAnyContainExpr(
+      ColumnBridge.expression(shingleHash64(col(textCol), shingleN)),
+      bfBc))
+    docs.filter(!coalesce(hit, lit(false)))
   }
 
   /** 64-bit SimHash of a token array ([[graft.functions.SimHash64Expr]]
@@ -452,7 +451,7 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(
         col(idCol).as("id"),
-        simhash64(split(col(textCol), " ")).as("sh"))
+        simhash64(col(textCol)).as("sh"))
     val banded = hashed.select(
       col("id"), col("sh"),
       explode(expr(

@@ -98,7 +98,7 @@ object StreamingOps {
     def banded(idAs: String, tsAs: String) = docs
       .withWatermark("ts", watermark)
       .select(col("doc_id").as(idAs), col("ts").as(tsAs),
-        Dedup.minhashSignature(split(col("text"), " "), k).as("sig"))
+        Dedup.minhashSignature(col("text"), k).as("sig"))
       .select(col(idAs), col(tsAs),
         posexplode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bkey")))

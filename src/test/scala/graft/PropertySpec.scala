@@ -173,6 +173,40 @@ class PropertySpec extends SparkSpec {
     }, cases = 6)
   }
 
+  test("fused string tokenization: bit-identical to split(text,' ') for shingle/minhash/simhash (pure JVM law)") {
+    import graft.functions.{MinHashSigExpr, ShingleHash64Expr, SimHash64Expr}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // the split contract being replicated is Java regex split with
+    // limit=-1: leading/trailing/consecutive spaces all yield empty
+    // tokens, empty text yields one empty token
+    def splitTokens(s: String): ArrayData =
+      ArrayData.toArrayData(s.split(" ", -1).map(UTF8String.fromString))
+    val adversarial = Seq(
+      "", " ", "   ", "one", "a b c d e f g h i j", " leading",
+      "trailing ", "double  space", "a\tb\nc", // tab/newline NOT separators
+      "naïve café 東京 мир  nbsp", // non-ASCII; NBSP is not 0x20
+      "ends with three   ")
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.oneOf(adversarial),
+      Gen.listOf(Gen.oneOf("a", "bb", "", "日本", "x y")).map(_.mkString(" "))))
+    holds(Prop.forAll(gen) { texts =>
+      (adversarial ++ texts).forall { s =>
+        val u = UTF8String.fromString(s)
+        val toks = splitTokens(s)
+        Seq(1, 3, 8).forall { n =>
+          ShingleHash64Expr.hashWindowsText(u, n, true).toLongArray.sameElements(
+            ShingleHash64Expr.hashWindows(toks, n, true).toLongArray) &&
+          ShingleHash64Expr.hashWindowsText(u, n, false).toLongArray.sameElements(
+            ShingleHash64Expr.hashWindows(toks, n, false).toLongArray)
+        } &&
+        MinHashSigExpr.signatureText(u, 16, 3).toLongArray.sameElements(
+          MinHashSigExpr.signature(toks, 16, 3).toLongArray) &&
+        SimHash64Expr.simhashText(u) == SimHash64Expr.simhash(toks)
+      }
+    }, cases = 40)
+  }
+
   test("Bloom64: no false negatives ever; realized fpp meets the requested rate (pure JVM law)") {
     import graft.functions.Bloom64
     val rng = new scala.util.Random(7)

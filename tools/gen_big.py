@@ -11,7 +11,9 @@ verbatim, which plants exact cross-replica duplicates — the dedup and
 near-dup queries then have 4x the corpus AND a denser duplicate
 population, the adversarial direction for their candidate volume.
 
-Usage: gen_big.py [replicas] [src_dir] [out_dir]
+Usage: gen_big.py [replicas] [src_dir] [out_dir] [tables]
+  tables: optional comma list restricting output (e.g. "documents" for
+  a docs-only 10^6 fixture at 200 replicas without 120M lineitem rows)
 """
 import sys
 import pyarrow as pa
@@ -38,14 +40,19 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     src = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
     out = Path(sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfbig")
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     out.mkdir(parents=True, exist_ok=True)
 
     for name in SHARED:
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(src / f"{name}.parquet")
         pq.write_table(t, out / f"{name}.parquet")
         print(f"{name}: {t.num_rows} rows (shared)")
 
     for name, keys in KEY_COLS.items():
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(src / f"{name}.parquet")
         parts = [t]
         for r in range(1, replicas):
