@@ -67,6 +67,8 @@ object Bench {
     "l34_jl_project",       // seeded sparse JL projection 64→16 (row-local)
     "l36_pack_sequences",   // token-budget sequence packing (sharded windows)
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
+    "l37_temperature_sample", // sqrt-temperature mixture quotas (distributed rank)
+    "l39_paragraph_dedup",  // paragraph dedup + doc reconstruction (2 shuffles)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups
     "l27_pretrain_pipeline", // composed dedup→gates→decontaminate→split flow

@@ -376,6 +376,14 @@ object ScaleBench {
         corpus.agg(sum(size(graft.operators.Dedup.shingleHash64(
           col("text"), 8)))).collect(); n
       }
+      // paragraph dedup at the replicated fixture's adversarial extreme:
+      // every paragraph repeats ~200× (one per replica), so the
+      // min(struct) keeper aggregation sees maximal duplicate mass —
+      // the map-side partial combine is the difference between one row
+      // per (partition, distinct para) and every occurrence shuffling
+      if (wanted("para_dedup")) runs("para_dedup") = timed("para_dedup") {
+        graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text", " a ").count()
+      }
     }
 
     // ---- near-threshold banding recall (the round-6 verdict's gap:

@@ -381,20 +381,35 @@ object Dedup {
     *
     * Filter sizing is n·ln(1/fpp)/ln²2 bits — ~3.4 MB per 10⁶ bench
     * shingles at the 1e-6 default, broadcast-friendly for any real
-    * contamination suite; a bench set that stops fitting is the signal
-    * to fall back to [[decontaminate]]'s join form. */
+    * contamination suite. If the distinct bench-shingle count would
+    * size the filter past `maxFilterBytes` (default 256 MB — past
+    * executor-broadcast comfort), the operator FALLS BACK to
+    * [[decontaminate]]'s exact join form automatically: same guard
+    * philosophy as the auto-engaged bucket/cell caps — a guard the
+    * caller must remember to flip is a guard that's off. The fallback
+    * is semantics-safe in the conservative direction (the join form is
+    * exact, so survivors only GROW to the no-false-positive set). */
   def decontaminateBloom(
       docs: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 8,
-      fpp: Double = 1e-6): DataFrame = {
+      fpp: Double = 1e-6,
+      maxFilterBytes: Long = 256L << 20): DataFrame = {
     val spark = docs.sparkSession
     val benchKeys = bench
       .select(explode(shingleHash64(col(textCol), shingleN)).as("s"))
       .distinct()
     val nKeys = math.max(1L, benchKeys.count())
+    // textbook bits for the sizing decision (the filter itself rounds
+    // up to pow2, ≤ 2×; the threshold check uses the rounded size so
+    // the decision matches the bytes that would actually broadcast)
+    val m = math.ceil(-nKeys.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+    val m2 = java.lang.Long.highestOneBit(math.max(64L, m) - 1) << 1
+    if (m2 / 8 > maxFilterBytes)
+      return decontaminate(docs, bench, idCol, textCol, shingleN)
     // distributed build: one pass over the bench keys, per-partition
     // filters reduced by bit-OR (commutative + idempotent ⇒ the same
     // bits under any tree). treeAggregate ships one empty filter per
@@ -416,6 +431,54 @@ object Dedup {
       ColumnBridge.expression(shingleHash64(col(textCol), shingleN)),
       bfBc))
     docs.filter(!coalesce(hit, lit(false)))
+  }
+
+  /** Paragraph-level exact dedup with document RECONSTRUCTION — the
+    * CCNet/RefinedWeb-style pass that removes boilerplate mass exact
+    * doc-dedup can't see: a paragraph repeated across thousands of
+    * pages (headers, footers, license blocks) keeps exactly its first
+    * global occurrence (smallest `(id, pos)`), and every document is
+    * rebuilt from its surviving paragraphs in original order. Documents
+    * whose every paragraph is owned elsewhere drop entirely.
+    *
+    * Scale shape: two hash shuffles, no windows, no driver state —
+    * posexplode on the separator, `min(struct(id, pos))` per distinct
+    * paragraph (a partially-aggregating `groupBy`, NOT a `row_number`
+    * window: the partial min combines map-side, so the shuffle carries
+    * one row per distinct paragraph per partition rather than every
+    * occurrence sorted), then a `groupBy(id)` rebuild via
+    * `array_sort(collect_list(struct(pos, para)))`. Both shuffles key
+    * on high-cardinality columns (paragraph text, doc id) — no skew
+    * beyond a genuinely mega-duplicated paragraph, and that one
+    * arrives pre-combined.
+    *
+    * `sep` is a LITERAL separator (regex-quoted before Spark's
+    * `split`), matching non-overlapping left-to-right with limit=-1
+    * (trailing/consecutive separators yield empty paragraphs, which
+    * dedup like any other) — the same contract as DuckDB's
+    * `string_split`, so the l39 oracle hash-matches end to end. Null
+    * text yields no paragraphs (the doc drops, both engines). */
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    val paras = docs
+      .repartition(n, col(idCol))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+    val keepers = paras
+      .groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+      .select(col("first")(idCol).as(idCol), col("first")("pos").as("pos"),
+        col("para"))
+    keepers
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x("para"))).as("text_dedup"))
   }
 
   /** 64-bit SimHash of a token array ([[graft.functions.SimHash64Expr]]

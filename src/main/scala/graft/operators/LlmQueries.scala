@@ -1080,6 +1080,32 @@ object LlmQueries {
     },
     None)
 
+  /** L: paragraph-level exact dedup with document reconstruction
+    * ([[Dedup.paragraphDedup]] — the CCNet/RefinedWeb boilerplate pass):
+    * each distinct paragraph survives only at its first global
+    * `(doc_id, pos)` occurrence and documents are rebuilt from their
+    * survivors in order. The fixture corpus has no natural paragraph
+    * breaks, so the query splits on the literal ` a ` token (74 repeated
+    * segments at sf0.01) — the OPERATOR takes any literal separator.
+    * Deterministic string math end to end ⇒ fully DuckDB-oracled,
+    * including the reconstruction concat. */
+  val l39ParagraphDedup = Q(
+    "l39_paragraph_dedup",
+    (s, dir) => Dedup.paragraphDedup(
+        Tables(s, dir, "documents"), "doc_id", "text", sep = " a ")
+      .orderBy(col("doc_id")),
+    Some("""WITH paras AS (
+              SELECT doc_id, unnest(string_split(text, ' a ')) AS para,
+                     unnest(range(len(string_split(text, ' a ')))) AS pos
+              FROM documents
+            ), k AS (
+              SELECT doc_id, pos, para,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+              FROM paras
+            )
+            SELECT doc_id, string_agg(para, ' a ' ORDER BY pos) AS text_dedup
+            FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1089,5 +1115,5 @@ object LlmQueries {
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
-    l38BloomDecontaminate)
+    l38BloomDecontaminate, l39ParagraphDedup)
 }

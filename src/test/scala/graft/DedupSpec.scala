@@ -345,6 +345,51 @@ class DedupSpec extends SparkSpec {
     // a looser filter still never leaks
     val loose = ids(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 8, fpp = 0.05))
     assert(loose.subsetOf(exact))
+    // size guard: a bench set whose filter would blow the broadcast
+    // budget falls back to the exact join form — identical survivors
+    val fallback = ids(Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", 8,
+      fpp = 1e-6, maxFilterBytes = 1024))
+    assert(fallback == exact, "size-guard fallback must be the exact join form")
+  }
+
+  test("paragraphDedup: every distinct paragraph survives exactly once, order-preserving subsequence") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val sep = " a "
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", sep)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val in = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def paras(s: String): Seq[String] = {
+      // literal non-overlapping split, limit=-1 (keep trailing empties)
+      val b = Seq.newBuilder[String]
+      var i = 0
+      var last = 0
+      while ({ i = s.indexOf(sep, last); i >= 0 }) { b += s.substring(last, i); last = i + sep.length }
+      b += s.substring(last)
+      b.result()
+    }
+    val outParas = out.toSeq.flatMap { case (id, t) => paras(t).map(id -> _) }
+    // exactly-once: the multiset of output paragraphs is the distinct
+    // set of input paragraphs, no repeats anywhere
+    assert(outParas.map(_._2).distinct.size == outParas.size,
+      "a paragraph appeared twice in the deduped corpus")
+    assert(outParas.map(_._2).toSet ==
+      in.values.flatMap(paras).toSet, "paragraph content set changed")
+    // each kept doc's paragraphs are an order-preserving subsequence of
+    // that doc's original paragraphs, and the keeper is the FIRST
+    // global (doc_id, pos) occurrence
+    val firstOwner = in.toSeq.flatMap { case (id, t) => paras(t).zipWithIndex.map { case (p, k) => (p, (id, k)) } }
+      .groupBy(_._1).map { case (p, occ) => p -> occ.map(_._2).min }
+    for ((id, t) <- out) {
+      val op = paras(t)
+      val ip = paras(in(id))
+      var j = 0
+      for (p <- op) { j = ip.indexOf(p, j); assert(j >= 0, s"doc $id lost order for '$p'"); j += 1 }
+      op.foreach(p => assert(firstOwner(p)._1 == id, s"'$p' kept in doc $id but first seen in ${firstOwner(p)}"))
+    }
+    // docs with zero surviving paragraphs drop
+    assert(out.keySet.subsetOf(in.keySet))
   }
 
   test("packSequences: total preservation, window budget law, deterministic") {
