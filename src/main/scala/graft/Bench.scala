@@ -54,6 +54,8 @@ object Bench {
     "l4_ngram_jaccard",     // shingle-join dedup + dfCap skew bound
     "l17_decontaminate",    // benchmark n-gram overlap anti-join
     "l38_bloom_decontaminate", // same semantics, broadcast Bloom64 probe (0 corpus shuffle)
+    "l40_fuzzy_decon",      // threshold decontamination (fraction-of-shingles rule)
+    "l41_window_dedup",     // ExactSubstr window dedup + reconstruction
     "l5_cosine_topk",       // brute-force ANN baseline
     "l6_cosine_neardup",    // banded near-dup on the doubled corpus
     "l13_lsh_topk",         // LSH ANN (sqrt-scaled buckets)

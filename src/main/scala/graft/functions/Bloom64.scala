@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
 
 /** Bloom filter over 64-bit keys with k independent 64-BIT hashes — the
   * replacement for `org.apache.spark.util.sketch.BloomFilter`, whose
@@ -80,6 +80,21 @@ final class Bloom64(val words: Array[Long], val numBits: Long, val k: Int)
       i += 1
     }
     false
+  }
+
+  /** Whole-array counting probe — how many elements hit the filter.
+    * The eval body of [[BloomCountContainExpr]]; no short-circuit (the
+    * fuzzy-decontamination threshold needs the full count), same
+    * unboxed loop as [[anyContain]]. */
+  def countContain(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (mightContain(arr.getLong(i))) c += 1
+      i += 1
+    }
+    c
   }
 
   /** In-place bit-OR merge; both sides must share (numBits, k). */
@@ -164,6 +179,46 @@ case class BloomAnyContainExpr(child: Expression, bf: Broadcast[Bloom64])
     val cls = classOf[Bloom64].getName
     nullSafeCodeGen(ctx, ev,
       c => s"${ev.value} = (($cls) $bfRef.value()).anyContain($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ARRAY<BIGINT>` → COUNT of elements hitting the broadcast
+  * [[Bloom64]] — the probe for threshold (fuzzy) decontamination
+  * ([[graft.operators.Dedup.decontaminateBloomFuzzy]]), where the drop
+  * decision needs the contaminated FRACTION of a document's shingles,
+  * not just any-hit. Same unboxed whole-stage-codegen shape as
+  * [[BloomAnyContainExpr]] (one monomorphic static call per row); no
+  * short-circuit by construction. False positives only INFLATE the
+  * count, so the one-sided error guarantee (no contaminated doc ever
+  * survives that the exact form would drop) carries over to any
+  * `hits/total >= minFrac` threshold. Null array yields null. */
+case class BloomCountContainExpr(child: Expression, bf: Broadcast[Bloom64])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"BloomCountContain expects array<bigint>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bf.value.countContain(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomBc", bf,
+      classOf[Broadcast[Bloom64]].getName)
+    val cls = classOf[Bloom64].getName
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (($cls) $bfRef.value()).countContain($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

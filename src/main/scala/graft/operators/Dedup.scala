@@ -433,6 +433,160 @@ object Dedup {
     docs.filter(!coalesce(hit, lit(false)))
   }
 
+  /** Threshold ("fuzzy") decontamination — drop a corpus document when
+    * AT LEAST `minFrac` of its distinct n-gram shingles appear in the
+    * benchmark shingle set. [[decontaminate]] is the `minFrac -> 0+`
+    * special case (any single shared shingle drops the doc); real
+    * contamination policies (GPT-3 App. C, PaLM's 70%-of-8-grams rule)
+    * use a fraction threshold so that a stray idiom shared with one
+    * benchmark question doesn't delete an otherwise-clean document.
+    *
+    * Scale shape: per-doc distinct shingles come from row-local
+    * `array_distinct` (one row per doc — no shuffle-distinct over the
+    * exploded pair set), then ONE left join against the distinct bench
+    * keys (bench side is aggregation output, so AQE broadcasts it at
+    * contamination-suite sizes) and ONE map-side-combining `groupBy(id)`
+    * carrying two counts. The threshold compares `hits >= tot*minFrac`
+    * in exact integer×double arithmetic on the aggregated counts.
+    *
+    * Null text yields no shingle rows, so null-text docs survive —
+    * same convention as [[decontaminate]]. */
+  def decontaminateFuzzy(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 8,
+      minFrac: Double = 0.5): DataFrame = {
+    require(minFrac > 0, s"minFrac must be positive, got $minFrac")
+    val pairs = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
+    val benchKeys = bench
+      .select(explode(shingleHash64(col(textCol), shingleN)).as("s"))
+      .distinct()
+    val contaminated = pairs
+      .join(benchKeys.withColumn("hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("tot"), count(col("hit")).as("hits"))
+      .where(col("hits") >= col("tot") * minFrac)
+      .select(col("id").as(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Broadcast-Bloom form of [[decontaminateFuzzy]] — the zero-shuffle
+    * corpus pass for the 100 TB regime, with the hit COUNT taken by the
+    * native [[graft.functions.BloomCountContainExpr]] probe over each
+    * document's row-local distinct shingle array. Error stays one-sided
+    * in the safe direction: filter false positives can only INFLATE the
+    * per-doc hit count, so survivors(bloomFuzzy) ⊆ survivors(fuzzy) at
+    * the same threshold and no contaminated document ever leaks
+    * (DedupSpec pins the subset law and zero over-drop at the declared
+    * fpp). Same automatic size-guard as [[decontaminateBloom]]: past
+    * `maxFilterBytes` the operator falls back to the exact join form. */
+  def decontaminateBloomFuzzy(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 8,
+      minFrac: Double = 0.5,
+      fpp: Double = 1e-6,
+      maxFilterBytes: Long = 256L << 20): DataFrame = {
+    require(minFrac > 0, s"minFrac must be positive, got $minFrac")
+    val spark = docs.sparkSession
+    val benchKeys = bench
+      .select(explode(shingleHash64(col(textCol), shingleN)).as("s"))
+      .distinct()
+    val nKeys = math.max(1L, benchKeys.count())
+    val m = math.ceil(-nKeys.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+    val m2 = java.lang.Long.highestOneBit(math.max(64L, m) - 1) << 1
+    if (m2 / 8 > maxFilterBytes)
+      return decontaminateFuzzy(docs, bench, idCol, textCol, shingleN, minFrac)
+    import org.apache.spark.sql.Row
+    val bf = benchKeys.rdd.treeAggregate(
+      graft.functions.Bloom64.create(nKeys, fpp))(
+      (b: graft.functions.Bloom64, r: Row) => { b.put(r.getLong(0)); b },
+      (a: graft.functions.Bloom64, b: graft.functions.Bloom64) => a.union(b))
+    val bfBc = spark.sparkContext.broadcast(bf)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sh = array_distinct(shingleHash64(col(textCol), shingleN))
+    val hits = ColumnBridge.column(graft.functions.BloomCountContainExpr(
+      ColumnBridge.expression(sh), bfBc))
+    // null text ⇒ null count ⇒ null predicate; coalesce keeps those
+    // docs, matching the join form (no shingles ⇒ never contaminated)
+    docs.filter(!coalesce(hits >= size(sh) * minFrac, lit(false)))
+  }
+
+  /** Window-level exact substring dedup with document RECONSTRUCTION —
+    * the distributed form of the ExactSubstr pass from Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (ACL
+    * 2022): any k-token window that occurs more than once across the
+    * corpus keeps only its FIRST global occurrence (smallest
+    * `(id, pos)`), and every other occurrence has its covered token
+    * range excised from its document; documents are rebuilt from the
+    * surviving tokens in order, and documents whose every token is
+    * excised drop entirely. Unlike document/paragraph dedup this
+    * removes duplicated SPANS — boilerplate sentences, quoted blocks,
+    * licence headers — embedded inside otherwise-unique documents.
+    *
+    * Precise semantics: token `t` of doc `d` is removed iff some window
+    * occurrence `(d, pos)` with `pos <= t < pos + k` is a NON-FIRST
+    * occurrence of its window fingerprint (global order by
+    * `(id, pos)`). The first-occurrence document keeps its copy intact;
+    * within-doc repeats dedup the same way (the second occurrence in
+    * the same doc is non-first). Docs shorter than k tokens form one
+    * partial window covering the whole doc ([[shingleHash64]]
+    * `keepPartial` convention), so for them the pass degenerates to
+    * exact doc-dedup — consistent at the boundary.
+    *
+    * Scale shape, all hash shuffles, no windows: window fingerprints
+    * are native [[shingleHash64]] (one codegen pass, no shingle
+    * strings); `min(struct(id, pos))` per fingerprint is a partially-
+    * aggregating groupBy (map-side combine ⇒ the shuffle carries one
+    * row per distinct window per partition, so a 1000×-duplicated
+    * boilerplate sentence arrives pre-combined, not as a hot key);
+    * non-first occurrences re-join the per-fingerprint minimum on the
+    * same key (AQE reuses the partitioning); covered positions explode
+    * k-wide from each bad occurrence (bounded ×k blowup on the BAD
+    * subset only, not the corpus); one anti-join on `(id, tpos)` and a
+    * `groupBy(id)` `array_sort(collect_list)` rebuild — the l39
+    * reconstruction shape. Work tracks corpus tokens + k·|duplicated
+    * occurrences|, never O(n²).
+    *
+    * Deterministic string math end to end (FNV window fingerprints are
+    * only ever compared for equality; the oracle groups on the window
+    * STRING itself), so the whole operator — including reconstruction —
+    * is DuckDB-hash-oracled. */
+  def windowDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs
+      .repartition(n, col(idCol))
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+    val wins = base.select(col(idCol), size(col("toks")).as("nt"),
+      posexplode(shingleHash64(col("toks"), k)).as(Seq("pos", "w")))
+    val first = wins.groupBy(col("w"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    val bad = wins.join(first, "w")
+      .where(struct(col(idCol), col("pos")) =!= col("f"))
+      // short docs: the single partial window spans nt < k tokens
+      .select(col(idCol),
+        explode(sequence(col("pos"),
+          least(col("pos") + (k - 1), col("nt") - 1))).as("tpos"))
+    val toks = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("tpos", "tok")))
+    toks.join(bad, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          x => x("tok"))).as("text_dedup"))
+  }
+
   /** Paragraph-level exact dedup with document RECONSTRUCTION — the
     * CCNet/RefinedWeb-style pass that removes boilerplate mass exact
     * doc-dedup can't see: a paragraph repeated across thousands of

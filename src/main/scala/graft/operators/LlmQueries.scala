@@ -1106,6 +1106,75 @@ object LlmQueries {
             SELECT doc_id, string_agg(para, ' a ' ORDER BY pos) AS text_dedup
             FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** L: threshold (fuzzy) decontamination ([[Dedup.decontaminateFuzzy]]
+    * — the GPT-3/PaLM-style policy): a corpus doc drops only when ≥
+    * `minFrac` of its distinct 8-gram shingles appear in the benchmark
+    * set, so a stray shared idiom no longer deletes a clean document
+    * the way l17's any-hit rule does. Same bench split as l17; exact
+    * integer×double threshold arithmetic on aggregated counts ⇒ fully
+    * DuckDB-oracled. The zero-shuffle Bloom-count form
+    * ([[Dedup.decontaminateBloomFuzzy]]) is pinned to this one by
+    * DedupSpec's subset/parity laws. */
+  val l40FuzzyDecon = Q(
+    "l40_fuzzy_decon",
+    (s, dir) => {
+      val all = Tables(s, dir, "documents")
+      val bench = all.filter(col("doc_id") % 50 === 0)
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+      Dedup.decontaminateFuzzy(corpus, bench, "doc_id", "text",
+          shingleN = 8, minFrac = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 7, 1)),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 bench AS (SELECT DISTINCT s FROM sets WHERE doc_id % 50 = 0),
+                 frac AS (SELECT doc_id, count(*) AS tot,
+                                 count(CASE WHEN s IN (SELECT s FROM bench) THEN 1 END) AS hits
+                          FROM sets WHERE doc_id % 50 != 0 GROUP BY doc_id),
+                 bad AS (SELECT doc_id FROM frac WHERE hits >= tot * 0.5)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id"""))
+
+  /** L: window-level exact substring dedup with reconstruction
+    * ([[Dedup.windowDedup]] — the Lee et al. ACL'22 ExactSubstr pass):
+    * every duplicated 8-token window keeps its first global `(doc_id,
+    * pos)` occurrence and is excised everywhere else; documents are
+    * rebuilt from surviving tokens. Deterministic string math end to
+    * end (the oracle fingerprints windows by their literal text) ⇒
+    * fully DuckDB-oracled including the reconstruction concat. */
+  val l41WindowDedup = Q(
+    "l41_window_dedup",
+    (s, dir) => Dedup.windowDedup(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                 toks AS (SELECT doc_id, unnest(toks) AS tok,
+                                 unnest(range(len(toks))) AS tpos FROM t),
+                 wins AS (SELECT doc_id, len(toks) AS nt,
+                                 unnest(range(greatest(len(toks) - 7, 1))) AS pos,
+                                 unnest(list_transform(
+                                   generate_series(1, greatest(len(toks) - 7, 1)),
+                                   i -> array_to_string(toks[i:i+7], ' '))) AS w
+                          FROM t),
+                 occ AS (SELECT doc_id, nt, pos,
+                                row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+                         FROM wins),
+                 bad AS (SELECT doc_id, unnest(range(pos, least(pos + 8, nt))) AS tpos
+                         FROM occ WHERE rn >= 2),
+                 kept AS (SELECT tk.doc_id, tk.tpos, tk.tok
+                          FROM toks tk LEFT JOIN bad b
+                            ON tk.doc_id = b.doc_id AND tk.tpos = b.tpos
+                          WHERE b.tpos IS NULL)
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+            FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1115,5 +1184,5 @@ object LlmQueries {
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
-    l38BloomDecontaminate, l39ParagraphDedup)
+    l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup)
 }

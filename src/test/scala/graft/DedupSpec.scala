@@ -454,4 +454,96 @@ class DedupSpec extends SparkSpec {
         s"source $s: kept ${keptBySrc.getOrElse(s, 0L)}, quota $quota of $n")
     }
   }
+
+  test("decontaminateFuzzy: threshold arithmetic, monotonicity, l17 and no-op limits") {
+    import spark.implicits._
+    // hand-built overlap fractions at shingleN=2: bench bigrams of
+    // "a b c d" = {ab, bc, cd}; docs share exactly 1/3, 2/3, 3/3
+    val bench = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b x y z"),   // bigrams {ab,bx,xy,yz}: 1/4 hit
+      (2L, "a b c x y"),   // {ab,bc,cx,xy}: 2/4 hit
+      (3L, "a b c d"),     // {ab,bc,cd}: 3/3 hit
+      (4L, "p q r s")      // 0 hit
+    ).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Dedup.decontaminateFuzzy(corpus, bench, "doc_id", "text", 2, 0.5))
+      == Set(1L, 4L))                       // 2/4 and 3/3 >= 0.5 drop
+    assert(ids(Dedup.decontaminateFuzzy(corpus, bench, "doc_id", "text", 2, 0.2))
+      == Set(4L))                           // 1/4 >= 0.2 too: only the 0-hit doc survives
+    assert(ids(Dedup.decontaminateFuzzy(corpus, bench, "doc_id", "text", 2, 1.0))
+      == Set(1L, 2L, 4L))                   // only the full-overlap doc drops
+    // fixture laws on the l17 split
+    val fxBench = docs.filter($"doc_id" % 50 === 0)
+    val fxCorpus = docs.filter($"doc_id" % 50 =!= 0)
+    val anyHit = ids(Dedup.decontaminate(fxCorpus, fxBench, "doc_id", "text", 8))
+    // minFrac -> 0+ recovers l17's any-hit rule exactly
+    assert(ids(Dedup.decontaminateFuzzy(fxCorpus, fxBench, "doc_id", "text", 8, 1e-12))
+      == anyHit)
+    // minFrac > 1 is unsatisfiable: nothing drops
+    assert(ids(Dedup.decontaminateFuzzy(fxCorpus, fxBench, "doc_id", "text", 8, 1.000001))
+      == ids(fxCorpus))
+    // survivors grow monotonically with the threshold
+    val s10 = ids(Dedup.decontaminateFuzzy(fxCorpus, fxBench, "doc_id", "text", 8, 0.1))
+    val s50 = ids(Dedup.decontaminateFuzzy(fxCorpus, fxBench, "doc_id", "text", 8, 0.5))
+    val s90 = ids(Dedup.decontaminateFuzzy(fxCorpus, fxBench, "doc_id", "text", 8, 0.9))
+    assert(anyHit.subsetOf(s10) && s10.subsetOf(s50) && s50.subsetOf(s90))
+  }
+
+  test("decontaminateBloomFuzzy: one-sided error, parity with the join form, size-guard fallback") {
+    import spark.implicits._
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.decontaminateFuzzy(corpus, bench, "doc_id", "text", 8, 0.5))
+    val bloom = ids(Dedup.decontaminateBloomFuzzy(corpus, bench, "doc_id", "text", 8, 0.5))
+    // false positives only inflate hit counts: never leaks, may over-drop
+    assert(bloom.subsetOf(exact), s"bloomFuzzy leaked ${(bloom -- exact).take(5)}")
+    assert((exact -- bloom).size <= 2,
+      s"bloomFuzzy over-dropped ${(exact -- bloom).size} docs at fpp=1e-6")
+    // deterministic
+    assert(ids(Dedup.decontaminateBloomFuzzy(corpus, bench, "doc_id", "text", 8, 0.5)) == bloom)
+    // size guard falls back to the exact join form
+    assert(ids(Dedup.decontaminateBloomFuzzy(corpus, bench, "doc_id", "text", 8, 0.5,
+      maxFilterBytes = 1024)) == exact)
+  }
+
+  test("windowDedup: owner keeps its span, duplicates excised, reconstruction exact") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)], k: Int = 8): Map[Long, String] =
+      Dedup.windowDedup(rows.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // all-unique corpus: identity
+    val uniq = Seq((1L, "u1 u2 u3 u4 u5 u6 u7 u8 u9"), (2L, "v1 v2 v3 v4 v5 v6 v7 v8 v9"))
+    assert(run(uniq) == uniq.toMap)
+    // identical docs: first keeps full text, second drops entirely
+    val twins = run(Seq((1L, "s1 s2 s3 s4 s5 s6 s7 s8 s9"), (2L, "s1 s2 s3 s4 s5 s6 s7 s8 s9")))
+    assert(twins == Map(1L -> "s1 s2 s3 s4 s5 s6 s7 s8 s9"))
+    // shared 8-token span embedded in otherwise-unique docs: the later
+    // doc loses exactly the span, the owner is untouched
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val emb = run(Seq((1L, s"u1 u2 $span u3 u4"), (2L, s"v1 v2 $span v3 v4")))
+    assert(emb(1L) == s"u1 u2 $span u3 u4")
+    assert(emb(2L) == "v1 v2 v3 v4")
+    // within-doc repeat: the second occurrence excises
+    val rep = run(Seq((1L, s"$span x $span")))
+    assert(rep == Map(1L -> s"$span x"))
+    // short-doc degeneracy (< k tokens): behaves as exact doc-dedup
+    val short = run(Seq((1L, "a b c"), (2L, "a b c"), (3L, "d e f")))
+    assert(short == Map(1L -> "a b c", 3L -> "d e f"))
+    // fixture law: every surviving text is an order-preserving
+    // subsequence of its original tokens
+    val fx = Dedup.windowDedup(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fx.nonEmpty && fx.keySet.subsetOf(orig.keySet))
+    fx.foreach { case (id, t) =>
+      val o = orig(id).split(" ").iterator
+      val sub = t.split(" ").forall(tok => o.contains(tok))
+      assert(sub, s"doc $id: dedup output is not a subsequence of the original")
+    }
+  }
 }
