@@ -384,6 +384,25 @@ object ScaleBench {
       if (wanted("para_dedup")) runs("para_dedup") = timed("para_dedup") {
         graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text", " a ").count()
       }
+      // threshold (fuzzy) decontamination A/B — the join form pays the
+      // same two pair-set shuffles as decon_join plus the count agg;
+      // the Bloom-count form keeps the zero-corpus-shuffle shape, the
+      // probe merely loses its short-circuit (full count per row)
+      if (wanted("fuzzy_join")) runs("fuzzy_join") = timed("fuzzy_join") {
+        graft.operators.Dedup.decontaminateFuzzy(
+          corpus, bench, "doc_id", "text", 8, 0.5).count()
+      }
+      if (wanted("fuzzy_bloom")) runs("fuzzy_bloom") = timed("fuzzy_bloom") {
+        graft.operators.Dedup.decontaminateBloomFuzzy(
+          corpus, bench, "doc_id", "text", 8, 0.5).count()
+      }
+      // window-level ExactSubstr dedup at the replicated extreme: every
+      // window duplicates ~200× across replicas, so nearly every token
+      // of every non-first replica is excised — maximal bad-occurrence
+      // explode volume, the operator's worst case
+      if (wanted("window_dedup")) runs("window_dedup") = timed("window_dedup") {
+        graft.operators.Dedup.windowDedup(docs, "doc_id", "text", 8).count()
+      }
     }
 
     // ---- near-threshold banding recall (the round-6 verdict's gap:

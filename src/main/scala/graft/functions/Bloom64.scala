@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 
 /** Bloom filter over 64-bit keys with k independent 64-BIT hashes — the
   * replacement for `org.apache.spark.util.sketch.BloomFilter`, whose
@@ -82,19 +82,30 @@ final class Bloom64(val words: Array[Long], val numBits: Long, val k: Int)
     false
   }
 
-  /** Whole-array counting probe — how many elements hit the filter.
-    * The eval body of [[BloomCountContainExpr]]; no short-circuit (the
-    * fuzzy-decontamination threshold needs the full count), same
-    * unboxed loop as [[anyContain]]. */
-  def countContain(arr: ArrayData): Int = {
+  /** Whole-array THRESHOLD probe — does at least `minFrac` of the
+    * array hit the filter? The eval body of [[BloomFracContainExpr]].
+    * Decision-equivalent to counting every hit and comparing
+    * `hits >= n·minFrac` (the same double arithmetic the exact join
+    * form uses on its aggregated counts), but with two-sided early
+    * exit: return true the moment accumulated hits reach the
+    * threshold (hits only grow), false the moment even all-remaining-
+    * hits can't reach it (final hits ≤ hits + remaining). A clean doc
+    * usually exits within its first few misses; a contaminated one
+    * within its first `n·minFrac` probes — the full-count form
+    * measured ~2× the any-hit probe's corpus-pass cost at 10⁶ docs,
+    * and this restores most of that gap. */
+  def fracContain(arr: ArrayData, minFrac: Double): Boolean = {
     val n = arr.numElements()
-    var c = 0
+    val need = n * minFrac
+    var hits = 0
     var i = 0
     while (i < n) {
-      if (mightContain(arr.getLong(i))) c += 1
+      if (hits >= need) return true
+      if (hits + (n - i) < need) return false
+      if (mightContain(arr.getLong(i))) hits += 1
       i += 1
     }
-    c
+    hits >= need
   }
 
   /** In-place bit-OR merge; both sides must share (numBits, k). */
@@ -185,20 +196,21 @@ case class BloomAnyContainExpr(child: Expression, bf: Broadcast[Bloom64])
     copy(child = newChild)
 }
 
-/** `ARRAY<BIGINT>` → COUNT of elements hitting the broadcast
-  * [[Bloom64]] — the probe for threshold (fuzzy) decontamination
-  * ([[graft.operators.Dedup.decontaminateBloomFuzzy]]), where the drop
-  * decision needs the contaminated FRACTION of a document's shingles,
-  * not just any-hit. Same unboxed whole-stage-codegen shape as
-  * [[BloomAnyContainExpr]] (one monomorphic static call per row); no
-  * short-circuit by construction. False positives only INFLATE the
-  * count, so the one-sided error guarantee (no contaminated doc ever
-  * survives that the exact form would drop) carries over to any
-  * `hits/total >= minFrac` threshold. Null array yields null. */
-case class BloomCountContainExpr(child: Expression, bf: Broadcast[Bloom64])
-    extends UnaryExpression {
+/** `ARRAY<BIGINT>` → does at least `minFrac` of the array hit the
+  * broadcast [[Bloom64]]? The probe for threshold (fuzzy)
+  * decontamination ([[graft.operators.Dedup.decontaminateBloomFuzzy]]),
+  * where the drop decision needs the contaminated FRACTION of a
+  * document's distinct shingles, not just any-hit. Same unboxed
+  * whole-stage-codegen shape as [[BloomAnyContainExpr]] (one
+  * monomorphic static call per row), with the two-sided early exit
+  * documented on [[Bloom64.fracContain]]. False positives only INFLATE
+  * the hit count, so the one-sided error guarantee (no contaminated
+  * doc ever survives that the exact form would drop) carries over to
+  * any threshold. Null array yields null. */
+case class BloomFracContainExpr(child: Expression, bf: Broadcast[Bloom64],
+    minFrac: Double) extends UnaryExpression {
 
-  override def dataType: DataType = IntegerType
+  override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes() = {
     child.dataType match {
@@ -206,19 +218,19 @@ case class BloomCountContainExpr(child: Expression, bf: Broadcast[Bloom64])
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"BloomCountContain expects array<bigint>, got $other")
+          s"BloomFracContain expects array<bigint>, got $other")
     }
   }
 
   override def nullSafeEval(input: Any): Any =
-    bf.value.countContain(input.asInstanceOf[ArrayData])
+    bf.value.fracContain(input.asInstanceOf[ArrayData], minFrac)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bfRef = ctx.addReferenceObj("bloomBc", bf,
       classOf[Broadcast[Bloom64]].getName)
     val cls = classOf[Bloom64].getName
     nullSafeCodeGen(ctx, ev,
-      c => s"${ev.value} = (($cls) $bfRef.value()).countContain($c);")
+      c => s"${ev.value} = (($cls) $bfRef.value()).fracContain($c, $minFrac);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -336,18 +336,21 @@ object Dedup {
       textCol: String,
       shingleN: Int = 8): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
-    def keys(df: DataFrame) = df
+    // per-doc distinct is ROW-LOCAL (each doc is one row, so
+    // array_distinct ≡ the old shuffle-distinct over (id, s) pairs) —
+    // that drops a full shuffle of the exploded pair set; the
+    // repartition stays for scan parallelism (single-file fixture
+    // parquet = 1 task otherwise)
+    val pairs = docs
       .repartition(n, col(idCol))
       .select(col(idCol).as("id"),
-        explode(shingleHash64(col(textCol), shingleN)).as("s"))
-      .distinct()
-    // bench side only ever needs the distinct shingle-KEY set — going
-    // through keys() would shuffle (id, s) pairs and repartition by id
-    // first, two wasted shuffle rounds over every benchmark shingle
+        explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
+    // bench side only ever needs the distinct shingle-KEY set — a
+    // doc-id-keyed pair shuffle there would be two wasted rounds
     val benchKeys = bench
-      .select(explode(shingleHash64(col(textCol), shingleN)).as("s"))
+      .select(explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
       .distinct()
-    val contaminated = keys(docs).join(benchKeys, "s")
+    val contaminated = pairs.join(benchKeys, "s")
       .select(col("id").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
@@ -459,7 +462,14 @@ object Dedup {
       shingleN: Int = 8,
       minFrac: Double = 0.5): DataFrame = {
     require(minFrac > 0, s"minFrac must be positive, got $minFrac")
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    // repartition BEFORE the explode: the fixture tables are single
+    // parquet files (scan = 1 task under default maxPartitionBytes),
+    // and without this the whole explode+join+count pipeline runs on
+    // one core — measured 67 s vs 9.7 s for the repartitioned l17 form
+    // at 10⁶ docs (ScaleBench fuzzy_join, BENCH_LOCAL round-10)
     val pairs = docs
+      .repartition(n, col(idCol))
       .select(col(idCol).as("id"),
         explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
     val benchKeys = bench
@@ -512,11 +522,15 @@ object Dedup {
     val bfBc = spark.sparkContext.broadcast(bf)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sh = array_distinct(shingleHash64(col(textCol), shingleN))
-    val hits = ColumnBridge.column(graft.functions.BloomCountContainExpr(
-      ColumnBridge.expression(sh), bfBc))
-    // null text ⇒ null count ⇒ null predicate; coalesce keeps those
+    // threshold decided INSIDE the probe (BloomFracContainExpr): the
+    // full-count probe + external size comparison measured ~2× the
+    // any-hit probe's corpus pass at 10⁶ docs; the fused form's
+    // two-sided early exit restores most of that (Bloom64.fracContain)
+    val hit = ColumnBridge.column(graft.functions.BloomFracContainExpr(
+      ColumnBridge.expression(sh), bfBc, minFrac))
+    // null text ⇒ null shingles ⇒ null predicate; coalesce keeps those
     // docs, matching the join form (no shingles ⇒ never contaminated)
-    docs.filter(!coalesce(hits >= size(sh) * minFrac, lit(false)))
+    docs.filter(!coalesce(hit, lit(false)))
   }
 
   /** Window-level exact substring dedup with document RECONSTRUCTION —
@@ -542,18 +556,24 @@ object Dedup {
     * exact doc-dedup — consistent at the boundary.
     *
     * Scale shape, all hash shuffles, no windows: window fingerprints
-    * are native [[shingleHash64]] (one codegen pass, no shingle
+    * are native [[shingleHash64]] over the fused STRING path (one
+    * codegen pass, no regex split, no token array, no shingle
     * strings); `min(struct(id, pos))` per fingerprint is a partially-
     * aggregating groupBy (map-side combine ⇒ the shuffle carries one
     * row per distinct window per partition, so a 1000×-duplicated
     * boilerplate sentence arrives pre-combined, not as a hot key);
     * non-first occurrences re-join the per-fingerprint minimum on the
-    * same key (AQE reuses the partitioning); covered positions explode
-    * k-wide from each bad occurrence (bounded ×k blowup on the BAD
-    * subset only, not the corpus); one anti-join on `(id, tpos)` and a
-    * `groupBy(id)` `array_sort(collect_list)` rebuild — the l39
-    * reconstruction shape. Work tracks corpus tokens + k·|duplicated
-    * occurrences|, never O(n²).
+    * same key (AQE reuses the partitioning) and collapse to ONE sorted
+    * array of bad window STARTS per document. Excision + rebuild are
+    * then ROW-LOCAL in the native [[graft.functions.ExciseTokensExpr]]
+    * (two-pointer sweep over the sorted starts, O(bytes+|starts|) per
+    * row): the operator never explodes covered positions, never
+    * anti-joins per token, never `collect_list`s the corpus tokens —
+    * the first shape paid three corpus-scale shuffles for exactly
+    * that and measured 50.5 s at 10⁶ docs / 200× duplication; this
+    * one ships an int per bad occurrence and rebuilds in the scan.
+    * Work tracks corpus tokens + |duplicated occurrences|, never
+    * O(n²).
     *
     * Deterministic string math end to end (FNV window fingerprints are
     * only ever compared for equality; the oracle groups on the window
@@ -567,24 +587,25 @@ object Dedup {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs
       .repartition(n, col(idCol))
-      .select(col(idCol), split(col(textCol), " ").as("toks"))
-    val wins = base.select(col(idCol), size(col("toks")).as("nt"),
-      posexplode(shingleHash64(col("toks"), k)).as(Seq("pos", "w")))
+      .select(col(idCol), col(textCol))
+    val wins = base.select(col(idCol),
+      posexplode(shingleHash64(col(textCol), k)).as(Seq("pos", "w")))
     val first = wins.groupBy(col("w"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"))
-    val bad = wins.join(first, "w")
+    val badStarts = wins.join(first, "w")
       .where(struct(col(idCol), col("pos")) =!= col("f"))
-      // short docs: the single partial window spans nt < k tokens
-      .select(col(idCol),
-        explode(sequence(col("pos"),
-          least(col("pos") + (k - 1), col("nt") - 1))).as("tpos"))
-    val toks = base
-      .select(col(idCol), posexplode(col("toks")).as(Seq("tpos", "tok")))
-    toks.join(bad, Seq(idCol, "tpos"), "left_anti")
       .groupBy(col(idCol))
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
-          x => x("tok"))).as("text_dedup"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rebuilt = ColumnBridge.column(graft.functions.ExciseTokensExpr(
+      ColumnBridge.expression(col(textCol)),
+      ColumnBridge.expression(coalesce(col("starts"), lit(Array.empty[Int]))),
+      k))
+    base.join(badStarts, Seq(idCol), "left")
+      .select(col(idCol), rebuilt.as("text_dedup"))
+      // null = every token excised (or null text): the doc drops, the
+      // same semantics the join-form rebuild had implicitly
+      .where(col("text_dedup").isNotNull)
   }
 
   /** Paragraph-level exact dedup with document RECONSTRUCTION — the
