@@ -255,6 +255,61 @@ def jl_project_py(vec, mat):                     # Similarity.jlProject
     return out
 
 
+def shingle_hashes_py(text, n=8):        # ShingleHash64Expr, keepPartial
+    toks = text.split(" ")               # limit=-1 semantics, empties kept
+    th = [fnv_units(t.encode("utf-8")) for t in toks]
+    ln = len(th)
+    n_win = ln - n + 1 if ln >= n else 1
+    out = []
+    for p in range(n_win):
+        h = GOLD                          # WindowSeed
+        for j in range(min(n, ln - p)):
+            h = ((h ^ th[p + j]) * FNV_P) & M64
+        out.append(h)
+    return out
+
+
+def splitmix_mix(x):                     # Bloom64.mix (splitmix64 finalizer)
+    z = (x + GOLD) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return (z ^ (z >> 31)) & M64
+
+
+BLOOM_SEEDS = [splitmix_mix((0x5DEECE66D + i * GOLD) & M64) for i in range(64)]
+
+
+def l38_py(docs, shingle_n=8, fpp=1e-6):  # Dedup.decontaminateBloom
+    # the whole construction is deterministic (fixed per-slot seeds,
+    # OR-fold filter build), so the bloom form cross-checks exactly —
+    # including any realized false positives, which both engines must
+    # agree on bit-for-bit
+    bench_keys = set()
+    for i, t in docs:
+        if i % 50 == 0 and t is not None:
+            bench_keys.update(shingle_hashes_py(t, shingle_n))
+    n_keys = max(1, len(bench_keys))
+    m = max(64, math.ceil(-n_keys * math.log(fpp) / (math.log(2) ** 2)))
+    # JVM math.round = floor(x + 0.5); python round() half-to-even differs
+    k = min(64, max(1, int(math.floor(m / n_keys * math.log(2) + 0.5))))
+    mask = (1 << (m - 1).bit_length()) - 1  # next pow2 >= m, as a mask
+    bits = set()
+    for x in bench_keys:
+        for i in range(k):
+            bits.add(splitmix_mix(x ^ BLOOM_SEEDS[i]) & mask)
+    def might(x):
+        return all((splitmix_mix(x ^ BLOOM_SEEDS[i]) & mask) in bits
+                   for i in range(k))
+    out = []
+    for i, t in docs:
+        if i % 50 == 0:
+            continue
+        sh = [] if t is None else shingle_hashes_py(t, shingle_n)
+        if not any(might(x) for x in sh):
+            out.append((i,))
+    return out
+
+
 docs = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
 crosscheck("l9_fingerprint", ["doc_id", "fp"],
            [(i, fingerprint_py(t)) for i, t in docs])
@@ -274,8 +329,9 @@ embs = con.execute(
 jl_mat = jl_matrix_py()
 crosscheck("l34_jl_project", ["vec_id", "proj"],
            [(i, jl_project_py(v, jl_mat)) for i, v in embs])
+crosscheck("l38_bloom_decontaminate", ["doc_id"], l38_py(docs))
 
-print(f"PASS {len(ok)}/{len(oracle) + 5}: {' '.join(ok)}")
+print(f"PASS {len(ok)}/{len(oracle) + 6}: {' '.join(ok)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
