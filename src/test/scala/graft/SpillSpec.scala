@@ -52,8 +52,12 @@ class SpillSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
 
   test("sort-based agg fallback + forced shuffle spills leave results bit-identical") {
+    // l39/l41: the reconstruction tier — paragraphDedup's rebuild and
+    // windowDedup's bad-starts collection both ride collect_list
+    // through ObjectHashAggregate, and l41 adds the native excise
+    // expression downstream of the degraded aggregate
     val names = Seq("l13_lsh_topk", "l14_ivf_topk", "d7_collect_nested",
-      "h2_udaf_sumsquares")
+      "h2_udaf_sumsquares", "l39_paragraph_dedup", "l41_window_dedup")
     val normal = names.map(n => n -> rows(n)).toMap
     // the degraded config must actually reach an ObjectHashAggregate —
     // otherwise the fallback threshold is a no-op and this spec proves
