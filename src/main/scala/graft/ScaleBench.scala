@@ -403,6 +403,25 @@ object ScaleBench {
       if (wanted("window_dedup")) runs("window_dedup") = timed("window_dedup") {
         graft.operators.Dedup.windowDedup(docs, "doc_id", "text", 8).count()
       }
+      // persisted text-dedup band index: build over 99% of the corpus,
+      // probe with the remaining 1% (the daily-ingest serving shape),
+      // append that batch — the text analog of index_build/index_append
+      if (wanted("dix_build") || wanted("dix_query") || wanted("dix_append")) {
+        val dixDir = s"/tmp/graft_dix_scale_${n}"
+        val corpus99 = docs.filter(pmod(col("doc_id"), lit(100L)) =!= 0)
+        val batch1 = docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+        if (wanted("dix_build")) runs("dix_build") = timed("dix_build") {
+          graft.operators.DedupIndex.build(corpus99, "doc_id", "text", dixDir)
+          spark.read.parquet(s"$dixDir/bands").count()
+        }
+        if (wanted("dix_query")) runs("dix_query") = timed("dix_query") {
+          graft.operators.DedupIndex.query(batch1, "doc_id", "text", dixDir).count()
+        }
+        if (wanted("dix_append")) runs("dix_append") = timed("dix_append") {
+          graft.operators.DedupIndex.append(batch1, "doc_id", "text", dixDir)
+          0L
+        }
+      }
     }
 
     // ---- near-threshold banding recall (the round-6 verdict's gap:

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash/LSH dedup index for the TEXT tier — the analog of
+  * the ANN index tier (l29–l32) for near-duplicate detection: at 100 TB
+  * the corpus's band table IS the product, and each day's ingest batch
+  * probes it instead of re-banding the whole corpus. The batch
+  * near-dup queries (l2/l26/l28) cover the corpus×corpus regime; this
+  * covers the INCREMENTAL regime — |batch| ≪ |corpus|, the shape a
+  * growing deployment pays daily.
+  *
+  * Layout under `dir`:
+  *   - `bands/` — one row per (doc, band): `(band INT, bkey LONG,
+  *     doc_id LONG, sig ARRAY<LONG>)`, PARTITIONED BY `bprefix =
+  *     pmod(bkey, 256)`. The signature rides the band row (the l6
+  *     lesson: carry the comparison payload on the band shuffle —
+  *     joining a separate signature table would re-shuffle the corpus
+  *     per query); the prefix directories give the serving path
+  *     partition PRUNING — a small probe batch touches only the
+  *     prefixes its own band keys name, not the whole table.
+  *   - `meta/` — one row `(k, bands, shingle_n)`, so the index is
+  *     self-describing and query/append cannot silently mix
+  *     parameterizations.
+  *
+  * Determinism: signatures are seeded splitmix64 minima over FNV
+  * shingle hashes ([[graft.functions.MinHashSigExpr]]) and band keys
+  * are FNV folds ([[graft.functions.BandKeysExpr]]) — the whole
+  * index, and therefore the query's survivor set, is bit-deterministic
+  * and cross-checked by an independent Python reimplementation
+  * (tools/check_oracle.py, l42/l43).
+  *
+  * Drop rule (query): an incoming doc is a near-duplicate iff some
+  * INDEXED doc with a different id shares ≥ 1 band key AND the
+  * signature agreement fraction ≥ `threshold` — exactly
+  * [[Dedup.minhashLsh]]'s pair rule restricted to (probe × index)
+  * pairs. The self-id guard makes re-querying an already-appended
+  * batch meaningful (a doc never suppresses itself). */
+object DedupIndex {
+
+  /** Build the band table from scratch (overwrite). */
+  def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 8): Unit = {
+    require(k % bands == 0, s"signature length k=$k must be a multiple of bands=$bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, overwrite = true)
+  }
+
+  /** Append a new batch's band rows to an existing index (reads the
+    * parameterization from `meta/` — a batch can never be banded with
+    * different constants than the corpus it joins). Post-append the
+    * index is row-identical to a fresh build over the union, because
+    * band rows are row-local per doc — no global state to refresh
+    * (DedupIndexSpec pins the equivalence). */
+  def append(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String): Unit = {
+    val (k, bands, shingleN) = meta(docs, dir)
+    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, overwrite = false)
+  }
+
+  /** Survivors of `incoming` against the indexed corpus: drops every
+    * doc with an indexed near-duplicate (shared band + agreement ≥
+    * `threshold`). The corpus side is a partition-pruned scan of the
+    * probe's own band prefixes; only the batch is ever re-banded. */
+  def query(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = incoming.sparkSession
+    val (k, bands, shingleN) = meta(incoming, dir)
+    val n = spark.sparkContext.defaultParallelism
+    // materialize the probe's band rows once: the prefix-pruning list
+    // below executes the frame, and without this the signature pass
+    // would run again for the join (the l31/l35 probe-side lesson)
+    val probe = graft.Checkpoints.rotate("dedup_index_probe",
+      incoming.repartition(n, col(idCol))
+        .select(col(idCol).as("__qid"),
+          Dedup.minhashSignature(col(textCol), k, shingleN).as("__qsig"))
+        .select(col("__qid"), col("__qsig"),
+          posexplode(Dedup.lshBandKeys(col("__qsig"), bands, k / bands))
+            .as(Seq("band", "bkey")))
+        .withColumn("bprefix", pmod(col("bkey"), lit(256L)).cast("int")))
+    // ≤ 256 distinct values by construction — driver-bounded
+    val prefixes = probe.select(col("bprefix")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val index = spark.read.parquet(s"$dir/bands")
+      .where(col("bprefix").isin(prefixes: _*))
+    val hit = probe.join(index, Seq("bprefix", "band", "bkey"))
+      .where(col("doc_id") =!= col("__qid"))
+      .where(Dedup.estJaccard(col("__qsig"), col("sig"), k) >= threshold)
+      .select(col("__qid").as(idCol)).distinct()
+    incoming.join(hit, Seq(idCol), "left_anti")
+  }
+
+  private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
+    val m = df.sparkSession.read.parquet(s"$dir/meta").collect()(0)
+    (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))
+  }
+
+  private def writeBands(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleN: Int,
+      k: Int,
+      bands: Int,
+      overwrite: Boolean): Unit = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    docs
+      // explicit-count repartition: signature compute must spread over
+      // the cores even when the input is one parquet row group
+      .repartition(n, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        Dedup.minhashSignature(col(textCol), k, shingleN).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(Dedup.lshBandKeys(col("sig"), bands, k / bands))
+          .as(Seq("band", "bkey")))
+      .withColumn("bprefix", pmod(col("bkey"), lit(256L)).cast("int"))
+      // one writer per prefix directory: without this every task writes
+      // into every partition dir — 256·tasks small files per build
+      .repartition(col("bprefix"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("bprefix").parquet(s"$dir/bands")
+  }
+}

@@ -1175,6 +1175,63 @@ object LlmQueries {
             SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
             FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Cached text-dedup band indexes (same lifecycle as [[annIndex]]):
+    * `dedupIndex` = fresh build over the even-id corpus; `dedupIndexAppended`
+    * = build over doc_id%4==0 then APPEND doc_id%4==2 — the same corpus
+    * reached incrementally, so l43 ≡ l42 row-identical is the append
+    * law, checked at the VALUE level by the cross-oracle. */
+  private val dedupIndexBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupIndex(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    dedupIndexBuilt.computeIfAbsent("b:" + dir, _ => {
+      val out = annIndexRoot.resolve("dix_" + Integer.toHexString(dir.hashCode)).toString
+      DedupIndex.build(
+        Tables(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", out)
+      out
+    })
+  private def dedupIndexAppended(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    dedupIndexBuilt.computeIfAbsent("a:" + dir, _ => {
+      val out = annIndexRoot.resolve("dixa_" + Integer.toHexString(dir.hashCode)).toString
+      val docs = Tables(s, dir, "documents")
+      DedupIndex.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", out)
+      DedupIndex.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", out)
+      out
+    })
+
+  /** L: incremental near-dup dedup from the PERSISTED band index
+    * ([[DedupIndex]] — the text tier's l30/l31 analog): the even-id
+    * half of `documents` is the indexed corpus, the odd-id half is the
+    * ingest batch; survivors are batch docs with no indexed
+    * near-duplicate (shared LSH band + signature agreement ≥ 0.5 —
+    * exactly l2's pair rule restricted to probe×index). Only the batch
+    * is re-banded; the corpus side is a partition-pruned scan of the
+    * probe's own band prefixes. Deterministic end to end → value-checked
+    * by the Python cross-oracle (tools/check_oracle.py). */
+  val l42DedupIndexQuery = Q(
+    "l42_dedup_index_query",
+    (s, dir) => DedupIndex.query(
+        Tables(s, dir, "documents").filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", dedupIndex(s, dir))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** L: the same ingest query against an INCREMENTALLY BUILT index
+    * (build doc_id%4==0, then append doc_id%4==2 — together the same
+    * even-id corpus as l42's fresh build). Band rows are row-local per
+    * doc, so append ≡ rebuild with no global refresh; the cross-oracle
+    * checks l43 against the same expected survivor set as l42, making
+    * the append law a VALUE check, not just a spec assertion. */
+  val l43DedupIndexAppend = Q(
+    "l43_dedup_index_append",
+    (s, dir) => DedupIndex.query(
+        Tables(s, dir, "documents").filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", dedupIndexAppended(s, dir))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id")),
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1184,5 +1241,6 @@ object LlmQueries {
     l26DedupGroups, l27Pipeline, l28PipelineNearDup, l29AnnIndexBuild,
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
-    l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup)
+    l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
+    l42DedupIndexQuery, l43DedupIndexAppend)
 }

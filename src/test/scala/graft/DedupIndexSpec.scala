@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Dedup, DedupIndex, LlmQueries}
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("index query equals the batch pair rule restricted to probe × index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dix_spec").toString
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 =!= 0)
+    DedupIndex.build(corpus, "doc_id", "text", dir)
+    val got = DedupIndex.query(incoming, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // reference semantics: the full-corpus minhashLsh pair set (same
+    // constants), restricted to (odd, even) pairs — an odd doc with any
+    // even partner at est_jaccard >= 0.5 must drop, everything else
+    // must survive
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (i, e) if i % 2 != 0 && e % 2 == 0 => i }.toSet
+    val all = incoming.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "fixture must exercise the drop rule")
+    assert(got == all -- dropped,
+      s"extra=${(got -- (all -- dropped)).take(5)} missing=${((all -- dropped) -- got).take(5)}")
+    // deterministic (seeded signatures, pure probes)
+    val again = DedupIndex.query(incoming, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("append ≡ fresh rebuild; self-guard; prefix pruning reaches the scan") {
+    import spark.implicits._
+    // l43 (build %4==0 then append %4==2) must be row-identical to l42
+    // (fresh build over %2==0): band rows are row-local per doc, no
+    // global state to refresh
+    val fresh = LlmQueries.l42DedupIndexQuery.run(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val appended = LlmQueries.l43DedupIndexAppend.run(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fresh == appended, "appended index diverged from fresh rebuild")
+    // self-guard: querying the indexed corpus against its own index
+    // never drops a doc for matching ITSELF — docs without a distinct
+    // near-dup partner all survive
+    val dir = java.nio.file.Files.createTempDirectory("dix_self").toString
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    DedupIndex.build(corpus, "doc_id", "text", dir)
+    val survivors = DedupIndex.query(corpus, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val evenPairs = Dedup.minhashLsh(corpus, "doc_id", "text")
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val evenAll = corpus.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == evenAll -- evenPairs,
+      "self-query must drop exactly the docs with a DISTINCT near-dup partner")
+    // the serving claim: the probe's band prefixes reach the index scan
+    // as partition filters (directory pruning, not a full-table scan)
+    val tiny = docs.filter($"doc_id" % 2 =!= 0).limit(3)
+    val plan = DedupIndex.query(tiny, "doc_id", "text", dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bprefix"),
+      s"expected bprefix partition filters in the index scan:\n${plan.take(1500)}")
+  }
+}

@@ -206,6 +206,40 @@ def l3_py(docs, max_hamming=12):                 # Dedup.simhashPairs
     return [r for r in rows if r[2] <= max_hamming]
 
 
+def l42_py(docs, threshold=0.5):         # DedupIndex.query (evens indexed)
+    # an odd-id (batch) doc drops iff some even-id (indexed) doc shares
+    # >= 1 LSH band key and agrees on >= threshold of signature slots —
+    # Dedup.minhashLsh's pair rule restricted to probe x index
+    sigs = {i: minhash_sig_py(t.split(" ")) for i, t in docs if t is not None}
+    buckets = {}
+    for i, sig in sigs.items():
+        if i % 2 == 0:
+            for band, key in enumerate(band_keys_py(sig)):
+                buckets.setdefault((band, key), []).append(i)
+    out = []
+    for i, t in docs:
+        if i % 2 == 0:
+            continue
+        dropped = False
+        if t is not None:
+            sig = sigs[i]
+            seen = set()
+            for band, key in enumerate(band_keys_py(sig)):
+                for e in buckets.get((band, key), []):
+                    if e in seen:
+                        continue
+                    seen.add(e)
+                    agree = sum(1 for x, y in zip(sig, sigs[e]) if x == y)
+                    if agree / 32.0 >= threshold:
+                        dropped = True
+                        break
+                if dropped:
+                    break
+        if not dropped:
+            out.append((i,))
+    return out
+
+
 def crosscheck(name, cols, expected_rows):
     try:
         got_rel = con.execute(
@@ -330,8 +364,13 @@ jl_mat = jl_matrix_py()
 crosscheck("l34_jl_project", ["vec_id", "proj"],
            [(i, jl_project_py(v, jl_mat)) for i, v in embs])
 crosscheck("l38_bloom_decontaminate", ["doc_id"], l38_py(docs))
+l42 = l42_py(docs)
+crosscheck("l42_dedup_index_query", ["doc_id"], l42)
+# the appended index covers the same even-id corpus -> same survivors:
+# the append law checked at the value level
+crosscheck("l43_dedup_index_append", ["doc_id"], l42)
 
-print(f"PASS {len(ok)}/{len(oracle) + 6}: {' '.join(ok)}")
+print(f"PASS {len(ok)}/{len(oracle) + 8}: {' '.join(ok)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
