@@ -727,6 +727,39 @@ object Dedup {
       maxIter: Int = 15): DataFrame =
     connectedComponentsStars(pairs, aCol, bCol, maxIter)
 
+  /** Near-dup group collapse with QUALITY-AWARE keeper selection — the
+    * RefinedWeb-style policy: instead of the min-id representative the
+    * batch pipelines keep (l27/l28), each near-duplicate component
+    * keeps its highest-QUALITY member (here: token count, ties to the
+    * smaller id — any deterministic row-local score slots in the same
+    * way). Emits one row per component: `(comp, keeper_id, n_members)`,
+    * singletons included as their own component of one.
+    *
+    * Scale shape: the pair graph and closure are [[ngramJaccard]] +
+    * [[connectedComponents]] as-is; the selection adds ONE left join of
+    * the corpus against the (component-member-sized) label table and
+    * ONE `min(struct(-q, id))` groupBy — a partially-aggregating
+    * argmax, so the shuffle carries one candidate per partition per
+    * component, not the membership. Deterministic integer math ⇒ the
+    * whole operator extends l26's recursive-CTE oracle with a windowed
+    * argmax and stays hash-checked. */
+  def collapseKeepBest(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val pairs = ngramJaccard(docs, idCol, textCol)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    docs
+      .select(col(idCol), size(split(col(textCol), " ")).as("q"))
+      .join(comps, Seq(idCol), "left")
+      .withColumn("comp", coalesce(col("comp"), col(idCol)))
+      .groupBy(col("comp"))
+      .agg(min(struct((-col("q")).as("nq"), col(idCol).as("kid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp"), col("best")("kid").as("keeper_id"), col("n_members"))
+  }
+
   /** Min-label propagation to fixpoint — the diameter-round reference
     * implementation of [[connectedComponents]]. Each round joins the
     * label table to the symmetrized edge list, takes the min neighbor

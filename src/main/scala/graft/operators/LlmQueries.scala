@@ -1232,6 +1232,52 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** L: near-dup group collapse with a QUALITY keeper
+    * ([[Dedup.collapseKeepBest]] — RefinedWeb's "keep the best copy"
+    * policy vs l26/l28's min-id convention): every near-dup component
+    * keeps its longest member (token count, ties to the smaller id),
+    * singletons keep themselves. Extends l26's recursive-CTE oracle
+    * with a windowed argmax — deterministic integer math end to end,
+    * fully hash-checked. */
+  val l44QualityKeeper = Q(
+    "l44_quality_keeper",
+    (s, dir) => Dedup.collapseKeepBest(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("comp")),
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 2, 1)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+                           FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT id_a, id_b FROM inter
+                           JOIN sizes na ON id_a = na.doc_id
+                           JOIN sizes nb ON id_b = nb.doc_id
+                           WHERE ni * 1.0 / (na.n + nb.n - ni) >= 0.5),
+                 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                           UNION
+                           SELECT id_b AS u, id_a AS v FROM pairs),
+                 reach AS (SELECT u AS id, u AS comp FROM edges
+                           UNION
+                           SELECT e.v AS id, r.comp
+                           FROM reach r JOIN edges e ON e.u = r.id),
+                 comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+                 allc AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+                                 len(string_split(d.text, ' ')) AS q
+                          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+                 rk AS (SELECT comp, doc_id,
+                               row_number() OVER (PARTITION BY comp ORDER BY q DESC, doc_id) AS rn,
+                               count(*) OVER (PARTITION BY comp) AS n_members
+                        FROM allc)
+            SELECT comp, doc_id AS keeper_id, n_members FROM rk WHERE rn = 1
+            ORDER BY comp"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1242,5 +1288,5 @@ object LlmQueries {
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
-    l42DedupIndexQuery, l43DedupIndexAppend)
+    l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper)
 }

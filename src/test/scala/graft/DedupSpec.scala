@@ -510,6 +510,34 @@ class DedupSpec extends SparkSpec {
       maxFilterBytes = 1024)) == exact)
   }
 
+  test("collapseKeepBest: longest member wins, ties to min id, singletons kept") {
+    import spark.implicits._
+    // 10–11 near-dup (3-gram jaccard 3/4), 11 longer -> keeper; 20–21
+    // identical -> tie, min id; 12 singleton
+    val t = Seq((10L, "w1 w2 w3 w4 w5"), (11L, "w1 w2 w3 w4 w5 w6"),
+      (12L, "z1 z2 z3"), (20L, "p q r s"), (21L, "p q r s")).toDF("doc_id", "text")
+    val got = Dedup.collapseKeepBest(t, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 11L, 2L), (12L, 12L, 1L), (20L, 20L, 2L)))
+    // fixture laws: components partition the corpus (sum of members =
+    // corpus size) and every keeper is its component's (max q, min id)
+    val fx = Dedup.collapseKeepBest(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fx.map(_._3).sum == docs.count())
+    val comps = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, "doc_id", "text"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = docs.select($"doc_id", size(split($"text", " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byComp = q.keys.groupBy(id => comps.getOrElse(id, id))
+    fx.foreach { case (comp, keeper, n) =>
+      val members = byComp(comp)
+      assert(members.size.toLong == n, s"comp $comp member count")
+      val want = members.minBy(id => (-q(id), id))
+      assert(keeper == want, s"comp $comp: keeper $keeper, want $want")
+    }
+  }
+
   test("windowDedup: owner keeps its span, duplicates excised, reconstruction exact") {
     import spark.implicits._
     def run(rows: Seq[(Long, String)], k: Int = 8): Map[Long, String] =
