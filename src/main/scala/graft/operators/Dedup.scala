@@ -588,8 +588,13 @@ object Dedup {
     val base = docs
       .repartition(n, col(idCol))
       .select(col(idCol), col(textCol))
-    val wins = base.select(col(idCol),
-      posexplode(shingleHash64(col(textCol), k)).as(Seq("pos", "w")))
+    // materialized once: wins feeds BOTH the per-fingerprint minimum
+    // and the non-first-occurrence join — unchecked, each reference
+    // re-scans and re-fingerprints the whole corpus (the plan audit
+    // showed 3 corpus scans; at 100 TB two of them are redundant reads)
+    val wins = graft.Checkpoints.rotate("window_dedup_wins",
+      base.select(col(idCol),
+        posexplode(shingleHash64(col(textCol), k)).as(Seq("pos", "w"))))
     val first = wins.groupBy(col("w"))
       .agg(min(struct(col(idCol), col("pos"))).as("f"))
     val badStarts = wins.join(first, "w")

@@ -1278,6 +1278,26 @@ object LlmQueries {
             SELECT comp, doc_id AS keeper_id, n_members FROM rk WHERE rn = 1
             ORDER BY comp"""))
 
+  /** L: corpus-trained bigram LM score per doc
+    * ([[TextAnalysis.bigramLogProb]] — the CCNet-style model-based
+    * quality signal, closed over its own corpus so fully
+    * deterministic). Exact integer counts + one division + one ln per
+    * distinct bigram ⇒ DuckDB-oracled at 6dp canonicalization. */
+  val l45BigramLogProb = Q(
+    "l45_lm_logprob",
+    (s, dir) => TextAnalysis.bigramLogProb(
+        Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+                 bi AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+                               unnest(tk[2:len(tk)]) AS w2 FROM t),
+                 c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+                 c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+                 sc AS (SELECT doc_id, ln(c2.c2 * 1.0 / c1.c1) AS lp
+                        FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+            SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logprob
+            FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1288,5 +1308,5 @@ object LlmQueries {
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
-    l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper)
+    l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb)
 }

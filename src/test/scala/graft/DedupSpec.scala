@@ -510,6 +510,25 @@ class DedupSpec extends SparkSpec {
       maxFilterBytes = 1024)) == exact)
   }
 
+  test("bigramLogProb: hand-computed MLE scores, short docs absent, scores never positive") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // corpus counts: C2(a,b)=3 C2(b,a)=1 C2(b,c)=1; C1(a)=3 C1(b)=2
+    val t = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(t, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L), "single-token docs have no bigrams")
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - math.log(0.5) / 3) < 1e-12)
+    assert(math.abs(got(2L)._2 - math.log(0.5) / 2) < 1e-12)
+    // fixture law: MLE probabilities are <= 1, so every score <= 0;
+    // every multi-token doc present exactly once
+    val fx = TextAnalysis.bigramLogProb(docs, "doc_id", "text").collect()
+    assert(fx.nonEmpty && fx.forall(_.getDouble(2) <= 1e-12))
+    val multi = docs.filter(size(split($"text", " ")) >= 2).count()
+    assert(fx.length.toLong == multi)
+  }
+
   test("collapseKeepBest: longest member wins, ties to min id, singletons kept") {
     import spark.implicits._
     // 10–11 near-dup (3-gram jaccard 3/4), 11 longer -> keeper; 20–21
