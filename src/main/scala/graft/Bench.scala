@@ -70,6 +70,7 @@ object Bench {
     "l34_jl_project",       // seeded sparse JL projection 64→16 (row-local)
     "l36_pack_sequences",   // token-budget sequence packing (sharded windows)
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
+    "l45_lm_logprob",       // corpus-trained bigram LM score (vocab aggs + model join)
     "l37_temperature_sample", // sqrt-temperature mixture quotas (distributed rank)
     "l39_paragraph_dedup",  // paragraph dedup + doc reconstruction (2 shuffles)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus

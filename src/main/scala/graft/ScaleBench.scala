@@ -403,6 +403,11 @@ object ScaleBench {
       if (wanted("window_dedup")) runs("window_dedup") = timed("window_dedup") {
         graft.operators.Dedup.windowDedup(docs, "doc_id", "text", 8).count()
       }
+      // corpus-trained bigram LM scoring: the vocab count aggs + the
+      // model join back over the full bigram stream (43M bigrams at 10⁶)
+      if (wanted("lm_logprob")) runs("lm_logprob") = timed("lm_logprob") {
+        graft.operators.TextAnalysis.bigramLogProb(docs, "doc_id", "text").count()
+      }
       // persisted text-dedup band index: build over 99% of the corpus,
       // probe with the remaining 1% (the daily-ingest serving shape),
       // append that batch — the text analog of index_build/index_append

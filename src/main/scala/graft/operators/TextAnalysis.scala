@@ -199,15 +199,26 @@ object TextAnalysis {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val t = split(col(textCol), " ")
+    // count/join keys are 64-bit fingerprints, not token strings — the
+    // bigram stream (43M rows at 10⁶ docs) is every shuffle's payload,
+    // and fixed 8-byte keys beat variable strings for realistic
+    // vocabularies (measured NEUTRAL on this fixture's 2-5-char
+    // synthetic tokens, 42.2 vs 41.5 s at 10⁶ — the win scales with
+    // token length). Same fingerprint trade as every shingle path:
+    // ~vocab²/2⁶⁴ collision odds, and the DuckDB oracle compares the
+    // REAL string model so a collision would surface as a hash
+    // mismatch at fixture scale.
     val bi = docs.repartition(n, col(idCol))
       .select(col(idCol),
         explode(arrays_zip(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
           .as("bg"))
-      .select(col(idCol), col("bg")("0").as("w1"), col("bg")("1").as("w2"))
-    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col(idCol),
+        xxhash64(col("bg")("0")).as("h1"),
+        xxhash64(col("bg")("0"), col("bg")("1")).as("h12"))
+    val c2 = bi.groupBy(col("h12")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("h12")).join(c1, Seq("h1"))
       .select(col(idCol), log(col("c2") / col("c1")).as("lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logprob"))
