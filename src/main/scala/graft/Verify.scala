@@ -19,7 +19,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=name1,name2 narrows the dump for local iteration
+    // (same contract as Bench); the full oracle_sql.json is always
+    // written, so check_oracle.py still compares every query — filtered
+    // runs rely on the other dumps being current in outDir.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

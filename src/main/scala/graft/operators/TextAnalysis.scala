@@ -188,23 +188,29 @@ object TextAnalysis {
     *
     * Scale shape: bigrams come from `arrays_zip(slice, slice)` —
     * ordinary codegen'd expressions, NOT higher-order lambdas (the
-    * round-9 interpreted-HOF trap); the two count tables are map-side-
-    * combined aggregations no wider than the corpus vocabulary; the
-    * model join back onto the bigram stream is hash-partitioned on
-    * token keys (a stopword bigram is a hot key on the probe side —
-    * AQE's skew-join split is the guard, the model side arrives
-    * pre-combined). Exact integer counts, one double division and one
-    * `ln` per distinct bigram — engine-exact at the oracle's 6dp
-    * canonicalization. */
+    * round-9 interpreted-HOF trap). The corpus-scale bigram stream
+    * crosses the wire ONCE: the first aggregation collapses it to
+    * per-doc distinct-bigram counts `(id, bigram) → c` with map-side
+    * combine, and every later stage — the two model count tables, the
+    * model self-join, the scored probe join — runs at distinct-bigram
+    * or vocabulary cardinality. All three consumers of that first
+    * aggregate hang off the SAME exchange subtree, so Spark's
+    * ReuseExchange executes the explode + shuffle map side once. The
+    * per-doc average over occurrences is recovered exactly as the
+    * count-weighted average over distinct bigrams (Σc·lp / Σc). A
+    * stopword bigram is a hot key on the probe side — AQE's skew-join
+    * split is the guard, the model side arrives pre-combined. Exact
+    * integer counts, one double division and one `ln` per distinct
+    * bigram — engine-exact at the oracle's 6dp canonicalization. */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val t = split(col(textCol), " ")
-    // count/join keys are 64-bit fingerprints, not token strings — the
-    // bigram stream (43M rows at 10⁶ docs) is every shuffle's payload,
-    // and fixed 8-byte keys beat variable strings for realistic
+    // count/join keys are 64-bit fingerprints, not token strings —
+    // fixed 8-byte keys beat variable strings for realistic
     // vocabularies (measured NEUTRAL on this fixture's 2-5-char
-    // synthetic tokens, 42.2 vs 41.5 s at 10⁶ — the win scales with
-    // token length). Same fingerprint trade as every shingle path:
+    // synthetic tokens on the pre-collapse shape, 42.2 vs 41.5 s at
+    // 10⁶ — the win scales with token length). Same fingerprint trade
+    // as every shingle path:
     // ~vocab²/2⁶⁴ collision odds, and the DuckDB oracle compares the
     // REAL string model so a collision would surface as a hash
     // mismatch at fixture scale.
@@ -216,12 +222,23 @@ object TextAnalysis {
       .select(col(idCol),
         xxhash64(col("bg")("0")).as("h1"),
         xxhash64(col("bg")("0"), col("bg")("1")).as("h12"))
-    val c2 = bi.groupBy(col("h12")).agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
-    bi.join(c2, Seq("h12")).join(c1, Seq("h1"))
-      .select(col(idCol), log(col("c2") / col("c1")).as("lp"))
+    // collapse the occurrence stream to per-doc distinct-bigram counts
+    // BEFORE anything else touches it: this is the only corpus-scale
+    // shuffle, and its exchange subtree is shared by all three
+    // downstream consumers (ReuseExchange ⇒ one explode, one map side).
+    // h1 rides along (it is a function of h12 — same w1) so the model
+    // tables never re-touch the corpus.
+    val bic = bi.groupBy(col(idCol), col("h12"), col("h1"))
+      .agg(count(lit(1)).as("c"))
+    val c2 = bic.groupBy(col("h12"), col("h1")).agg(sum(col("c")).as("c2"))
+    val c1 = bic.groupBy(col("h1")).agg(sum(col("c")).as("c1"))
+    val model = c2.join(c1, Seq("h1"))
+      .select(col("h12"), log(col("c2") / col("c1")).as("lp"))
+    // avg over occurrences ≡ count-weighted avg over distinct bigrams
+    bic.join(model, Seq("h12"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("lp")).as("avg_logprob"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("c") * col("lp")) / sum(col("c"))).as("avg_logprob"))
   }
 
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
