@@ -107,6 +107,53 @@ object DedupIndex {
     incoming.join(hit, Seq(idCol), "left_anti")
   }
 
+  /** Fold time-ordered ingest batches through the persisted index —
+    * the loop a growing deployment runs daily, composed from the three
+    * primitives above: batch 0 seeds the index; every later batch is
+    * QUERIED against the survivors of all earlier batches (docs with an
+    * indexed near-duplicate drop) and its own survivors are APPENDED.
+    * Returns `(idCol, ingest_batch)` — every kept doc tagged with the
+    * batch that brought it in.
+    *
+    * Semantics pinned by the spec + Python cross-oracle:
+    *   - only SURVIVORS are appended, so a doc whose only near-match
+    *     was itself dropped earlier still survives (the index holds one
+    *     representative per cluster — RefinedWeb's ingest discipline);
+    *   - within-batch duplicates are BOTH kept: the index covers the
+    *     cross-ingest regime, intra-batch dedup is the batch operators'
+    *     job (l2/l26) — run them on the batch first if both are wanted;
+    *   - null-text docs always survive and contribute no band rows.
+    *
+    * Each batch's survivor frame is checkpointed BEFORE its append:
+    * `query` is lazy and re-reads `bands/` on every execution, so an
+    * unmaterialized survivor plan re-executed after later appends would
+    * see a bigger index than existed when its batch arrived. Scale
+    * shape: per batch this is l42's probe (batch-sized re-band +
+    * partition-pruned scan) + l43's append (row-local) — the corpus is
+    * never re-banded. */
+  def ingestFold(
+      batches: Seq[DataFrame],
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(batches.nonEmpty, "ingestFold needs at least one batch")
+    batches.zipWithIndex.map { case (b, i) =>
+      val kept =
+        if (i == 0) { build(b, idCol, textCol, dir, shingleN, k, bands); b }
+        else {
+          val s = graft.Checkpoints.rotate(s"dix_ingest_b$i",
+            query(b, idCol, textCol, dir, threshold))
+          append(s, idCol, textCol, dir)
+          s
+        }
+      kept.select(col(idCol), lit(i).as("ingest_batch"))
+    }.reduce(_ unionByName _)
+  }
+
   private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
     val m = df.sparkSession.read.parquet(s"$dir/meta").collect()(0)
     (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))

@@ -295,7 +295,48 @@ object WindowBatchQueries {
                   FROM events)
             WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Session-fixed root for s10's per-invocation index directories,
+    * deleted on JVM exit (same lifecycle as LlmQueries' index root). A
+    * FRESH subdirectory per invocation, not a reused one: the fold's
+    * appends accumulate, so re-running into the same directory would
+    * probe a stale, doubly-appended index. */
+  private lazy val ingestRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ingest_dix")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rec(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
+        f.delete(): Unit
+      }
+      rec(p.toFile)
+    }))
+    p
+  }
+  private val ingestRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** S: streaming ingest dedup replay — the persisted dedup index
+    * ([[graft.operators.DedupIndex]], l42/l43) driven as a STREAM: four
+    * time-ordered micro-batches (`doc_id % 4` — the test's deterministic
+    * batch schedule, like s9's ntile slices) folded through
+    * query-then-append-survivors. This is the end-to-end loop the index
+    * tier exists for — each day's ingest probes the survivors of all
+    * earlier days instead of re-banding the corpus. The streaming run
+    * (MemoryStream + foreachBatch doing the same query/append fold)
+    * is pinned by StreamingSpec; the replay's survivor set is
+    * deterministic end to end (seeded minhash), so it is value-checked
+    * by the Python cross-oracle like l42/l43. */
+  val s10IngestDedupReplay = Q(
+    "s10_ingest_dedup_replay",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val batches = (0 to 3).map(i =>
+        docs.filter(pmod(col("doc_id"), lit(4)) === i))
+      val idx = ingestRoot.resolve("run_" + ingestRuns.incrementAndGet()).toString
+      graft.operators.DedupIndex.ingestFold(batches, "doc_id", "text", idx)
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
     s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
-    s8EnrichReplay, s9UpsertReplay)
+    s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay)
 }

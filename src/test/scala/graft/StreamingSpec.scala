@@ -206,4 +206,61 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got == Map(1L -> 3.0, 2L -> 4.0, 3L -> 5.0), s"got $got")
   }
+
+  test("foreachBatch ingest dedup: streaming fold equals the batch replay, survivor-only append") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // A/B/C unique; doc 11 dups doc 1 across batches (must drop); docs
+    // 12 and 13 are WITHIN-batch dups of each other (both kept — the
+    // index never probes its own batch); doc 23 dups doc 12 across
+    // batches (drops against whichever of 12/13 was appended).
+    val uniq = (c: Char) => (1 to 30).map(i => s"$c token$i$c word$i").mkString(" ")
+    val b0 = Seq((1L, uniq('a')), (2L, uniq('b')))
+    val b1 = Seq((11L, uniq('a')), (12L, uniq('c')), (13L, uniq('c')))
+    val b2 = Seq((23L, uniq('c')), (24L, uniq('d')))
+    val expected = Map(1L -> 0, 2L -> 0, 12L -> 1, 13L -> 1, 24L -> 2)
+
+    // streaming run: MemoryStream micro-batches through the same
+    // query-then-append-survivors loop the replay folds
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_dix").toString
+    val stream = MemoryStream[(Long, String)]
+    var survivors = Seq.empty[(Long, Long)].toDF("doc_id", "ingest_batch")
+    var batchNo = -1L
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchNo += 1
+        val kept =
+          if (batchNo == 0) {
+            graft.operators.DedupIndex.build(batch, "doc_id", "text", idxDir)
+            batch
+          } else {
+            val s = graft.operators.DedupIndex
+              .query(batch, "doc_id", "text", idxDir).localCheckpoint()
+            graft.operators.DedupIndex.append(s, "doc_id", "text", idxDir)
+            s
+          }
+        survivors = survivors.unionByName(
+          kept.select($"doc_id", lit(batchNo).as("ingest_batch")))
+          .localCheckpoint()
+      }.start()
+    try {
+      stream.addData(b0); q.processAllAvailable()
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = survivors.collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, s"streaming fold: $got")
+
+    // batch replay (the s10 shape) over the same schedule ≡ streaming
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft_replay_dix").toString
+    val replay = graft.operators.DedupIndex.ingestFold(
+        Seq(b0, b1, b2).map(_.toDF("doc_id", "text")),
+        "doc_id", "text", replayDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(replay == expected, s"batch replay: $replay")
+  }
 }

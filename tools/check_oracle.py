@@ -240,6 +240,47 @@ def l42_py(docs, threshold=0.5):         # DedupIndex.query (evens indexed)
     return out
 
 
+def s10_py(docs, threshold=0.5):          # DedupIndex.ingestFold replay
+    # four time-ordered batches (doc_id % 4); batch 0 seeds the index,
+    # each later batch drops docs with an INDEXED near-dup (shared band
+    # + agreement >= threshold) and appends only its survivors — so the
+    # index holds one representative per cluster. Within-batch dups are
+    # both kept; null-text docs always survive and index no bands.
+    sigs = {i: minhash_sig_py(t.split(" ")) for i, t in docs if t is not None}
+    buckets = {}
+    out = []
+    for b in range(4):
+        batch_surv = []
+        for i, t in docs:
+            if i % 4 != b:
+                continue
+            dropped = False
+            if b > 0 and t is not None:
+                sig = sigs[i]
+                seen = set()
+                for band, key in enumerate(band_keys_py(sig)):
+                    for e in buckets.get((band, key), []):
+                        if e in seen:
+                            continue
+                        seen.add(e)
+                        agree = sum(1 for x, y in zip(sig, sigs[e]) if x == y)
+                        if agree / 32.0 >= threshold:
+                            dropped = True
+                            break
+                    if dropped:
+                        break
+            if not dropped:
+                out.append((i, b))
+                if t is not None:
+                    batch_surv.append(i)
+        # append this batch's survivors AFTER the whole batch is judged
+        # (a batch never probes itself — within-batch dups both survive)
+        for i in batch_surv:
+            for band, key in enumerate(band_keys_py(sigs[i])):
+                buckets.setdefault((band, key), []).append(i)
+    return out
+
+
 def crosscheck(name, cols, expected_rows):
     try:
         got_rel = con.execute(
@@ -369,8 +410,9 @@ crosscheck("l42_dedup_index_query", ["doc_id"], l42)
 # the appended index covers the same even-id corpus -> same survivors:
 # the append law checked at the value level
 crosscheck("l43_dedup_index_append", ["doc_id"], l42)
+crosscheck("s10_ingest_dedup_replay", ["doc_id", "ingest_batch"], s10_py(docs))
 
-print(f"PASS {len(ok)}/{len(oracle) + 8}: {' '.join(ok)}")
+print(f"PASS {len(ok)}/{len(oracle) + 9}: {' '.join(ok)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
