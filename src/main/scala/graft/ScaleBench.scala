@@ -427,6 +427,21 @@ object ScaleBench {
           0L
         }
       }
+      // the s10 end-to-end loop: fold the corpus through 4 time-ordered
+      // ingest batches (build + 3× query-then-append-survivors) — the
+      // cost of standing the index UP incrementally, vs dix_build's
+      // one-shot; side-effectful, so reps rebuild into a fresh dir
+      if (wanted("dix_ingest")) {
+        val ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+        runs("dix_ingest") = timed("dix_ingest") {
+          val d = s"/tmp/graft_dix_ingest_${n}_${ctr.incrementAndGet()}"
+          val batches = (0 to 3).map(i =>
+            docs.filter(pmod(col("doc_id"), lit(4)) === i))
+          val out = graft.operators.DedupIndex
+            .ingestFold(batches, "doc_id", "text", d).count()
+          out
+        }
+      }
     }
 
     // ---- near-threshold banding recall (the round-6 verdict's gap:
