@@ -1298,6 +1298,21 @@ object LlmQueries {
             SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logprob
             FROM sc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** L: deterministic spherical k-means cluster assignment
+    * ([[Similarity.clusterAssign]] — stride seeds + 2 exact-integer
+    * Lloyd passes + the production first-max cell argmax): the
+    * topic-bucketing primitive for metadata-free mixture balancing,
+    * and SemDedup's clustering stage as its own operator. Deterministic
+    * end to end → the seed pick, both Lloyd iterations and the final
+    * assignment are re-derived bit-exactly by the Python cross-oracle. */
+  val l46ClusterAssign = Q(
+    "l46_cluster_assign",
+    (s, dir) => Similarity.clusterAssign(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 16, refineIters = 2)
+      .orderBy(col("vec_id")),
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1308,5 +1323,6 @@ object LlmQueries {
     l30AnnIndexQuery, l31AnnServe, l32AnnIndexAppend, l33AnnIndexFresh,
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
-    l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb)
+    l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
+    l46ClusterAssign)
 }

@@ -392,6 +392,51 @@ object Similarity {
     df.select(avg(cosUdf(col(vecCol), best)).as("a")).collect()(0).getDouble(0)
   }
 
+  /** Deterministic spherical k-means cluster assignment — the
+    * topic-bucketing primitive a curation pipeline runs before mixture
+    * balancing (cluster counts feed [[graft.operators.TextAnalysis]]'s
+    * temperature sampling when no metadata domain exists) and the
+    * first stage of SemDedup exposed as its own operator. Stride seeds
+    * ([[strideCentroids]]) → `refineIters` deterministic Lloyd passes
+    * (exact quantized-long sums, [[refineCentroids]]) → one full-width
+    * assignment pass with the production first-max
+    * [[graft.functions.NearestCellsExpr]]. Returns `(idCol,
+    * cluster_id)`, one row per input row; null vectors assign to cell 0
+    * (the expression's documented guard) and contribute nothing to the
+    * Lloyd sums.
+    *
+    * Deterministic END TO END — seeds are id-arithmetic, sums are
+    * associative longs, assignment is strict-order double math — so the
+    * whole operator (seed pick, every Lloyd iteration, the final
+    * argmax) is re-derived bit-exactly by an independent Python
+    * reimplementation in tools/check_oracle.py (l46), the same
+    * cross-engine standard as the SQL-oracled queries.
+    *
+    * Scale shape: per Lloyd pass one assignment scan (n·nlist·d madds)
+    * + one narrow map-side-combined (cell, pos) hash-agg; final
+    * assignment is another scan; driver traffic is nlist·d scalar rows
+    * per pass. No pairwise stage anywhere. */
+  def clusterAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      refineIters: Int = 2): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val n = sc.defaultParallelism
+    // strideCentroids/refineCentroids key on the `vec_id` column name
+    val view = df.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("__v"))
+    val total = view.count()
+    val stride = math.max(1L, total / nlist)
+    val (centroids, cnorms) =
+      deriveCentroids(view, "__v", nlist, stride, refineIters)
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+    view.repartition(n, col("vec_id"))
+      .select(col("vec_id").as(idCol),
+        nearestCellsCol(matBc, col("__v"), 1).as("cluster_id"))
+  }
+
   /** Probe column: the `m` nearest centroid indices of `vec` (INT for
     * m = 1, ARRAY<INT> otherwise), ranked by dot(v,c)/|c| — a positive
     * per-row scalar (1/|v|) away from cosine, so the ordering is
@@ -665,7 +710,7 @@ object Similarity {
       .filter(pmod(xxhash64(col(idCol)), lit(k)) === 0)
       .select(band0(col(embCol)).getItem(0).as("k0"))
       .groupBy(col("k0")).agg(count(lit(1)).as("s"))
-      .agg(max(col("s"))).head.getAs[Any](0)
+      .agg(max(col("s"))).head().getAs[Any](0)
     if (maxBucket == null) return None
     val expected = math.max(1.0, n0.toDouble / (1L << math.min(bitsPerBand, 62)))
     engageCap(maxBucket.asInstanceOf[Long].toDouble * k, expected)
@@ -690,7 +735,7 @@ object Similarity {
       .filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
       .select(nearestCellsCol(matBc, col(geomCol), 1).as("cell"))
       .groupBy(col("cell")).agg(count(lit(1)).as("s"))
-      .agg(max(col("s"))).head.getAs[Any](0)
+      .agg(max(col("s"))).head().getAs[Any](0)
     if (maxCell == null) return None
     val expected = math.max(1.0, total.toDouble / nlist)
     engageCap(maxCell.asInstanceOf[Long].toDouble * k, expected)

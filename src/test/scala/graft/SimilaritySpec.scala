@@ -913,6 +913,51 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.count() > 0)
   }
 
+  test("clusterAssign: total partition, partitioning-invariant, planted clusters coherent") {
+    import spark.implicits._
+    // three orthogonal direction clusters in contiguous id ranges with
+    // nlist = 3, so the stride seed (ids 0, 300, 600) lands one seed in
+    // each cluster — the WELL-CONDITIONED case where k-means must
+    // recover the planted structure exactly. (With nlist > #clusters,
+    // splitting a cluster across two cells is correct k-means behavior,
+    // not a bug — that regime is covered by the refinement-alignment
+    // law above, not by a purity assertion.)
+    val rng = new scala.util.Random(31)
+    val dim = 8
+    def member(axis: Int): Seq[Float] =
+      (0 until dim).map(j =>
+        (if (j == axis) 10.0 else 0.0) + rng.nextGaussian() * 0.05).map(_.toFloat)
+    val rows = (0 until 300).map(i => (i.toLong, member(0), 0)) ++
+      (300 until 600).map(i => (i.toLong, member(1), 1)) ++
+      (600 until 900).map(i => (i.toLong, member(2), 2))
+    val corpus = rows.map(r => (r._1, r._2)).toDF("vec_id", "embedding")
+
+    val a = Similarity.clusterAssign(corpus, "vec_id", "embedding",
+      nlist = 3, refineIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // total partition: one assignment per input id, cells in range
+    assert(a.size == 900)
+    assert(a.values.forall(c => c >= 0 && c < 3))
+    // partitioning invariance: a different physical layout yields the
+    // IDENTICAL assignment (the determinism claim the cross-oracle
+    // relies on — quantized-long sums make the Lloyd means
+    // evaluation-order-independent)
+    val b = Similarity.clusterAssign(corpus.repartition(7), "vec_id",
+      "embedding", nlist = 3, refineIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b, "assignment must not depend on input partitioning")
+    // planted coherence: every planted cluster maps into exactly one
+    // cell, and distinct clusters land in distinct cells
+    val byTruth = rows.groupBy(_._3).map { case (t, ms) =>
+      t -> ms.map(m => a(m._1)).distinct
+    }
+    byTruth.foreach { case (t, cells) =>
+      assert(cells.size == 1, s"planted cluster $t split across cells $cells")
+    }
+    val reps = byTruth.values.map(_.head).toSeq
+    assert(reps.distinct.size == 3, s"planted clusters merged: $reps")
+  }
+
   test("multimodal: pack -> decode stub -> frame sample plumbing") {
     val packed = graft.sources.Multimodal.pack(Tables(spark, sf, "documents"), "text")
     val decoded = graft.sources.Multimodal.decodeStub(packed)
