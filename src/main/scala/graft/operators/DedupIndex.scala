@@ -80,7 +80,20 @@ object DedupIndex {
       idCol: String,
       textCol: String,
       dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    surviveAgainst(incoming, idCol, textCol, dir, threshold)._2
+
+  /** The probe/survive core shared by [[query]] and [[ingestFold]]:
+    * returns BOTH the checkpointed probe band rows (`__qid, __qsig,
+    * band, bkey, bprefix`) and the survivor frame, so the fold can
+    * reuse the probe rows for its append instead of recomputing every
+    * survivor's signature a second time. */
+  private def surviveAgainst(
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     val spark = incoming.sparkSession
     val (k, bands, shingleN) = meta(incoming, dir)
     val n = spark.sparkContext.defaultParallelism
@@ -104,7 +117,7 @@ object DedupIndex {
       .where(col("doc_id") =!= col("__qid"))
       .where(Dedup.estJaccard(col("__qsig"), col("sig"), k) >= threshold)
       .select(col("__qid").as(idCol)).distinct()
-    incoming.join(hit, Seq(idCol), "left_anti")
+    (probe, incoming.join(hit, Seq(idCol), "left_anti"))
   }
 
   /** Fold time-ordered ingest batches through the persisted index —
@@ -130,7 +143,12 @@ object DedupIndex {
     * see a bigger index than existed when its batch arrived. Scale
     * shape: per batch this is l42's probe (batch-sized re-band +
     * partition-pruned scan) + l43's append (row-local) — the corpus is
-    * never re-banded. */
+    * never re-banded, and the append REUSES the probe's checkpointed
+    * band rows (a semi-join on survivor ids) instead of computing every
+    * survivor's signature a second time: band rows are a deterministic
+    * row-local function of the text, so the reused rows are identical
+    * to what a fresh `append` would write (the spec pins the fold
+    * against `query`+`append` composed the naive way). */
   def ingestFold(
       batches: Seq[DataFrame],
       idCol: String,
@@ -145,9 +163,14 @@ object DedupIndex {
       val kept =
         if (i == 0) { build(b, idCol, textCol, dir, shingleN, k, bands); b }
         else {
-          val s = graft.Checkpoints.rotate(s"dix_ingest_b$i",
-            query(b, idCol, textCol, dir, threshold))
-          append(s, idCol, textCol, dir)
+          val (probe, surv) = surviveAgainst(b, idCol, textCol, dir, threshold)
+          val s = graft.Checkpoints.rotate(s"dix_ingest_b$i", surv)
+          writeBandRows(
+            probe.join(s.select(col(idCol).as("__qid")), Seq("__qid"),
+                "left_semi")
+              .select(col("__qid").as("doc_id"), col("__qsig").as("sig"),
+                col("band"), col("bkey"), col("bprefix")),
+            dir, overwrite = false)
           s
         }
       kept.select(col(idCol), lit(i).as("ingest_batch"))
@@ -169,16 +192,26 @@ object DedupIndex {
       bands: Int,
       overwrite: Boolean): Unit = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
-    docs
-      // explicit-count repartition: signature compute must spread over
-      // the cores even when the input is one parquet row group
-      .repartition(n, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        Dedup.minhashSignature(col(textCol), k, shingleN).as("sig"))
-      .select(col("doc_id"), col("sig"),
-        posexplode(Dedup.lshBandKeys(col("sig"), bands, k / bands))
-          .as(Seq("band", "bkey")))
-      .withColumn("bprefix", pmod(col("bkey"), lit(256L)).cast("int"))
+    writeBandRows(
+      docs
+        // explicit-count repartition: signature compute must spread over
+        // the cores even when the input is one parquet row group
+        .repartition(n, col(idCol))
+        .select(col(idCol).as("doc_id"),
+          Dedup.minhashSignature(col(textCol), k, shingleN).as("sig"))
+        .select(col("doc_id"), col("sig"),
+          posexplode(Dedup.lshBandKeys(col("sig"), bands, k / bands))
+            .as(Seq("band", "bkey")))
+        .withColumn("bprefix", pmod(col("bkey"), lit(256L)).cast("int")),
+      dir, overwrite)
+  }
+
+  /** Sink for prepared band rows `(doc_id, sig, band, bkey, bprefix)` —
+    * shared by the signature-computing [[writeBands]] and
+    * [[ingestFold]]'s probe-row reuse path. */
+  private def writeBandRows(
+      rows: DataFrame, dir: String, overwrite: Boolean): Unit = {
+    rows
       // one writer per prefix directory: without this every task writes
       // into every partition dir — 256·tasks small files per build
       .repartition(col("bprefix"))

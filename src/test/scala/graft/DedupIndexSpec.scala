@@ -64,4 +64,42 @@ class DedupIndexSpec extends SparkSpec {
     assert(plan.contains("bprefix"),
       s"expected bprefix partition filters in the index scan:\n${plan.take(1500)}")
   }
+
+  test("ingestFold ≡ naive query+append composition; probe-row reuse writes identical bands") {
+    import spark.implicits._
+    val batches = (0 to 3).map(i => docs.filter(pmod($"doc_id", lit(4)) === i))
+    // the fold (probe-row-reuse append path)
+    val foldDir = java.nio.file.Files.createTempDirectory("dix_fold").toString
+    val fold = DedupIndex.ingestFold(batches, "doc_id", "text", foldDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the same schedule composed naively from the public primitives,
+    // with appends that RECOMPUTE survivor signatures from text
+    val naiveDir = java.nio.file.Files.createTempDirectory("dix_naive").toString
+    var expected = Map.empty[Long, Int]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val kept =
+        if (i == 0) { DedupIndex.build(b, "doc_id", "text", naiveDir); b }
+        else {
+          val s = DedupIndex.query(b, "doc_id", "text", naiveDir)
+            .localCheckpoint()
+          DedupIndex.append(s, "doc_id", "text", naiveDir)
+          s
+        }
+      expected ++= kept.select($"doc_id").collect().map(_.getLong(0) -> i)
+    }
+    assert(fold.nonEmpty && fold.size < docs.count(),
+      "fixture must exercise both keep and drop")
+    assert(fold == expected, {
+      val extra = fold.toSet -- expected.toSet
+      val missing = expected.toSet -- fold.toSet
+      s"fold diverged: extra=${extra.take(5)} missing=${missing.take(5)}"
+    })
+    // and the reused band rows persisted by the fold are row-identical
+    // to the recomputed ones (same sig, band, bkey, bprefix per doc)
+    val canon = (d: String) => spark.read.parquet(s"$d/bands")
+      .select($"doc_id", $"sig", $"band", $"bkey", $"bprefix")
+      .collect().map(_.toSeq).toSet
+    assert(canon(foldDir) == canon(naiveDir),
+      "probe-row-reuse append wrote different band rows than the recompute path")
+  }
 }
