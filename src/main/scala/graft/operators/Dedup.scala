@@ -595,8 +595,19 @@ object Dedup {
     val wins = graft.Checkpoints.rotate("window_dedup_wins",
       base.select(col(idCol),
         posexplode(shingleHash64(col(textCol), k)).as(Seq("pos", "w"))))
+    // only DUPLICATED windows can produce bad starts, so the per-window
+    // minimum table is filtered to count > 1 BEFORE the join: occurrences
+    // of unique windows (the overwhelming mass of a real corpus) then
+    // never enter the join at all — and when the duplicated-window table
+    // fits the broadcast budget (it usually does: distinct duplicated
+    // windows, not occurrences), AQE flips the join to broadcast-hash
+    // and the 43M-row occurrence stream never crosses the wire. The
+    // unfiltered form shuffled BOTH full sides just to discard every
+    // unique-window row one operator later.
     val first = wins.groupBy(col("w"))
-      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"),
+        count(lit(1)).as("__c"))
+      .where(col("__c") > 1).drop("__c")
     val badStarts = wins.join(first, "w")
       .where(struct(col(idCol), col("pos")) =!= col("f"))
       .groupBy(col(idCol))
