@@ -177,6 +177,41 @@ object DedupIndex {
     }.reduce(_ unionByName _)
   }
 
+  /** Rewrite the band table into one file per prefix directory — the
+    * maintenance pass an APPEND-grown index needs: every [[append]] (or
+    * [[ingestFold]] batch) adds at least one file to each touched
+    * prefix, so a daily-ingest deployment accumulates
+    * days × writers small files and the probe's partition-pruned scan
+    * pays an open/footer cost per file instead of per prefix. Compact
+    * reads `bands/`, rewrites it 1-file-per-prefix into a sibling
+    * directory, then swaps directories with two renames (read and write
+    * never touch the same path, so the read plan's file listing stays
+    * valid throughout). The swap is atomic per rename on a local/HDFS
+    * filesystem; an object-store deployment would swap a manifest
+    * pointer instead (Iceberg/Delta-style) — the rewrite itself is the
+    * portable part. Row content is untouched: a post-compaction query
+    * is row-identical (spec-pinned), only the file layout changes. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/bands_compacting"
+    spark.read.parquet(s"$dir/bands")
+      // one writer per prefix directory ⇒ exactly one file per prefix
+      .repartition(col("bprefix"))
+      .write.mode("overwrite").partitionBy("bprefix").parquet(tmp)
+    val old = new java.io.File(s"$dir/bands_old")
+    def fail(msg: String) = throw new IllegalStateException(msg)
+    if (!new java.io.File(s"$dir/bands").renameTo(old))
+      fail(s"compact: cannot move $dir/bands aside")
+    if (!new java.io.File(tmp).renameTo(new java.io.File(s"$dir/bands"))) {
+      old.renameTo(new java.io.File(s"$dir/bands")): Unit // roll back
+      fail(s"compact: cannot move $tmp into place")
+    }
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
+      f.delete(): Unit
+    }
+    rec(old)
+  }
+
   private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
     val m = df.sparkSession.read.parquet(s"$dir/meta").collect()(0)
     (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))

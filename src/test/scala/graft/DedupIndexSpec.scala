@@ -102,4 +102,37 @@ class DedupIndexSpec extends SparkSpec {
     assert(canon(foldDir) == canon(naiveDir),
       "probe-row-reuse append wrote different band rows than the recompute path")
   }
+
+  test("compact: append-grown index collapses to one file per prefix, rows and query identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dix_compact").toString
+    DedupIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    DedupIndex.append(docs.filter($"doc_id" % 4 === 2), "doc_id", "text", dir)
+    DedupIndex.append(docs.filter($"doc_id" % 4 === 1), "doc_id", "text", dir)
+    def parquetFiles(prefixDir: java.io.File): Int =
+      prefixDir.listFiles().count(f => f.getName.endsWith(".parquet"))
+    def prefixDirs: Seq[java.io.File] = new java.io.File(s"$dir/bands")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bprefix="))
+      .toSeq
+    assert(prefixDirs.exists(parquetFiles(_) > 1),
+      "fixture must exercise fragmentation (3 writes should fragment some prefix)")
+    val incoming = docs.filter($"doc_id" % 4 === 3)
+    val before = DedupIndex.query(incoming, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val rowsBefore = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toSeq).toSet
+
+    DedupIndex.compact(spark, dir)
+
+    assert(prefixDirs.nonEmpty && prefixDirs.forall(parquetFiles(_) == 1),
+      "every prefix directory must hold exactly one file post-compaction")
+    assert(!new java.io.File(s"$dir/bands_old").exists())
+    assert(!new java.io.File(s"$dir/bands_compacting").exists())
+    val rowsAfter = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toSeq).toSet
+    assert(rowsAfter == rowsBefore, "compaction must not change row content")
+    val after = DedupIndex.query(incoming, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == before, "query results must be identical post-compaction")
+  }
 }
