@@ -1313,6 +1313,48 @@ object LlmQueries {
       .orderBy(col("vec_id")),
     None)
 
+  /** L: distributed BPE tokenizer training ([[Bpe.bpeTrain]] — the
+    * vocabulary-learning pass; corpus collapses once to the
+    * distinct-word frequency table, then nMerges pair-count/rewrite
+    * rounds over it). Deterministic end to end (exact integer counts,
+    * total-order tie-break), so the whole merge table is re-derived
+    * exactly by the Python cross-oracle. */
+  val l47BpeTrain = Q(
+    "l47_bpe_merges",
+    (s, dir) => Bpe.bpeTrain(Tables(s, dir, "documents"), "text")
+      .orderBy(col("rank")),
+    None)
+
+  /** L: BPE encoding statistics ([[Bpe.bpeEncodeSelf]] — train on the
+    * corpus, then apply the broadcast merge list row-locally to every
+    * document). Piece counts are a pure function of (text, merges) and
+    * training is deterministic, so the Python cross-oracle re-derives
+    * every row. */
+  val l48BpeEncode = Q(
+    "l48_bpe_encode",
+    (s, dir) => Bpe.bpeEncodeSelf(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    None)
+
+  /** L: frequent n-grams via the count-min prefilter
+    * ([[TextAnalysis.frequentNgrams]]). The sketch estimate only
+    * OVERestimates, so the prefilter admits every truly-frequent gram
+    * and the exact recount removes the collisions — the result is
+    * bit-identical to the exact form, which is why a SKETCH-routed
+    * query can carry a plain SQL oracle. */
+  val l49FrequentNgrams = Q(
+    "l49_frequent_ngrams",
+    (s, dir) => TextAnalysis.frequentNgrams(
+        Tables(s, dir, "documents"), "text", n = 2, minCount = 40)
+      .orderBy(col("cnt").desc, col("gram")),
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+                 g AS (SELECT unnest(tk[1:len(tk)-1]) AS w1,
+                              unnest(tk[2:len(tk)]) AS w2 FROM t),
+                 c AS (SELECT w1 || ' ' || w2 AS gram, count(*) AS cnt
+                       FROM g GROUP BY 1)
+            SELECT gram, cnt FROM c WHERE cnt >= 40
+            ORDER BY cnt DESC, gram"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1324,5 +1366,5 @@ object LlmQueries {
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
     l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
-    l46ClusterAssign)
+    l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams)
 }

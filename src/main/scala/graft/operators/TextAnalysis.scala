@@ -304,6 +304,90 @@ object TextAnalysis {
       .select(col("id"), col("tok").as("top_term"), round(col("score"), 6).as("score"))
   }
 
+  /** The corpus n-gram occurrence stream: one row per token window,
+    * carrying the display string (`gram`) and a 64-bit key (`h`,
+    * xxhash64 over the window's tokens). Entirely row-local codegen:
+    * the window axis is `arrays_zip` over n shifted `slice`s of the one
+    * tokens array — ordinary expressions, NOT higher-order lambdas (the
+    * round-9 interpreted-HOF trap). Docs with fewer than n tokens yield
+    * no rows (`greatest(len-n+1, 0)`-length slices zip to empty); null
+    * text yields a null zip, which `explode` drops. */
+  private def ngramStream(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = split(col(textCol), " ")
+    val win = greatest(size(t) - (n - 1), lit(0))
+    val z = arrays_zip((0 until n).map(i => slice(t, lit(i + 1), win)): _*)
+    val parts = (0 until n).map(i => col("g")(i.toString))
+    docs
+      .select(explode(z).as("g"))
+      .select(concat_ws(" ", parts: _*).as("gram"), xxhash64(parts: _*).as("h"))
+  }
+
+  /** Exact corpus-wide frequent n-grams: every n-gram with at least
+    * `minCount` occurrences, with its exact count. One hash-agg shuffle
+    * whose map side combines per-partition gram counts — correct at any
+    * scale, but the shuffle carries every DISTINCT n-gram in the corpus
+    * (billions of rows at 100 TB). [[frequentNgrams]] is the
+    * result-identical scale form; this is its oracle/fallback. */
+  def frequentNgramsExact(
+      docs: DataFrame, textCol: String, n: Int = 2, minCount: Long = 40): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    ngramStream(docs, textCol, n)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Corpus-wide frequent n-grams via a COUNT-MIN prefilter — the
+    * heavy-hitter statistics pass (top boilerplate phrases, template
+    * detection, stop-phrase lists) shaped for a corpus whose distinct
+    * n-gram set is too wide to shuffle.
+    *
+    * Two corpus passes, ZERO corpus-scale shuffle:
+    *   1. build a [[graft.functions.CountMin]] sketch of the n-gram key
+    *      stream by `treeAggregate` — per-partition sketches merged
+    *      cell-wise on the driver tree (deterministic in any order),
+    *      `depth×width×8` bytes each (2 MB at the defaults);
+    *   2. re-scan, keep only occurrences whose sketch estimate reaches
+    *      `minCount` (native codegen probe,
+    *      [[graft.functions.CmsAtLeastExpr]]), and exact-count just
+    *      those. The count-min estimate is a one-sided OVERestimate, so
+    *      the prefilter admits every truly-frequent gram (no false
+    *      negatives — the guarantee the law spec pins); sketch
+    *      collisions admit some infrequent grams, and the exact
+    *      `cnt >= minCount` recount removes them. Result is therefore
+    *      IDENTICAL to [[frequentNgramsExact]] — the shuffle after the
+    *      prefilter carries only near-frequent grams (map-side combined
+    *      to per-partition distinct survivors) instead of the whole
+    *      distinct-gram set.
+    *
+    * Width trades sketch size against prefilter selectivity
+    * (error ≈ 2·N_occurrences/width per row, halved per extra row) —
+    * at 100 TB widen the sketch (256 MB covers ~10¹¹ occurrences at
+    * minCount ≥ 4·10³), it broadcasts once and prunes a billions-row
+    * shuffle. */
+  def frequentNgrams(
+      docs: DataFrame,
+      textCol: String,
+      n: Int = 2,
+      minCount: Long = 40,
+      width: Int = 1 << 16,
+      depth: Int = 4): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val spark = docs.sparkSession
+    val g = ngramStream(docs, textCol, n)
+    val cms = g.select(col("h")).rdd.treeAggregate(
+      new graft.functions.CountMin(width, depth))(
+      (c, r) => { c.add(r.getLong(0)); c },
+      (a, b) => a.merge(b))
+    val bc = spark.sparkContext.broadcast(cms)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hot = ColumnBridge.column(graft.functions.CmsAtLeastExpr(
+      ColumnBridge.expression(col("h")), bc, minCount))
+    g.filter(hot)
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Greedy contiguous SEQUENCE PACKING into fixed token-budget training
     * windows — the pretraining step that turns a shuffled document
     * stream into dense context-window batches. Documents are dealt into

@@ -439,6 +439,68 @@ def l38_py(docs, shingle_n=8, fpp=1e-6):  # Dedup.decontaminateBloom
     return out
 
 
+def bpe_merge_pass(syms, l, r):         # Bpe.mergePass: one greedy
+    out, i = [], 0                      # left-to-right non-overlap pass
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train_py(docs, n_merges=24, min_pair_count=2):   # Bpe.bpeTrainFull
+    # overlapping adjacent-pair counts weighted by word freq; winner =
+    # (count desc, left asc, right asc) — ASCII string compare matches
+    # the JVM's UTF-8 binary ordering
+    from collections import Counter
+    freq = Counter()
+    for _, t in docs:
+        if t is None:
+            continue
+        for w in t.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {w: [c for c in w] for w in freq}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_pair_count:
+            break
+        merges.append((rank, l, r, c))
+        for w in vocab:
+            vocab[w] = bpe_merge_pass(vocab[w], l, r)
+    return merges, vocab
+
+
+def bpe_encode_py(docs, merges):        # Bpe.bpeEncodeStats
+    rows = []
+    for i, t in docs:
+        if t is None:
+            rows.append((i, 0, 0))
+            continue
+        toks = [w for w in t.split(" ") if w]
+        pieces = 0
+        for w in toks:
+            syms = [c for c in w]
+            for _, l, r, _ in merges:
+                if len(syms) <= 1:
+                    break
+                syms = bpe_merge_pass(syms, l, r)
+            pieces += len(syms)
+        rows.append((i, len(toks), pieces))
+    return rows
+
+
 docs = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
 crosscheck("l9_fingerprint", ["doc_id", "fp"],
            [(i, fingerprint_py(t)) for i, t in docs])
@@ -466,8 +528,12 @@ crosscheck("l42_dedup_index_query", ["doc_id"], l42)
 crosscheck("l43_dedup_index_append", ["doc_id"], l42)
 crosscheck("s10_ingest_dedup_replay", ["doc_id", "ingest_batch"], s10_py(docs))
 crosscheck("l46_cluster_assign", ["vec_id", "cluster_id"], l46_py(embs))
+bpe_merges, _ = bpe_train_py(docs)
+crosscheck("l47_bpe_merges", ["rank", "left", "right", "pair_count"], bpe_merges)
+crosscheck("l48_bpe_encode", ["doc_id", "n_words", "n_pieces"],
+           bpe_encode_py(docs, bpe_merges))
 
-print(f"PASS {len(ok)}/{len(oracle) + 10}: {' '.join(ok)}")
+print(f"PASS {len(ok)}/{len(oracle) + 12}: {' '.join(ok)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
