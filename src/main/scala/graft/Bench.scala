@@ -72,6 +72,8 @@ object Bench {
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
     "l45_lm_logprob",       // corpus-trained bigram LM score (vocab aggs + model join)
     "l37_temperature_sample", // sqrt-temperature mixture quotas (distributed rank)
+    "l48_bpe_encode",       // BPE train (24 merge rounds) + row-local encode — subsumes l47
+    "l49_frequent_ngrams",  // count-min prefilter + exact heavy-hitter recount
     "l39_paragraph_dedup",  // paragraph dedup + doc reconstruction (2 shuffles)
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups

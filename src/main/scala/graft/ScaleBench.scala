@@ -427,6 +427,39 @@ object ScaleBench {
           0L
         }
       }
+      // BPE tokenizer training/encoding at corpus scale: training's
+      // corpus-touching cost is ONE word-count shuffle (the replicated
+      // fixture's distinct-word table is tiny, so the 24 merge rounds
+      // are driver-paced no-ops — the corpus pass is the measurement);
+      // encoding is the row-local broadcast-merge apply with the
+      // per-task word memo (hot-vocabulary hits collapse to lookups)
+      if (wanted("bpe_train")) runs("bpe_train") = timed("bpe_train") {
+        graft.operators.Bpe.bpeTrain(docs, "text").count()
+      }
+      if (wanted("bpe_encode")) runs("bpe_encode") = timed("bpe_encode") {
+        graft.operators.Bpe.bpeEncodeSelf(docs, "doc_id", "text").count()
+      }
+      // frequent n-grams A/B: exact form (one distinct-gram shuffle)
+      // vs the count-min prefiltered form (two corpus passes, zero
+      // corpus shuffle). Honest caveat: this fixture's synthetic
+      // vocabulary bounds distinct 2-grams at ~10³, so the exact
+      // form's shuffle is tiny and the sketch form mostly measures its
+      // second corpus pass — the sketch's win (pruning a billions-row
+      // distinct-gram shuffle) needs a diversity this fixture lacks.
+      // minCount scales with the replication so the survivor set stays
+      // the sf0.1 one.
+      lazy val scaledMinCount = {
+        val nd = docs.count()
+        math.max(40L, 40L * (nd / 5000L))
+      }
+      if (wanted("freq_ngrams")) runs("freq_ngrams") = timed("freq_ngrams") {
+        graft.operators.TextAnalysis.frequentNgrams(
+          docs, "text", 2, scaledMinCount).count()
+      }
+      if (wanted("freq_ngrams_exact")) runs("freq_ngrams_exact") = timed("freq_ngrams_exact") {
+        graft.operators.TextAnalysis.frequentNgramsExact(
+          docs, "text", 2, scaledMinCount).count()
+      }
       // the s10 end-to-end loop: fold the corpus through 4 time-ordered
       // ingest batches (build + 3× query-then-append-survivors) — the
       // cost of standing the index UP incrementally, vs dix_build's

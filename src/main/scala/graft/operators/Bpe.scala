@@ -132,35 +132,51 @@ object Bpe {
     * statistics (`n_words` whitespace tokens, `n_pieces` BPE symbols
     * after all merges). Row-local over a broadcast merge list; null
     * text yields (0, 0) — the doc row survives, mirroring the other
-    * row-local scorers. No per-word memoization on purpose: the loop is
-    * allocation-light and a shared cache across local[32] task threads
-    * would need locking; a cluster deployment that wants one would hang
-    * a per-task HashMap off `mapPartitions`. */
+    * row-local scorers.
+    *
+    * Encoding is WORD-local, so a word's piece count is memoized in a
+    * per-task map (the closure is deserialized once per task and each
+    * task is single-threaded, so an unsynchronized map is safe — the
+    * standard tokenizer cache). On a zipfian corpus the hot vocabulary
+    * hits the cache and the per-token cost collapses to a map lookup;
+    * the size cap bounds task memory against adversarial vocabularies
+    * (past it, words still encode — they just aren't remembered). */
   def bpeEncodeStats(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)],
+      memoCap: Int = 1 << 20): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(merges.toArray)
-    val stats = udf { (text: String) =>
-      if (text == null) (0L, 0L)
-      else {
-        val toks = text.split(" ").filter(_.nonEmpty)
-        var pieces = 0L
-        var t = 0
-        while (t < toks.length) {
-          var syms: IndexedSeq[String] = toks(t).map(_.toString)
-          val ms = bc.value
-          var m = 0
-          while (m < ms.length && syms.length > 1) {
-            syms = mergePass(syms, ms(m)._1, ms(m)._2)
-            m += 1
+    val stats = udf {
+      val memo = new java.util.HashMap[String, Long]()
+      (text: String) =>
+        if (text == null) (0L, 0L)
+        else {
+          val toks = text.split(" ").filter(_.nonEmpty)
+          var pieces = 0L
+          var t = 0
+          while (t < toks.length) {
+            val w = toks(t)
+            // a nonEmpty word always has >= 1 piece, so -1 is free as
+            // the miss sentinel (avoids a null-unboxing get)
+            val cached = memo.getOrDefault(w, -1L)
+            if (cached >= 0L) pieces += cached
+            else {
+              var syms: IndexedSeq[String] = w.map(_.toString)
+              val ms = bc.value
+              var m = 0
+              while (m < ms.length && syms.length > 1) {
+                syms = mergePass(syms, ms(m)._1, ms(m)._2)
+                m += 1
+              }
+              if (memo.size < memoCap) memo.put(w, syms.length.toLong)
+              pieces += syms.length
+            }
+            t += 1
           }
-          pieces += syms.length
-          t += 1
+          (toks.length.toLong, pieces)
         }
-        (toks.length.toLong, pieces)
-      }
     }
     docs
       .select(col(idCol), stats(col(textCol)).as("s"))

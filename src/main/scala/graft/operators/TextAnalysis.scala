@@ -305,13 +305,22 @@ object TextAnalysis {
   }
 
   /** The corpus n-gram occurrence stream: one row per token window,
-    * carrying the display string (`gram`) and a 64-bit key (`h`,
-    * xxhash64 over the window's tokens). Entirely row-local codegen:
-    * the window axis is `arrays_zip` over n shifted `slice`s of the one
-    * tokens array — ordinary expressions, NOT higher-order lambdas (the
-    * round-9 interpreted-HOF trap). Docs with fewer than n tokens yield
-    * no rows (`greatest(len-n+1, 0)`-length slices zip to empty); null
-    * text yields a null zip, which `explode` drops. */
+    * carrying the display string (`gram`) and a 64-bit key (`h`). The
+    * key is the native [[graft.functions.ShingleHash64Expr]] window
+    * fingerprint RE-DERIVED from the gram string itself (an n-token
+    * string has exactly one keepPartial window, and tokens cannot
+    * contain the separator, so the gram round-trips to the same token
+    * sequence — the fingerprint is BIT-IDENTICAL to the one the sketch
+    * pass hashes out of the full document, empty tokens included).
+    * Deriving h post-explode keeps the zip binary-stable: zipping the
+    * fingerprint array as a third element measured 31–66 s CPU swings
+    * on the 10⁶-doc probe stage where this two-array shape holds ~25 s.
+    * Entirely row-local codegen: the window axis is `arrays_zip` over n
+    * shifted `slice`s of the one tokens array — ordinary expressions,
+    * NOT higher-order lambdas (the round-9 interpreted-HOF trap). Docs
+    * with fewer than n tokens yield no rows (`greatest(len-n+1, 0)`-
+    * length slices zip to empty); null text yields a null zip, which
+    * `explode` drops. */
   private def ngramStream(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val t = split(col(textCol), " ")
@@ -320,7 +329,9 @@ object TextAnalysis {
     val parts = (0 until n).map(i => col("g")(i.toString))
     docs
       .select(explode(z).as("g"))
-      .select(concat_ws(" ", parts: _*).as("gram"), xxhash64(parts: _*).as("h"))
+      .select(concat_ws(" ", parts: _*).as("gram"))
+      .withColumn("h",
+        element_at(Dedup.shingleHash64(col("gram"), n, keepPartial = true), 1))
   }
 
   /** Exact corpus-wide frequent n-grams: every n-gram with at least
@@ -375,10 +386,25 @@ object TextAnalysis {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val spark = docs.sparkSession
     val g = ngramStream(docs, textCol, n)
-    val cms = g.select(col("h")).rdd.treeAggregate(
-      new graft.functions.CountMin(width, depth))(
-      (c, r) => { c.add(r.getLong(0)); c },
-      (a, b) => a.merge(b))
+    // The sketch pass runs the FUSED-string fingerprint path (no regex
+    // split, no token array, no gram struct — the same native shape
+    // whose stability the decon/shingle tiers are built on) and folds
+    // each partition with a tight primitive loop over InternalRows.
+    // Both a TypedImperativeAggregate build and an `.rdd`
+    // treeAggregate were measured first at 10⁶ docs and rejected: each
+    // put an interpreted, allocating step on the 43M-occurrence update
+    // path and carried the known JIT-fragility (21→57 s CPU swings of
+    // the identical stage across same-JVM reps; BENCH_LOCAL round-10).
+    val keys = docs.select(explode(
+      Dedup.shingleHash64(col(textCol), n, keepPartial = false)).as("h"))
+    val sketches = keys.queryExecution.toRdd.mapPartitions { it =>
+      val c = new graft.functions.CountMin(width, depth)
+      while (it.hasNext) c.add(it.next().getLong(0))
+      Iterator.single(c)
+    }
+    val cms = if (sketches.getNumPartitions == 0)
+      new graft.functions.CountMin(width, depth)
+    else sketches.treeReduce((a, b) => a.merge(b))
     val bc = spark.sparkContext.broadcast(cms)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hot = ColumnBridge.column(graft.functions.CmsAtLeastExpr(
