@@ -1355,6 +1355,26 @@ object LlmQueries {
             SELECT gram, cnt FROM c WHERE cnt >= 40
             ORDER BY cnt DESC, gram"""))
 
+  /** L: content-defined chunking ([[Cdc.chunkTable]] — Gear-hash
+    * boundaries, FastCDC-style). Row-local, deterministic (fixed gear
+    * table, integer arithmetic) — every offset/length/fingerprint is
+    * re-derived exactly by the Python cross-oracle. */
+  val l50CdcChunks = Q(
+    "l50_cdc_chunks",
+    (s, dir) => Cdc.chunkTable(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    None)
+
+  /** L: the chunk-level dedup ledger ([[Cdc.chunkDedupStats]] — per
+    * doc, the byte volume covered by chunks shared with another doc:
+    * what a CDC chunk store would save). Exact integer counts + one
+    * division; cross-checked by the Python chunker end to end. */
+  val l51CdcDedupStats = Q(
+    "l51_cdc_dedup",
+    (s, dir) => Cdc.chunkDedupStats(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1366,5 +1386,6 @@ object LlmQueries {
     l34JlProject, l35PqServe, l36PackSequences, l37TemperatureSample,
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
     l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
-    l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams)
+    l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
+    l50CdcChunks, l51CdcDedupStats)
 }

@@ -501,6 +501,61 @@ def bpe_encode_py(docs, merges):        # Bpe.bpeEncodeStats
     return rows
 
 
+CDC_GEAR = [splitmix_mix((0x9E6C63D0A2849B1F + i * GOLD) & M64) for i in range(256)]
+
+
+def cdc_spans_py(text, min_size=32, avg_bits=6, max_size=256):  # Cdc.chunkSpans
+    bs = text.encode("utf-8")
+    mask = (1 << avg_bits) - 1
+    spans, start, h = [], 0, 0
+    for i, b in enumerate(bs):
+        h = ((h << 1) + CDC_GEAR[b]) & M64
+        ln = i - start + 1
+        if (ln >= min_size and (h & mask) == 0) or ln >= max_size:
+            spans.append((start, ln))
+            start, h = i + 1, 0
+    if start < len(bs):
+        spans.append((start, len(bs) - start))
+    out = []
+    for off, ln in spans:
+        fp = FNV_OFF
+        for j in range(off, off + ln):
+            fp = ((fp ^ bs[j]) * FNV_P) & M64
+        out.append((off, ln, s64(fp)))
+    return out
+
+
+def l50_py(docs):                        # Cdc.chunkTable
+    rows = []
+    for i, t in docs:
+        if t is None:
+            continue
+        for idx, (off, ln, fp) in enumerate(cdc_spans_py(t)):
+            rows.append((i, idx, off, ln, fp))
+    return rows
+
+
+def l51_py(docs):                        # Cdc.chunkDedupStats
+    chunks = l50_py(docs)
+    owners = {}
+    for i, _, _, _, fp in chunks:
+        owners.setdefault(fp, set()).add(i)
+    agg = {}
+    for i, _, _, ln, fp in chunks:
+        n, tot, sh = agg.get(i, (0, 0, 0))
+        agg[i] = (n + 1, tot + ln, sh + (ln if len(owners[fp]) >= 2 else 0))
+    # Spark round(double, 6) is BigDecimal HALF_UP over the double's
+    # shortest decimal repr; Python's round() is half-to-even and CAN
+    # differ on exact 7th-decimal ties (k/128 byte ratios) — mirror
+    # Spark's rule explicitly
+    from decimal import Decimal, ROUND_HALF_UP
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                                rounding=ROUND_HALF_UP))
+    return [(i, n, tot, sh, r6(sh / tot) if tot else 0.0)
+            for i, (n, tot, sh) in agg.items()]
+
+
 docs = con.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
 crosscheck("l9_fingerprint", ["doc_id", "fp"],
            [(i, fingerprint_py(t)) for i, t in docs])
@@ -532,8 +587,14 @@ bpe_merges, _ = bpe_train_py(docs)
 crosscheck("l47_bpe_merges", ["rank", "left", "right", "pair_count"], bpe_merges)
 crosscheck("l48_bpe_encode", ["doc_id", "n_words", "n_pieces"],
            bpe_encode_py(docs, bpe_merges))
+crosscheck("l50_cdc_chunks",
+           ["doc_id", "chunk_idx", "chunk_off", "chunk_len", "chunk_fp"],
+           l50_py(docs))
+crosscheck("l51_cdc_dedup",
+           ["doc_id", "n_chunks", "total_bytes", "shared_bytes", "shared_frac"],
+           l51_py(docs))
 
-print(f"PASS {len(ok)}/{len(oracle) + 12}: {' '.join(ok)}")
+print(f"PASS {len(ok)}/{len(oracle) + 14}: {' '.join(ok)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
 sys.exit(1 if bad else 0)
