@@ -1375,6 +1375,30 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** L: epoch-weighted dataset repetition
+    * ([[TextAnalysis.epochMix]] — fractional pretraining epochs
+    * materialized as explicit copies: floor(w) each plus a
+    * deterministic-hash slice getting the extra epoch). Row-local;
+    * md5-derived coin flips are cross-engine exact, so every copy row
+    * is DuckDB-oracled. */
+  val l52EpochMix = Q(
+    "l52_epoch_mix",
+    (s, dir) => TextAnalysis.epochMix(
+        Tables(s, dir, "documents"), "doc_id", "source",
+        weights = Map("src0" -> 2.5, "src1" -> 0.5))
+      .orderBy(col("doc_id"), col("copy_idx")),
+    Some("""WITH t AS (SELECT doc_id, source,
+                   CASE source WHEN 'src0' THEN 2.5
+                               WHEN 'src1' THEN 0.5 ELSE 1.0 END AS w,
+                   (('0x' || substr(md5('epoch#' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+                     / 4294967296.0 AS h
+                 FROM documents),
+                 n AS (SELECT doc_id, source,
+                   CAST(floor(w) + (CASE WHEN h < w - floor(w) THEN 1 ELSE 0 END) AS INT) AS n
+                 FROM t)
+            SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS copy_idx
+            FROM n WHERE n > 0 ORDER BY doc_id, copy_idx"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1387,5 +1411,5 @@ object LlmQueries {
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
     l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
-    l50CdcChunks, l51CdcDedupStats)
+    l50CdcChunks, l51CdcDedupStats, l52EpochMix)
 }

@@ -472,6 +472,41 @@ object TextAnalysis {
     * global hash-order rank. The oracle states the semantics directly
     * with the single-window form; this is a physical-plan divergence
     * only, pinned equal by the hash gate. */
+  /** EPOCH-WEIGHTED dataset repetition — the other half of mixture
+    * construction: where [[temperatureSample]] decides how much of each
+    * source to KEEP, this materializes fractional repetition ("Wikipedia
+    * for 2.5 epochs, CommonCrawl for 0.8") as explicit copies. Every doc
+    * of a source with weight w emits `floor(w)` copies plus one more iff
+    * its deterministic hash-fraction < frac(w) — so per-doc copies are
+    * always floor(w) or ceil(w), expected copies = w·n exactly, and the
+    * choice of WHICH docs get the extra epoch is a fixed pseudorandom
+    * slice, not a biased prefix. Entirely row-local (one `sequence`
+    * explode, no shuffle); md5-derived uniforms make the whole expansion
+    * cross-engine exact, so the query is fully DuckDB-oracled. */
+  def epochMix(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      weights: Map[String, Double],
+      default: Double = 1.0): DataFrame = {
+    require(default >= 0 && weights.values.forall(_ >= 0), "weights must be >= 0")
+    val w = weights.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(srcCol) === k, lit(v)).otherwise(acc)
+    }
+    // uniform [0,1): first 32 md5 bits / 2^32 — both engines parse the
+    // same 8 hex chars of the same digest, so the coin flip is exact
+    val h01 = conv(substring(
+        md5(concat(lit("epoch#"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    docs
+      .select(col(idCol), col(srcCol))
+      .withColumn("__n",
+        (floor(w) + when(h01 < w - floor(w), 1).otherwise(0)).cast("int"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(srcCol),
+        explode(sequence(lit(0L), (col("__n") - 1).cast("long"))).as("copy_idx"))
+  }
+
   def temperatureSample(
       docs: DataFrame,
       idCol: String,
