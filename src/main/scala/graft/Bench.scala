@@ -75,6 +75,7 @@ object Bench {
     "l48_bpe_encode",       // BPE train (24 merge rounds) + row-local encode — subsumes l47
     "l49_frequent_ngrams",  // count-min prefilter + exact heavy-hitter recount
     "l39_paragraph_dedup",  // paragraph dedup + doc reconstruction (2 shuffles)
+    "l51_cdc_dedup",        // gear-hash CDC chunking + chunk-fp dedup ledger
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups
     "l27_pretrain_pipeline", // composed dedup→gates→decontaminate→split flow

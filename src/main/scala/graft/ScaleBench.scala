@@ -460,6 +460,26 @@ object ScaleBench {
         graft.operators.TextAnalysis.frequentNgramsExact(
           docs, "text", 2, scaledMinCount).count()
       }
+      // content-defined chunking at corpus scale: the chunk table is a
+      // row-local gear-hash byte loop (no shuffle); the dedup ledger
+      // adds one chunk-fp hash-agg + a join back. The 200×-replicated
+      // fixture is the adversarial duplicate-mass shape: every chunk
+      // repeats ~200×, so the ledger join fans every chunk row
+      if (wanted("cdc_chunks")) runs("cdc_chunks") = timed("cdc_chunks") {
+        graft.operators.Cdc.chunkTable(docs, "doc_id", "text").count()
+      }
+      if (wanted("cdc_dedup")) runs("cdc_dedup") = timed("cdc_dedup") {
+        graft.operators.Cdc.chunkDedupStats(docs, "doc_id", "text").count()
+      }
+      // epoch-weighted repetition: row-local sequence explode — the
+      // measurement is the explode + copy materialization rate
+      if (wanted("epoch_mix")) runs("epoch_mix") = timed("epoch_mix") {
+        // full table read: the shared `docs` frame is pruned to
+        // (doc_id, text) and this operator keys on `source`
+        graft.operators.TextAnalysis.epochMix(
+          Tables(spark, ddir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5)).count()
+      }
       // the s10 end-to-end loop: fold the corpus through 4 time-ordered
       // ingest batches (build + 3× query-then-append-survivors) — the
       // cost of standing the index UP incrementally, vs dix_build's
