@@ -43,6 +43,25 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("session_start"), col("user_id"), col("n"))
 
+  /** Per-window key counts for the TRENDING / windowed-heavy-hitter
+    * pattern (s11): extract the JSON `props.k` key, count per
+    * (tumbling window, key) under a watermark. Only the COUNT runs in
+    * the stream (append mode — a window's counts emit once finalized,
+    * state evicted); the top-k RANK over a still-open window is not
+    * append-safe, so ranking happens downstream on finalized windows
+    * (foreachBatch, or the s11 batch replay that oracles the whole
+    * pipeline). State is one counter per (window, key) — bounded by
+    * the watermark horizon × key cardinality, the same envelope as
+    * [[tumblingCounts]]. */
+  def trendingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("k"), col("n"))
+
   /** Stream dedup within the watermark horizon (bounded state). */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

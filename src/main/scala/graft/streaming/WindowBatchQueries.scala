@@ -336,7 +336,43 @@ object WindowBatchQueries {
     },
     None)
 
+  /** S: windowed TRENDING keys — per tumbling 1-hour window, the top-3
+    * `props.k` values by count (ties to the smaller key): the
+    * streaming heavy-hitter pattern ("what's trending this hour").
+    * This is the batch replay of [[StreamingOps.trendingCounts]] — the
+    * stream computes the per-(window, key) counts incrementally under
+    * a watermark; the rank runs over finalized windows (here: all of
+    * them). StreamingSpec pins the MemoryStream run's finalized counts
+    * ≡ this replay's count tier; the whole replay incl. the rank is
+    * DuckDB-oracled. */
+  val s11TrendingReplay = Q(
+    "s11_trending_replay",
+    (s, dir) => {
+      import s.implicits._
+      val counts = Tables(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy(window($"ts", "1 hour").as("w"), $"k")
+        .agg(count(lit(1)).as("n"))
+      val rk = Window.partitionBy($"w").orderBy($"n".desc, $"k")
+      counts
+        .withColumn("rank", row_number().over(rk).cast("long"))
+        .filter($"rank" <= 3)
+        .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"k", $"n", $"rank")
+        .orderBy($"window_start", $"rank")
+    },
+    Some("""WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 r AS (SELECT window_start, k, n,
+                              row_number() OVER (PARTITION BY window_start
+                                                 ORDER BY n DESC, k) AS rank
+                       FROM c)
+            SELECT window_start, k, n, rank FROM r WHERE rank <= 3
+            ORDER BY window_start, rank"""))
+
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
     s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
-    s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay)
+    s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay, s11TrendingReplay)
 }

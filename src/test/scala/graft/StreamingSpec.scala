@@ -23,6 +23,38 @@ class StreamingSpec extends SparkSpec {
     finally q.stop()
   }
 
+  case class EvP(event_id: Long, ts: Timestamp, props: String)
+
+  test("trending counts: per-window key counts finalize under the watermark; late key dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[EvP]
+    val agg = StreamingOps.trendingCounts(stream.toDF(), "10 minutes", "10 minutes")
+    def ev(id: Long, minute: Int, k: Int) = EvP(id, ts(minute), s"""{"k": $k}""")
+    runBatches("trend", stream, agg, "append")(
+      Seq(ev(1, 0, 7), ev(2, 3, 7), ev(3, 5, 9)),  // window 10:00: k=7 ×2, k=9 ×1
+      Seq(ev(4, 40, 9)),                            // watermark -> 10:30, finalizes 10:00
+      Seq(ev(5, 2, 7)),                             // LATE 10:02 < wm -> dropped
+      Seq(ev(6, 70, 9))                             // advance wm, flush 10:40
+    )
+    val rows = spark.table("trend")
+      .select(date_format($"window_start", "HH:mm").as("w"), $"k", $"n")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows(("10:00", 7L)) == 2, s"late event must not count: $rows")
+    assert(rows(("10:00", 9L)) == 1)
+    assert(rows(("10:40", 9L)) == 1)
+    // the streaming count tier feeds the same rank the s11 replay runs:
+    // ranking the finalized table reproduces the replay's top-k shape
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"window_start").orderBy($"n".desc, $"k")
+    val ranked = spark.table("trend")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" === 1)
+      .select(date_format($"window_start", "HH:mm").as("w"), $"k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranked("10:00") === 7L, s"k=7 should trend in 10:00: $ranked")
+  }
+
   test("tumbling window + watermark: late event beyond watermark is dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
