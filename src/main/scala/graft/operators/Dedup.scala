@@ -329,6 +329,52 @@ object Dedup {
     * fingerprint-keyed ([[shingleHash64]], 8-byte join keys, ~n²/2⁶⁴
     * collision odds — a
     * collision could only OVER-drop, never leak a benchmark n-gram). */
+  /** Benchmark-side contamination AUDIT — the report the corpus-side
+    * drop passes (l17/l38/l40) don't produce: for every BENCHMARK
+    * document, how exposed is it in the corpus? Per bench doc:
+    * `n_shingles` (its distinct n-grams), `n_hit_shingles` (how many
+    * appear in some corpus doc), `n_corpus_docs` (distinct corpus docs
+    * sharing at least one), `hit_frac`. This is the artifact an eval
+    * owner reads to decide whether a benchmark is burned — the reverse
+    * direction of decontamination, which decides which corpus docs to
+    * drop.
+    *
+    * Scale shape: the bench shingle set is tiny, so the join
+    * broadcasts it; the corpus pass is row-local shingling
+    * ([[shingleHash64]]) and only MATCHED (bench-shingle, corpus-doc)
+    * rows ever shuffle into the per-bench-doc distinct counts — the
+    * corpus itself never reshuffles. Zero-hit and null-text bench docs
+    * survive with zero counts (left join from the bench base). */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 8): DataFrame = {
+    val n = corpus.sparkSession.sparkContext.defaultParallelism
+    val base = bench.select(col(idCol),
+      coalesce(size(array_distinct(shingleHash64(col(textCol), shingleN))), lit(0))
+        .cast("long").as("n_shingles"))
+    val bsh = bench.select(col(idCol),
+      explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
+    val csh = corpus
+      .repartition(n, col(idCol))
+      .select(col(idCol).as("__cid"),
+        explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
+    val hits = csh.join(broadcast(bsh), "s")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("s")).as("n_hit_shingles"),
+        countDistinct(col("__cid")).as("n_corpus_docs"))
+    base.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("n_hit_shingles"), lit(0L)).cast("double") / col("n_shingles"),
+            6)).as("hit_frac"))
+  }
+
   def decontaminate(
       docs: DataFrame,
       bench: DataFrame,

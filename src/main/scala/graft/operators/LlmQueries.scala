@@ -1399,6 +1399,44 @@ object LlmQueries {
             SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS copy_idx
             FROM n WHERE n > 0 ORDER BY doc_id, copy_idx"""))
 
+  /** L: benchmark contamination audit ([[Dedup.contaminationReport]] —
+    * the reverse of l17: per BENCH doc, its corpus exposure). The
+    * fingerprint join reproduces the string-shingle oracle exactly
+    * barring 2⁻⁶⁴ collisions (same trade as l17, documented there). */
+  val l53ContaminationAudit = Q(
+    "l53_contamination_audit",
+    (s, dir) => {
+      val all = Tables(s, dir, "documents")
+      Dedup.contaminationReport(
+        all.filter(col("doc_id") % 50 =!= 0), all.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", shingleN = 8)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 7, 1)),
+                                 i -> array_to_string(t[i:i+7], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 b AS (SELECT doc_id AS bid, s FROM sets WHERE doc_id % 50 = 0),
+                 c AS (SELECT doc_id AS cid, s FROM sets WHERE doc_id % 50 != 0),
+                 j AS (SELECT bid, count(DISTINCT s) AS ns, count(DISTINCT cid) AS nd
+                       FROM (SELECT b.bid, c.cid, b.s FROM b JOIN c USING (s))
+                       GROUP BY bid),
+                 sz AS (SELECT bid, count(*) AS n FROM b GROUP BY bid)
+            SELECT d.doc_id,
+                   coalesce(sz.n, 0) AS n_shingles,
+                   coalesce(j.ns, 0) AS n_hit_shingles,
+                   coalesce(j.nd, 0) AS n_corpus_docs,
+                   CASE WHEN coalesce(sz.n, 0) = 0 THEN 0.0
+                        ELSE round(coalesce(j.ns, 0) * 1.0 / sz.n, 6) END AS hit_frac
+            FROM documents d
+            LEFT JOIN sz ON sz.bid = d.doc_id
+            LEFT JOIN j ON j.bid = d.doc_id
+            WHERE d.doc_id % 50 = 0
+            ORDER BY d.doc_id"""))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1411,5 +1449,5 @@ object LlmQueries {
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
     l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
-    l50CdcChunks, l51CdcDedupStats, l52EpochMix)
+    l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit)
 }

@@ -593,4 +593,22 @@ class DedupSpec extends SparkSpec {
       assert(sub, s"doc $id: dedup output is not a subsequence of the original")
     }
   }
+  test("contaminationReport: verbatim bench copy is fully hit; disjoint doc is zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j k l"),   // verbatim copy of bench doc 100
+      (2L, "z y x w v u t s r q p o")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d e f g h i j k l"), // every shingle in corpus doc 1
+      (101L, "m m m m m m m m m m m m"), // disjoint; all 5 windows identical -> 1 distinct shingle
+      (102L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rep(100L)._4 === 1.0)
+    assert(rep(100L)._3 === 1L, "exactly one contaminating corpus doc")
+    assert(rep(101L) === ((1L, 0L, 0L, 0.0)))
+    assert(rep(102L) === ((0L, 0L, 0L, 0.0)), "null-text bench doc reports zeros")
+  }
+
 }
