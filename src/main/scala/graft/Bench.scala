@@ -35,6 +35,14 @@ object Bench {
     * presumed resident. The bench itself hasn't run yet at sample time, so
     * anything ≫ idle is foreign; 2.0 leaves headroom for OS background. */
   val LoadRetryThreshold = 2.0
+  /** CPU-steal percentage across the pass above which the hypervisor
+    * neighbor is presumed resident. Steal is contention the other two
+    * signals cannot see (a stolen vCPU still reads busy and the gauge
+    * query is stolen-from proportionally, keeping drift ≈ 1): a 13.6%
+    * steal storm inflated a 44-query pass 42 → 67 s while drift read a
+    * clean 0.36. Clean-pass history on this box reads 0-2%; the
+    * documented burst mode reaches ~20%. */
+  val StealRetryThreshold = 5.0
 
   val headline: Seq[String] = Seq(
     "d1_q1_pricing",        // scan + hash agg
@@ -121,28 +129,45 @@ object Bench {
     // honest artifact must never err. Failures record time = -1.0 plus
     // the exception class/message, and the process exits nonzero.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // TWO untimed warm-up runs, not one: the round-10 settling-depth
-    // experiments (BENCH_LOCAL.md) showed runs 1-2 of a query's shapes
-    // in a JVM carry 2.5-4× JIT bias even when other queries already
-    // ran — with a single warm-up the timed pass measures run 2 and
-    // l4-class codegen-heavy queries drew anywhere in 1.8-12 s across
-    // otherwise-identical sessions. The second warm-up costs ~20-30 s
-    // across the headline set and puts every timed run at depth 3.
+    // THREE same-JVM runs per query, ALL timed, MIN reported. Two of
+    // them existed before as untimed warm-ups (the round-10
+    // settling-depth experiments showed runs 1-2 of a shape carry
+    // 2.5-4× JIT bias, so single-run timings were depth-3). Timing the
+    // warm-ups too costs nothing and closes the remaining hole: this
+    // box has a one-rep-in-~10 pure-CPU JIT mode (zero GC, identical
+    // stage, 4-10× — BENCH_r10 prep measured l41 at 11.45 s inside a
+    // gauge-clean pass where its same-day record is 1.15 s), and a
+    // single timed run lets that mode land IN the artifact while the
+    // contention gauge reads clean. Min-of-N under one-sided noise is
+    // the steady state — the same policy ScaleBench adopted. The
+    // worst per-query max/min ratio ships as "spread_max" so an
+    // artifact that DID absorb an outlier says so itself.
+    var spreadQ = ""
+    var spreadRatio = 1.0
     def timed(name: String): Double = {
       val fn = qs(name)
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up 1
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => } // warm-up 2
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          val msg = (e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(160)
-          errors(name) = msg
-          System.err.println(s"[bench] QUERY FAILED $name — $msg")
-          -1.0
+      var lastErr: String = null
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            lastErr = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n')).take(160)
+            -1.0
+        }
+      }
+      val runs = Seq(once(), once(), once()).filter(_ >= 0)
+      if (runs.isEmpty) {
+        errors(name) = lastErr
+        System.err.println(s"[bench] QUERY FAILED $name — $lastErr")
+        -1.0
+      } else {
+        val ratio = runs.max / math.max(runs.min, 1e-9)
+        if (ratio > spreadRatio) { spreadQ = name; spreadRatio = ratio }
+        runs.min
       }
     }
     def loadAvg(): Double =
@@ -176,16 +201,21 @@ object Bench {
     /** One full bracketed pass: gauge query, timed set, gauge query again. */
     case class Attempt(results: Seq[(String, Double)], gaugeFirst: Double,
                        gaugeLast: Double, drift: Double,
-                       loadStart: Double, loadEnd: Double, stealPct: Double) {
-      def contaminated: Boolean = drift > DriftRetryThreshold || loadStart > LoadRetryThreshold
+                       loadStart: Double, loadEnd: Double, stealPct: Double,
+                       spreadQuery: String, spreadMax: Double) {
+      def contaminated: Boolean =
+        drift > DriftRetryThreshold || loadStart > LoadRetryThreshold ||
+          stealPct > StealRetryThreshold
       def json: String = {
         val qJson = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
         s"""{"queries":$qJson,"total":${r3(results.map(_._2).sum)},""" +
           s""""gauge":{"query":"$gaugeQ","first":${r3(gaugeFirst)},"last":${r3(gaugeLast)},"drift":${r3(drift)}},""" +
-          s""""load_avg":{"start":${r3(loadStart)},"end":${r3(loadEnd)}},"steal_pct":${r3(stealPct)}}"""
+          s""""load_avg":{"start":${r3(loadStart)},"end":${r3(loadEnd)}},"steal_pct":${r3(stealPct)},""" +
+          s""""spread_max":{"query":"$spreadQuery","ratio":${r3(spreadMax)}}}"""
       }
     }
     def runAttempt(tag: String): Attempt = {
+      spreadQ = ""; spreadRatio = 1.0 // per-attempt worst max/min across a query's 3 runs
       val loadStart = loadAvg()
       val (busy0, steal0) = cpuStat()
       val gaugeFirst = timed(gaugeQ)
@@ -204,8 +234,9 @@ object Bench {
           100.0 * (steal1 - steal0) / ((busy1 - busy0) + (steal1 - steal0))
         else 0.0
       val drift = if (gaugeFirst > 0) gaugeLast / gaugeFirst else -1.0
-      System.err.println(f"[bench:$tag] gauge-last  $gaugeQ $gaugeLast%8.2f s (load $loadEnd%.2f, drift $drift%.2f×, steal $stealPct%.1f%%)")
-      Attempt(results, gaugeFirst, gaugeLast, drift, loadStart, loadEnd, stealPct)
+      System.err.println(f"[bench:$tag] gauge-last  $gaugeQ $gaugeLast%8.2f s (load $loadEnd%.2f, drift $drift%.2f×, steal $stealPct%.1f%%, spread $spreadRatio%.1f× @ $spreadQ)")
+      Attempt(results, gaugeFirst, gaugeLast, drift, loadStart, loadEnd, stealPct,
+        spreadQ, spreadRatio)
     }
 
     // Self-healing: rounds 4 and 6 both shipped artifacts inflated 5-20× by a
@@ -269,7 +300,9 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     println(s"""{"attempts":${attempts.map(_.json).mkString("[", ",", "]")}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"steal_pct":${r3(official.stealPct)},"retried":${attempts.size > 1},"errors":$errJson}""")
+    val spreadJson =
+      s"""{"query":"${official.spreadQuery}","ratio":${r3(official.spreadMax)}}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"steal_pct":${r3(official.stealPct)},"spread_max":$spreadJson,"retried":${attempts.size > 1},"errors":$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
