@@ -1437,6 +1437,24 @@ object LlmQueries {
             WHERE d.doc_id % 50 = 0
             ORDER BY d.doc_id"""))
 
+  /** L/D: persisted mergeable HLL sketch rollup
+    * ([[SketchRollup]] — per-(event_type, day) DataSketches HLL
+    * sketches built once, persisted, merged to per-type distinct-user
+    * estimates without rescanning raw data). Sketch binaries are
+    * engine-internal ⇒ rows-only here; SketchRollupSpec pins
+    * merge-equals-whole, the accuracy bound vs exact distincts, and
+    * the parquet round-trip. */
+  val l54SketchRollup = Q(
+    "l54_sketch_rollup",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+      val sketches = SketchRollup.buildSketchTable(ev, Seq("event_type", "day"), "user_id")
+      SketchRollup.rollup(sketches, Seq("event_type"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1449,5 +1467,6 @@ object LlmQueries {
     l38BloomDecontaminate, l39ParagraphDedup, l40FuzzyDecon, l41WindowDedup,
     l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
-    l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit)
+    l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
+    l54SketchRollup)
 }
