@@ -160,9 +160,16 @@ object Bench {
         }
       }
       val runs = Seq(once(), once(), once()).filter(_ >= 0)
-      if (runs.isEmpty) {
+      // ANY failed run is recorded and fails the bench — a query that
+      // crashes 1-of-3 times is broken even if a min time exists, and
+      // the former runs-empty-only check let intermittent failures ship
+      // a clean artifact with exit 0
+      if (lastErr != null) {
         errors(name) = lastErr
-        System.err.println(s"[bench] QUERY FAILED $name — $lastErr")
+        System.err.println(
+          s"[bench] QUERY FAILED $name (${3 - runs.size}/3 runs) — $lastErr")
+      }
+      if (runs.isEmpty) {
         -1.0
       } else {
         val ratio = runs.max / math.max(runs.min, 1e-9)

@@ -448,10 +448,14 @@ object ScaleBench {
       // distinct-gram shuffle) needs a diversity this fixture lacks.
       // minCount scales with the replication so the survivor set stays
       // the sf0.1 one.
-      lazy val scaledMinCount = {
-        val nd = docs.count()
-        math.max(40L, 40L * (nd / 5000L))
-      }
+      // a plain val forced OUTSIDE the timed blocks: as a lazy val the
+      // docs.count() corpus pass was charged to whichever A/B variant
+      // ran first, biasing the comparison this pair exists for
+      val scaledMinCount: Long =
+        if (wanted("freq_ngrams") || wanted("freq_ngrams_exact")) {
+          val nd = docs.count()
+          math.max(40L, 40L * (nd / 5000L))
+        } else 40L
       if (wanted("freq_ngrams")) runs("freq_ngrams") = timed("freq_ngrams") {
         graft.operators.TextAnalysis.frequentNgrams(
           docs, "text", 2, scaledMinCount).count()

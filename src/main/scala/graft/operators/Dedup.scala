@@ -343,22 +343,23 @@ object Dedup {
     * broadcasts it; the corpus pass is row-local shingling
     * ([[shingleHash64]]) and only MATCHED (bench-shingle, corpus-doc)
     * rows ever shuffle into the per-bench-doc distinct counts — the
-    * corpus itself never reshuffles. Zero-hit and null-text bench docs
-    * survive with zero counts (left join from the bench base). */
+    * corpus itself never reshuffles (the broadcast join needs no
+    * co-partitioning, so there is deliberately NO corpus repartition
+    * here; scan parallelism comes from the source's file splits).
+    * Zero-hit and null-text bench docs survive with zero counts (left
+    * join from the bench base). */
   def contaminationReport(
       corpus: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 8): DataFrame = {
-    val n = corpus.sparkSession.sparkContext.defaultParallelism
     val base = bench.select(col(idCol),
       coalesce(size(array_distinct(shingleHash64(col(textCol), shingleN))), lit(0))
         .cast("long").as("n_shingles"))
     val bsh = bench.select(col(idCol),
       explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
     val csh = corpus
-      .repartition(n, col(idCol))
       .select(col(idCol).as("__cid"),
         explode(array_distinct(shingleHash64(col(textCol), shingleN))).as("s"))
     val hits = csh.join(broadcast(bsh), "s")

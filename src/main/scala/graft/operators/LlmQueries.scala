@@ -964,13 +964,22 @@ object LlmQueries {
     * 64-bit wrapping arithmetic DuckDB lacks), but the Python
     * cross-oracle in tools/check_oracle.py reproduces the projection
     * BIT-EXACTLY (integer-derived matrix + identical IEEE op order),
-    * so this query is cross-engine-checked, not rows-only. */
+    * so this query is cross-engine-checked, not rows-only.
+    *
+    * Declared output is the SCALAR form — `(vec_id, pos, value)` via
+    * posexplode — not the raw array column: the driver's harness
+    * canonicalizes results through pandas sort/factorize, which cannot
+    * hash an ndarray cell (the one red row in CORRECTNESS_r10 was this
+    * query's array output crashing that canonicalization, not the
+    * operator). The values stay raw doubles, so the Python cross-check
+    * remains bit-exact. */
   val l34JlProject = Q(
     "l34_jl_project",
     (s, dir) => Similarity.jlProject(
       Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", outDim = 16)
-      .orderBy(col("vec_id")),
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "value")))
+      .orderBy(col("vec_id"), col("pos")),
     None)
 
   /** The l35 PQ index for `dir`'s embeddings table, session-cached like

@@ -39,10 +39,12 @@ object SketchRollup {
   }
 
   /** Merge a (possibly persisted) sketch table down to `keep` grain and
-    * estimate: distinct counts at any coarser grain, no raw data. */
+    * estimate: distinct counts at any coarser grain, no raw data.
+    * `keep = Seq.empty` is the GLOBAL (grand-total) rollup — one row,
+    * every sketch merged. */
   def rollup(sketches: DataFrame, keep: Seq[String]): DataFrame = {
-    require(keep.nonEmpty, "need at least one grouping column (use a literal for global)")
-    sketches.groupBy(keep.map(col): _*)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct"))
+    val est = hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_distinct")
+    if (keep.isEmpty) sketches.agg(est)
+    else sketches.groupBy(keep.map(col): _*).agg(est)
   }
 }

@@ -56,7 +56,10 @@ object StreamingOps {
   def trendingCounts(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "1 hour"): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // -1 sentinel for missing/null keys — keeps the downstream rank's
+      // tie-break engine-agnostic (see s11TrendingReplay)
+      .withColumn("k",
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("k"))
       .agg(count(lit(1)).as("n"))

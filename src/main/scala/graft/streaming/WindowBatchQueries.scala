@@ -349,8 +349,13 @@ object WindowBatchQueries {
     "s11_trending_replay",
     (s, dir) => {
       import s.implicits._
+      // missing/null $.k coalesces to the -1 sentinel (d8's discipline):
+      // without it a null key group tying at the top-3 boundary would
+      // rank differently across engines (Spark sorts nulls FIRST
+      // ascending, DuckDB LAST)
       val counts = Tables(s, dir, "events")
-        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .withColumn("k",
+          coalesce(get_json_object($"props", "$.k").cast("long"), lit(-1L)))
         .groupBy(window($"ts", "1 hour").as("w"), $"k")
         .agg(count(lit(1)).as("n"))
       val rk = Window.partitionBy($"w").orderBy($"n".desc, $"k")
@@ -362,7 +367,7 @@ object WindowBatchQueries {
         .orderBy($"window_start", $"rank")
     },
     Some("""WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-                              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                              COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
                               count(*) AS n
                        FROM events GROUP BY 1, 2),
                  r AS (SELECT window_start, k, n,

@@ -21,7 +21,10 @@ for t in TABLES:
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 
-def canon(rows, cols):
+def canon(rows, cols, exact_floats=False):
+    # exact_floats=True skips the 6dp rounding: repr() of a Python float
+    # is shortest-round-trip, so the comparison is bit-exact — used by
+    # the cross-checks whose whole point is IEEE-identical replay (l34)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -31,7 +34,7 @@ def canon(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                else:
+                elif not exact_floats:
                     v = round(v, 6)
                     if v == 0:
                         v = 0.0
@@ -335,7 +338,7 @@ def l46_py(embs, nlist=16, iters=2):      # Similarity.clusterAssign
             for i, v in embs]
 
 
-def crosscheck(name, cols, expected_rows):
+def crosscheck(name, cols, expected_rows, exact_floats=False):
     try:
         got_rel = con.execute(
             f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
@@ -344,8 +347,8 @@ def crosscheck(name, cols, expected_rows):
     except Exception as e:
         bad.append((name, f"CROSS EXEC ERROR: {e}"))
         return
-    g, gc = canon(got_rows, got_cols)
-    e, ec = canon(expected_rows, cols)
+    g, gc = canon(got_rows, got_cols, exact_floats)
+    e, ec = canon(expected_rows, cols, exact_floats)
     if gc != ec:
         bad.append((name, f"CROSS SCHEMA: spark={gc} python={ec}"))
     elif g != e:
@@ -573,8 +576,13 @@ crosscheck("l3_simhash", ["id_a", "id_b", "hamming"], l3_py(docs))
 embs = con.execute(
     "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
 jl_mat = jl_matrix_py()
-crosscheck("l34_jl_project", ["vec_id", "proj"],
-           [(i, jl_project_py(v, jl_mat)) for i, v in embs])
+# scalar (vec_id, pos, value) form — the declared query posexplodes the
+# projection so the driver harness can canonicalize it; the values are
+# raw doubles, compared BIT-EXACTLY (exact_floats)
+crosscheck("l34_jl_project", ["vec_id", "pos", "value"],
+           [(i, p, val) for i, v in embs
+            for p, val in enumerate(jl_project_py(v, jl_mat))],
+           exact_floats=True)
 crosscheck("l38_bloom_decontaminate", ["doc_id"], l38_py(docs))
 l42 = l42_py(docs)
 crosscheck("l42_dedup_index_query", ["doc_id"], l42)
