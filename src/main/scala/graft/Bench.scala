@@ -111,7 +111,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = SparkEntry.queries
+    val qs = SparkEntry.benchQueries
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration; the
     // driver leaves it unset and gets the full headline set. Unknown or
     // empty names fail LOUDLY — a typo that silently benched nothing

@@ -27,4 +27,12 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Q.all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** What Bench times per name: the production operator shape. Equal to
+    * [[queries]] except where a query's DECLARED form is an invariant
+    * wrapper (operator + in-plan truth check, for the driver's DuckDB
+    * gate) — there the benchmark times the bare operator, so timings
+    * stay comparable round over round and to BASELINE.md. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Q.all.map(q => q.name -> q.bench.getOrElse(q.run)).toMap
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Multimodal
 import graft.{Checkpoints, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2b group L — the LLM training-data pipeline operators, as
@@ -265,29 +266,77 @@ object LlmQueries {
                    CAST(len(regexp_extract_all(text, '[a-z]{8,}')) AS INT) AS n_long_words
             FROM documents ORDER BY doc_id"""))
 
+  /** Id offset for the planted-duplicate recall gates: the corpus is
+    * DOUBLED with offset ids (every vector gains one exact copy), the
+    * ANN path under test runs queries = originals against the doubled
+    * corpus, and the gate asserts each query's planted partner
+    * (`qid + PlantOffset`, cosine exactly 1.0) lands in its top-k.
+    * DETERMINISTIC, not probabilistic: an identical vector has an
+    * identical band signature / cell assignment, so it is always a
+    * candidate, and the fixture has no organic duplicate vectors
+    * (verified per SF), so the partner is the unique non-self cosine-1
+    * neighbor — rank 1 under the exact re-rank every ANN path shares.
+    * A miss can only mean the candidate stage lost a sure candidate or
+    * the re-rank mis-scored it: exactly the failures an ANN gate must
+    * catch. Far above any fixture vec_id, so planted ids never collide. */
+  private val PlantOffset = 100000000L
+
+  /** The planted-recall invariant query: `(qid, found)` for every
+    * original vector, `found` ⇔ the planted partner is in the query's
+    * top-k under `topk(queries, doubledCorpus)`. Left join from the
+    * corpus base so a query the ANN path DROPPED entirely reads
+    * `found = false` (red), never disappears. DuckDB oracle:
+    * `SELECT vec_id AS qid, true AS found FROM embeddings`. */
+  private def plantedRecall(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      topk: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(
+      emb.select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
+    val hit = topk(emb, corpus)
+      .filter(col("nid") === col("qid") + PlantOffset)
+      .select(col("qid")).distinct().withColumn("found", lit(true))
+    emb.select(col("vec_id").as("qid"))
+      .join(hit, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("found"), lit(false)).as("found"))
+      .orderBy(col("qid"))
+  }
+
+  private val PlantedRecallOracle =
+    "SELECT vec_id AS qid, CAST(1 AS BOOLEAN) AS found FROM embeddings ORDER BY vec_id"
+
   /** L: LSH ANN top-3 — the similarity-search SCALE path, declared. The
     * plan is band-bucket equi-join candidates + exact cosine re-rank:
     * O(bucket) work per query, no corpus broadcast, no nested-loop join
     * (ExplainSpec pins the plan; SimilaritySpec pins recall vs l5's
-    * brute-force oracle). Seeded hyperplanes → deterministic, but not
-    * SQL-expressible, so the driver records a rows-only check. */
+    * brute-force oracle). Seeded hyperplanes aren't SQL-expressible, so
+    * the DECLARED form is the [[plantedRecall]] invariant — identical
+    * band signatures make the planted partner a sure candidate, so the
+    * gate is deterministic and DuckDB-checkable; the benchmark times the
+    * bare self-join top-k a deployment runs. */
   val l13LshTopk = Q(
     "l13_lsh_topk",
-    (s, dir) => {
+    (s, dir) => plantedRecall(s, dir, (q, c) => Similarity.lshTopK(q, c, 3)),
+    Some(PlantedRecallOracle),
+    bench = Some((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb, 3).orderBy(col("qid"), col("rank"))
-    },
-    None)
+    }))
 
   /** L: IVF ANN top-3 — coarse-quantizer scale path (stride centroids,
-    * cell equi-join, exact re-rank). Deterministic; rows-only check. */
+    * cell equi-join, exact re-rank). Declared as the [[plantedRecall]]
+    * invariant: an identical vector gets an identical cell assignment,
+    * so the partner sits in the query's first probed cell — a
+    * deterministic gate on the candidate join + re-rank. Bench times
+    * the bare self-join form. */
   val l14IvfTopk = Q(
     "l14_ivf_topk",
-    (s, dir) => {
+    (s, dir) => plantedRecall(s, dir, (q, c) => Similarity.ivfTopK(q, c, 3)),
+    Some(PlantedRecallOracle),
+    bench = Some((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb, 3).orderBy(col("qid"), col("rank"))
-    },
-    None)
+    }))
 
   /** L: video-frame sampling plumbing over binary payloads — every
     * stride-th byte window, oracled in DuckDB via substring windows. */
@@ -463,15 +512,19 @@ object LlmQueries {
     * cell equi-join) touches ONLY the 4×-compressed codes; floats are
     * re-attached per candidate for the exact re-rank, so reported
     * scores are exact cosine. Deterministic (stride centroids,
-    * round-half-up codes) but not SQL-expressible; rows-only check
-    * here, recall bounds vs brute force in SimilaritySpec. */
+    * round-half-up codes) but not SQL-expressible, so the DECLARED form
+    * is the [[plantedRecall]] invariant — identical vectors get
+    * identical int8 codes, hence identical cells, a deterministic
+    * DuckDB-checkable gate; recall bounds vs brute force stay in
+    * SimilaritySpec and bench times the bare self-join form. */
   val l22IvfInt8 = Q(
     "l22_ivf_int8_topk",
-    (s, dir) => {
+    (s, dir) => plantedRecall(s, dir, (q, c) => Similarity.ivfTopKInt8(q, c, 3)),
+    Some(PlantedRecallOracle),
+    bench = Some((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopKInt8(emb, emb, 3).orderBy(col("qid"), col("rank"))
-    },
-    None)
+    }))
 
   /** L: repetition signals — the Gopher-style boilerplate/degeneration
     * filter (duplicate-2-gram fraction, top-2-gram share, duplicate-
@@ -850,25 +903,66 @@ object LlmQueries {
       out
     })
 
+  /** Per-query read-path PARITY gate: `(qid, parity)` over `base` ids,
+    * `parity` ⇔ sides `a` and `b` (both `(qid, rank, nid, cos)` top-k
+    * frames) are ROW-IDENTICAL for that query. A rank present on one
+    * side only, or differing in nid or score, coalesces to false (Spark
+    * `bool_and` would silently IGNORE the null comparison); a qid with
+    * rows on NEITHER side is vacuously equal (coalesce(true) after the
+    * base left join). DuckDB oracle: `SELECT vec_id AS qid, true`. */
+  private def topKParity(base: DataFrame, a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("qid"), col("rank"),
+      col("nid").as("a_nid"), col("cos").as("a_cos"))
+    val r = b.select(col("qid"), col("rank"),
+      col("nid").as("b_nid"), col("cos").as("b_cos"))
+    val per = l.join(r, Seq("qid", "rank"), "full_outer")
+      .groupBy(col("qid"))
+      .agg(bool_and(coalesce(
+        col("a_nid") === col("b_nid") && col("a_cos") === col("b_cos"),
+        lit(false))).as("parity"))
+    base.select(col("vec_id").as("qid"))
+      .join(per, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("parity"), lit(true)).as("parity"))
+      .orderBy(col("qid"))
+  }
+
   /** L: the persisted ANN index tier, build side — centroids (with
     * per-cell posting counts and hot-cell shard widths) + INT8 postings
     * (1 B/elem codes + scale/norm scalars, ~4× smaller than the float
     * corpus) partitioned by cell, materialized once at ingest (at
     * 100 TB the index IS the product; per-run recompute is the honest
-    * bench cost, never the deployment shape). Returns the deterministic
-    * per-cell posting histogram, answered from the nlist-row centroid
-    * table — the postings are never scanned for bookkeeping. No SQL
-    * oracle (stride-centroid argmax assignment is not reasonably
-    * SQL-expressible) — the driver records the rows-only check;
-    * SimilaritySpec pins build/read invariants: Σ n_vectors = corpus
-    * size, read-path parity with l22's direct path, and the
-    * single-scan/no-recompute plan gate. */
+    * bench cost, never the deployment shape). Stride-centroid argmax
+    * assignment is not reasonably SQL-expressible, so the DECLARED form
+    * is the build-INTEGRITY invariant, one row: Σ n_vectors over the
+    * centroid table and the posting count must both equal the corpus
+    * size (which DuckDB asserts directly from the source table), and no
+    * posting may reference a cell absent from the centroid table. The
+    * bookkeeping reads stay index-shaped: totals come from the nlist-row
+    * centroid table + a metadata-only posting count. Read-path parity
+    * and the single-scan plan gate stay in SimilaritySpec; bench times
+    * the raw histogram read. */
   val l29AnnIndexBuild = Q(
     "l29_ann_index_build",
-    (s, dir) => s.read.parquet(s"${annIndex(s, dir)}/centroids")
+    (s, dir) => {
+      val idx = annIndex(s, dir)
+      val cents = s.read.parquet(s"$idx/centroids")
+      val posts = s.read.parquet(s"$idx/postings")
+      val a = cents.agg(
+        coalesce(sum(col("n_vectors")), lit(0L)).cast("long").as("n_vectors_total"))
+      val b = posts.agg(count(lit(1)).as("n_postings"))
+      val orph = posts.select(col("cell"))
+        .join(cents.select(col("cell")), Seq("cell"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      a.crossJoin(b).crossJoin(orph)
+        .select(col("n_vectors_total"), col("n_postings"),
+          (col("n_vectors_total") === col("n_postings") &&
+            col("n_orphans") === 0).as("integrity_ok"))
+    },
+    Some("""SELECT count(*) AS n_vectors_total, count(*) AS n_postings,
+                   CAST(1 AS BOOLEAN) AS integrity_ok FROM embeddings"""),
+    bench = Some((s, dir) => s.read.parquet(s"${annIndex(s, dir)}/centroids")
       .filter(col("n_vectors") > 0)
-      .select(col("cell"), col("n_vectors")).orderBy(col("cell")),
-    None)
+      .select(col("cell"), col("n_vectors")).orderBy(col("cell"))))
 
   /** L: ANN top-k answered FROM the persisted int8 index — the read
     * path that amortizes l29's build. The postings scan is the corpus
@@ -877,15 +971,25 @@ object LlmQueries {
     * screen in code space with the sound Cauchy–Schwarz margin and only
     * survivors re-attach exact vectors. Output is row-identical to l22
     * at the same nlist — compression and screening choose candidates,
-    * never scores. */
+    * never scores — and the DECLARED form gates exactly that:
+    * [[topKParity]] of the indexed read path against the direct
+    * [[Similarity.ivfTopKInt8]] path, per query, DuckDB-checkable.
+    * Bench times the bare indexed read path. */
   val l30AnnIndexQuery = Q(
     "l30_ann_index_query",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      topKParity(emb,
+        Similarity.ivfTopKInt8(emb, emb, 3),
+        Similarity.ivfTopKIndexed(emb, emb, annIndex(s, dir), 3))
+    },
+    Some("""SELECT vec_id AS qid, CAST(1 AS BOOLEAN) AS parity
+            FROM embeddings ORDER BY vec_id"""),
+    bench = Some((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       Similarity.ivfTopKIndexed(emb, emb, annIndex(s, dir), 3)
         .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    }))
 
   /** L: the asymmetric SERVING shape — |Q| ≪ |C| (every 20th vector as
     * the query batch) against the l29 index. This is the regime the
@@ -894,22 +998,32 @@ object LlmQueries {
     * re-index, and the probe fanout touches nprobe cells per query. The
     * self-join ANN queries (l13/l14/l22) cover the corpus×corpus
     * regime; this covers retrieval. Row-identical to [[Similarity
-    * .ivfTopKInt8]] restricted to the same query batch (SimilaritySpec
-    * pins it). */
+    * .ivfTopKInt8]] restricted to the same query batch — and the
+    * DECLARED form gates exactly that via [[topKParity]], per query,
+    * DuckDB-checkable. Bench times the bare serve path. */
   val l31AnnServe = Q(
     "l31_ann_serve",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") % 20 === 0)
+      topKParity(batch,
+        Similarity.ivfTopKInt8(batch, emb, 3),
+        Similarity.ivfTopKIndexed(batch, emb, annIndex(s, dir), 3))
+    },
+    Some("""SELECT vec_id AS qid, CAST(1 AS BOOLEAN) AS parity
+            FROM embeddings WHERE vec_id % 20 = 0 ORDER BY vec_id"""),
+    bench = Some((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       Similarity.ivfTopKIndexed(
         emb.filter(col("vec_id") % 20 === 0), emb, annIndex(s, dir), 3)
         .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    }))
 
   /** L: incremental index maintenance — build the index on the base
     * corpus (vec_id % 10 ≠ 0), APPEND the held-out batch (centroids
-    * fixed, only touched cell partitions gain files), and return the
-    * refreshed per-cell histogram. The read path after the append is
+    * fixed, only touched cell partitions gain files), and declare the
+    * post-append integrity invariant (bench returns the refreshed
+    * per-cell histogram). The read path after the append is
     * row-identical to a fresh rebuild over the full corpus at the same
     * centroids (SimilaritySpec pins the parity) — the m4/m5 upsert
     * machinery applied to the ANN tier, so a growing corpus never
@@ -924,11 +1038,38 @@ object LlmQueries {
       Similarity.buildIvfIndex(
         emb.filter(col("vec_id") % 10 =!= 0), out, cellCap = Some(256)).count()
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), out).count()
+      // the DECLARED output is the post-append INTEGRITY invariant (the
+      // l29 form): after build-base + append, the refreshed centroid
+      // bookkeeping and the posting files must both cover the FULL
+      // corpus exactly once — DuckDB asserts both totals equal the
+      // source-table count, so a lost or double-appended batch is red.
+      // Append ≡ rebuild read parity stays in SimilaritySpec.
+      val cents = s.read.parquet(s"$out/centroids")
+      val posts = s.read.parquet(s"$out/postings")
+      val a = cents.agg(
+        coalesce(sum(col("n_vectors")), lit(0L)).cast("long").as("n_vectors_total"))
+      val b = posts.agg(count(lit(1)).as("n_postings"))
+      val orph = posts.select(col("cell"))
+        .join(cents.select(col("cell")), Seq("cell"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      a.crossJoin(b).crossJoin(orph)
+        .select(col("n_vectors_total"), col("n_postings"),
+          (col("n_vectors_total") === col("n_postings") &&
+            col("n_orphans") === 0).as("integrity_ok"))
+    },
+    Some("""SELECT count(*) AS n_vectors_total, count(*) AS n_postings,
+                   CAST(1 AS BOOLEAN) AS integrity_ok FROM embeddings"""),
+    bench = Some((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val out = annIndexRoot.resolve(
+        "append_" + Integer.toHexString(dir.hashCode)).toString
+      Similarity.buildIvfIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), out, cellCap = Some(256)).count()
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), out).count()
       s.read.parquet(s"$out/centroids")
         .filter(col("n_vectors") > 0)
         .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
-    },
-    None)
+    }))
 
   /** L: the index INGEST cost, unamortized — a fresh [[Similarity
     * .buildIvfIndex]] into a new directory on every invocation (no
@@ -937,10 +1078,10 @@ object LlmQueries {
     * deployment READS (built once, amortized); this row measures what
     * a growing 100 TB deployment PAYS daily — the write path — which
     * the r9 verdict flagged as invisible because l29's cache let the
-    * first l30 run absorb it silently. Output = the same deterministic
-    * per-cell histogram as l29 (same corpus, same centroids, same
-    * cellCap), so the driver's rows-only check pins the build's
-    * assignment behavior too. */
+    * first l30 run absorb it silently. The fresh build produces the
+    * same deterministic per-cell histogram as l29 (same corpus, same
+    * centroids, same cellCap) — the declared invariant output asserts
+    * exactly that, cell for cell, plus the DuckDB-checked total. */
   private val freshIndexCounter = new java.util.concurrent.atomic.AtomicLong(0)
   val l33AnnIndexFresh = Q(
     "l33_ann_index_fresh",
@@ -951,11 +1092,35 @@ object LlmQueries {
       Similarity.buildIvfIndex(
         Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         out, cellCap = Some(256)).count()
+      // DECLARED output: one row — total posted vectors (DuckDB asserts
+      // = corpus count) and HISTOGRAM PARITY of the fresh build against
+      // the session-cached l29 index (same corpus, same deterministic
+      // centroids ⇒ cell-for-cell identical posting counts). The fresh
+      // build cost is still paid every invocation — that is what this
+      // row measures; the parity read adds only two nlist-row scans.
+      val fresh = s.read.parquet(s"$out/centroids")
+        .select(col("cell"), col("n_vectors").as("f_n"))
+      val cached = s.read.parquet(s"${annIndex(s, dir)}/centroids")
+        .select(col("cell"), col("n_vectors").as("c_n"))
+      fresh.join(cached, Seq("cell"), "full_outer")
+        .agg(
+          coalesce(sum(col("f_n")), lit(0L)).cast("long").as("n_vectors_total"),
+          bool_and(coalesce(col("f_n") === col("c_n"), lit(false)))
+            .as("histogram_parity"))
+    },
+    Some("""SELECT count(*) AS n_vectors_total,
+                   CAST(1 AS BOOLEAN) AS histogram_parity FROM embeddings"""),
+    bench = Some((s, dir) => {
+      val out = annIndexRoot.resolve(
+        "fresh_" + Integer.toHexString(dir.hashCode) + "_" +
+          freshIndexCounter.getAndIncrement()).toString
+      Similarity.buildIvfIndex(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        out, cellCap = Some(256)).count()
       s.read.parquet(s"$out/centroids")
         .filter(col("n_vectors") > 0)
         .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
-    },
-    None)
+    }))
 
   /** L: seeded sparse JL dimensionality reduction of the embedding
     * column (Achlioptas 2003 "Database-friendly random projections") —
@@ -1002,18 +1167,28 @@ object LlmQueries {
     * (~8× less postings IO than the int8 tier at d = 64, m = 8) with
     * per-query ADC lookup tables and the sound residual-interval screen
     * ([[Similarity.pqTopKIndexed]]). Row-identical to l31 at the shared
-    * centroid table (SimilaritySpec pins the parity) — compression
-    * chooses candidates, never scores. No SQL oracle (codebook training
-    * is k-means); rows-only here, parity + soundness spec-checked. */
+    * centroid table — compression chooses candidates, never scores —
+    * and the DECLARED form gates exactly that: [[topKParity]] of the PQ
+    * serve path against the int8 index serve path on the same batch,
+    * per query, DuckDB-checkable (ADC soundness stays spec-checked).
+    * Bench times the bare PQ serve path. */
   val l35PqServe = Q(
     "l35_pq_serve",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val batch = emb.filter(col("vec_id") % 20 === 0)
+      topKParity(batch,
+        Similarity.ivfTopKIndexed(batch, emb, annIndex(s, dir), 3),
+        Similarity.pqTopKIndexed(batch, emb, pqIndex(s, dir), 3))
+    },
+    Some("""SELECT vec_id AS qid, CAST(1 AS BOOLEAN) AS parity
+            FROM embeddings WHERE vec_id % 20 = 0 ORDER BY vec_id"""),
+    bench = Some((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       Similarity.pqTopKIndexed(
         emb.filter(col("vec_id") % 20 === 0), emb, pqIndex(s, dir), 3)
         .orderBy(col("qid"), col("rank"))
-    },
-    None)
+    }))
 
   /** L: greedy sequence packing into fixed token-budget training
     * windows — per-shard hash-shuffled streams, running-token-count
@@ -1450,19 +1625,32 @@ object LlmQueries {
     * ([[SketchRollup]] — per-(event_type, day) DataSketches HLL
     * sketches built once, persisted, merged to per-type distinct-user
     * estimates without rescanning raw data). Sketch binaries are
-    * engine-internal ⇒ rows-only here; SketchRollupSpec pins
-    * merge-equals-whole, the accuracy bound vs exact distincts, and
-    * the parquet round-trip. */
+    * engine-internal, so the DECLARED form is the tolerance invariant:
+    * the merged per-type estimate must land within 5% of the exact
+    * per-type distinct count computed in the same plan (HLL lgK = 12 ⇒
+    * ~1.6% relative standard error; at the fixture's cardinalities the
+    * sketch runs in its small-cardinality exact modes, so the bound is
+    * loose) — and DuckDB asserts the exact side directly. SketchRollup
+    * Spec still pins merge-equals-whole and the parquet round-trip. */
   val l54SketchRollup = Q(
     "l54_sketch_rollup",
     (s, dir) => {
       val ev = Tables(s, dir, "events")
         .withColumn("day", to_date(col("ts")))
       val sketches = SketchRollup.buildSketchTable(ev, Seq("event_type", "day"), "user_id")
-      SketchRollup.rollup(sketches, Seq("event_type"))
+      val est = SketchRollup.rollup(sketches, Seq("event_type"))
+      val exact = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct").cast("double") / col("exact_users") - 1.0)
+            <= 0.05).as("within_tol"))
         .orderBy(col("event_type"))
     },
-    None)
+    Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   CAST(1 AS BOOLEAN) AS within_tol
+            FROM events GROUP BY event_type ORDER BY event_type"""))
 
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,

@@ -161,18 +161,29 @@ object AggQueries {
             GROUP BY l_orderkey ORDER BY l_orderkey"""))
 
   /** D: approx distinct (HLL sketch) — mergeable across partitions, the
-    * 100 TB cardinality answer. No SQL oracle (sketches differ between
-    * engines by design); ExplainSpec bounds the error vs exact. */
+    * 100 TB cardinality answer. Sketch estimates differ between engines
+    * by design, so the DECLARED form is the tolerance invariant: the
+    * HLL++ estimate (rsd 0.01) must land within 5% of the exact
+    * distinct count computed in the same aggregation — and DuckDB
+    * asserts the exact side directly. ExplainSpec still bounds the
+    * error shape. */
   val d8ApproxDistinct = Q(
     "d8_approx_distinct",
     (s, dir) => {
       import s.implicits._
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"))
+        .agg(
+          approx_count_distinct($"l_orderkey", 0.01).as("approx"),
+          countDistinct($"l_orderkey").as("exact_orders"))
+        .select($"l_returnflag", $"exact_orders",
+          (abs($"approx".cast("double") / $"exact_orders" - 1.0) <= 0.05)
+            .as("within_tol"))
         .orderBy($"l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+                   CAST(1 AS BOOLEAN) AS within_tol
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** D: pivot — groupBy + pivot compiles to one hash aggregation with
     * conditional measures (NO extra shuffle per pivot value); pivot
@@ -236,9 +247,14 @@ object AggQueries {
 
   /** D: approx percentile (KLL-style mergeable quantile sketch) — the
     * 100 TB quantile answer next to d10's exact form, the same pairing
-    * as d8 (HLL) next to d3 (exact count-distinct). No SQL oracle
-    * (sketches differ between engines by design); ExplainSpec bounds
-    * the error against the exact percentile, like the HLL bound. */
+    * as d8 (HLL) next to d3 (exact count-distinct). Sketch outputs
+    * differ between engines by design, so the DECLARED form is the
+    * rank-tolerance invariant: `approx_percentile(p, accuracy=10⁴)`
+    * returns a data element whose rank is within n/10⁴ of the target,
+    * which is far inside the exact interpolated percentiles at p±0.01 —
+    * each approx quantile must land in its [p−0.01, p+0.01] exact
+    * bracket, computed in the same aggregation. DuckDB asserts the
+    * group sizes and the booleans. */
   val d11ApproxPercentile = Q(
     "d11_approx_percentile",
     (s, dir) => {
@@ -246,15 +262,21 @@ object AggQueries {
       Tables(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.75), 10000)")
-            .as("approx_iqr"))
-        .select($"l_returnflag", $"approx_p50",
-          element_at($"approx_iqr", 1).as("approx_p25"),
-          element_at($"approx_iqr", 2).as("approx_p75"))
+          count(lit(1)).as("n"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("ap"),
+          expr("""percentile(l_extendedprice,
+                  array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))""").as("ep"))
+        .select($"l_returnflag", $"n",
+          (element_at($"ap", 1).between(element_at($"ep", 1), element_at($"ep", 2)) &&
+            element_at($"ap", 2).between(element_at($"ep", 3), element_at($"ep", 4)) &&
+            element_at($"ap", 3).between(element_at($"ep", 5), element_at($"ep", 6)))
+            .as("within_rank_tol"))
         .orderBy($"l_returnflag")
     },
-    None)
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   CAST(1 AS BOOLEAN) AS within_rank_tol
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** D: correlation + covariance per group — built from exact integer
     * co-moments (Σx, Σy, Σx², Σy², Σxy over decimal-cast integers), not
