@@ -167,6 +167,51 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash/LSH candidates VERIFIED by exact n-gram Jaccard — the
+    * classic two-stage near-dup pipeline: band collisions PROPOSE,
+    * exact set overlap DISPOSES. Output contract identical to
+    * [[ngramJaccard]] (`(id_a, id_b, jaccard)`, jaccard ≥ threshold,
+    * exact values), which is what makes this form DuckDB-oracle-able
+    * even though the candidate stage is seeded-hash banding. Recall is
+    * the only difference: a true pair is missed iff its docs collide
+    * in NO band — per-band collision probability is J^(k/bands), so at
+    * k=32/bands=8 a J=0.89 pair needs 8 independent ~0.63-probability
+    * failures to hide (~2e-4), and exact duplicates share every band
+    * deterministically (miss probability 0).
+    *
+    * 100 TB shape vs [[ngramJaccard]]: banding is row-local and the
+    * candidate join keys on (band, bkey) — no shingle-df skew surface,
+    * no dfCap machinery; the verify stage re-attaches the two DISTINCT
+    * shingle-fingerprint sets by id (the candidate list is pair-count
+    * sized, broadcast-able) and intersects row-locally — the exact
+    * intersection cost scales with |candidates|, not |corpus|². */
+  def minhashLshVerified(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    // threshold = 0.0 keeps every band-collision candidate: the exact
+    // verify below is the ONLY disposition, so an under-estimated true
+    // pair can't be pre-filtered away by its signature estimate
+    val cand = minhashLsh(docs, idCol, textCol, shingleN, k, bands, threshold = 0.0)
+      .select(col("id_a"), col("id_b"))
+    val sets = docs.select(col(idCol).as("__vid"),
+      array_distinct(shingleHash64(col(textCol), shingleN)).as("__vsh"))
+    cand
+      .join(sets.select(col("__vid").as("id_a"), col("__vsh").as("sh_a")), "id_a")
+      .join(sets.select(col("__vid").as("id_b"), col("__vsh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("ni"),
+        size(col("sh_a")).cast("double").as("na"),
+        size(col("sh_b")).cast("double").as("nb"))
+      .withColumn("jaccard", col("ni") / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 rare shingle —
     * the shingle-equality join IS the candidate pruning (no cross join).
     * Integer intersection/union counts, one double division: exact in any

@@ -698,7 +698,13 @@ object Similarity {
       bitsPerBand: Int,
       dim: Int = 64,
       seed: Long = 42L): Option[Int] = {
-    if (n0 == 0L) return None
+    // a corpus at or under the 4096-row absolute floor CANNOT engage
+    // ([[engageCap]] requires a bucket > 4096 rows and no bucket can
+    // exceed the corpus), so the probe job would be a guaranteed no-op
+    // — skip it. This is exactness, not a heuristic: it removes one
+    // probe aggregation per call at bench/fixture scale while the
+    // 10⁶-scale corpora the guards exist for always probe.
+    if (n0 <= 4096L) return None
     val k = probeModulus(n0)
     // hyperplanes() fills sequentially from the seed, so the first
     // `bitsPerBand` planes ARE production band 0 — the probe sees the
@@ -729,7 +735,11 @@ object Similarity {
       total: Long,
       nlist: Int,
       matBc: org.apache.spark.broadcast.Broadcast[CentroidMatrix]): Option[Int] = {
-    if (total == 0L) return None
+    // same sub-floor skip as [[autoBucketCap]]: no cell of a ≤4096-row
+    // corpus can clear engageCap's 4096-row absolute floor, so the
+    // probe is a provable no-op — return the identical None without
+    // paying the sample-assign-histogram job
+    if (total <= 4096L) return None
     val k = probeModulus(total)
     val maxCell = corpus
       .filter(pmod(xxhash64(col("vec_id")), lit(k)) === 0)
