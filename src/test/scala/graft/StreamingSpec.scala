@@ -295,4 +295,153 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(replay == expected, s"batch replay: $replay")
   }
+
+  // --- crash recovery: the half of exactly-once a deployment exercises ---
+  // MemoryStream is NOT replayable across query restarts, so these two
+  // tests drive a FILE source (one file per micro-batch) with a real
+  // checkpointLocation: kill the query mid-stream by throwing from
+  // foreachBatch AFTER the batch's effects ran (the crash-before-commit
+  // window — Spark wrote the offset log but not the commit log), start a
+  // NEW query on the same checkpoint, and assert (a) committed batches
+  // are NOT redelivered, (b) the failed batch IS redelivered with the
+  // same batchId, and (c) the final state/index is identical to an
+  // uninterrupted run.
+
+  test("s9 crash recovery: upsert restarts from its checkpoint; the redelivered batch re-applies idempotently") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s9_recov")
+    val src = root.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val chk = root.resolve("chk").toString
+    def writeFile(n: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(src.resolve(n), rows.mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id LONG, event_id LONG, seq LONG, value DOUBLE")
+    var state = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("user_id", "event_id", "seq", "value")
+    val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var poison = false
+    val latestW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"seq".desc, $"event_id".desc)
+    // latest-per-key merge is NATURALLY idempotent: re-applying the same
+    // batch reproduces the same state, so the redelivered batch needs no
+    // ledger — this is the property that makes foreachBatch-upsert safe
+    // under at-least-once delivery
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(src.toString)
+      .writeStream.option("checkpointLocation", chk).outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        delivered += bid
+        val latest = batch.withColumn("__rn", row_number().over(latestW))
+          .filter($"__rn" === 1).drop("__rn")
+        state = graft.operators.MergeUpsert.upsert(state, latest, "user_id")
+          .localCheckpoint()
+        if (poison) {
+          poison = false
+          throw new RuntimeException("injected crash: effects ran, commit log not written")
+        }
+      }.start()
+
+    writeFile("b0.json", Seq(
+      """{"user_id":1,"event_id":1,"seq":1,"value":1.0}""",
+      """{"user_id":2,"event_id":2,"seq":2,"value":2.0}"""))
+    val q1 = start()
+    q1.processAllAvailable()
+    writeFile("b1.json", Seq("""{"user_id":1,"event_id":3,"seq":3,"value":3.0}"""))
+    poison = true
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    writeFile("b2.json", Seq("""{"user_id":3,"event_id":4,"seq":4,"value":5.0}"""))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // offsets recovered: batch 0 never redelivered; batch 1 redelivered
+    // ONCE with its original id; batch 2 fresh
+    assert(delivered.toList == List(0L, 1L, 1L, 2L), s"deliveries: $delivered")
+    val got = state.select($"user_id", $"value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 3.0, 2L -> 2.0, 3L -> 5.0), s"got $got")
+  }
+
+  test("s10 crash recovery: ingest-dedup restarts from checkpoint; marker-guarded append stays exactly-once") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_s10_recov")
+    val src = root.resolve("src"); Files.createDirectories(src)
+    val chk = root.resolve("chk").toString
+    val idxDir = root.resolve("idx").toString
+    val uniq = (c: Char) => (1 to 30).map(i => s"$c token$i$c word$i").mkString(" ")
+    def docJson(id: Long, text: String) = s"""{"doc_id":$id,"text":"$text"}"""
+    // same corpus/expectations as the ingest-fold test above
+    val b0 = Seq((1L, uniq('a')), (2L, uniq('b')))
+    val b1 = Seq((11L, uniq('a')), (12L, uniq('c')), (13L, uniq('c')))
+    val b2 = Seq((23L, uniq('c')), (24L, uniq('d')))
+    val expected = Map(1L -> 0, 2L -> 0, 12L -> 1, 13L -> 1, 24L -> 2)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    var survivors = Seq.empty[(Long, Long)].toDF("doc_id", "ingest_batch")
+    @volatile var poison = false
+    // UNLIKE the upsert, query+append is NOT idempotent: re-querying a
+    // batch against an index that already contains it would let
+    // within-batch duplicates (12/13) suppress each other on the second
+    // pass. The standard fix is a per-batchId commit marker written
+    // after the batch's effects — a redelivered batch whose marker
+    // exists is skipped wholesale. (A real deployment makes
+    // append+marker one atomic manifest commit, Delta/Iceberg-style;
+    // the marker models that commit.)
+    def applied(bid: Long) = Files.exists(Paths.get(idxDir, "applied", s"batch_$bid"))
+    def mark(bid: Long): Unit = {
+      Files.createDirectories(Paths.get(idxDir, "applied"))
+      Files.createFile(Paths.get(idxDir, "applied", s"batch_$bid")): Unit
+    }
+    def start() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(src.toString)
+      .writeStream.option("checkpointLocation", chk).outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        if (!applied(bid)) {
+          val kept =
+            if (bid == 0L) {
+              graft.operators.DedupIndex.build(batch, "doc_id", "text", idxDir)
+              batch
+            } else {
+              val s = graft.operators.DedupIndex
+                .query(batch, "doc_id", "text", idxDir).localCheckpoint()
+              graft.operators.DedupIndex.append(s, "doc_id", "text", idxDir)
+              s
+            }
+          survivors = survivors.unionByName(
+            kept.select($"doc_id", lit(bid).as("ingest_batch"))).localCheckpoint()
+          mark(bid)
+        }
+        if (poison) {
+          poison = false
+          throw new RuntimeException("injected crash: batch committed to the index, stream commit log not written")
+        }
+      }.start()
+
+    Files.write(src.resolve("b0.json"),
+      b0.map((docJson _).tupled).mkString("\n").getBytes)
+    val q1 = start()
+    q1.processAllAvailable()
+    Files.write(src.resolve("b1.json"),
+      b1.map((docJson _).tupled).mkString("\n").getBytes)
+    poison = true
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    Files.write(src.resolve("b2.json"),
+      b2.map((docJson _).tupled).mkString("\n").getBytes)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = survivors.collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, s"recovered fold: $got")
+    // the persisted index is IDENTICAL to an uninterrupted batch replay
+    // over the same schedule — band row for band row
+    val replayDir = Files.createTempDirectory("graft_s10_recov_replay").toString
+    graft.operators.DedupIndex.ingestFold(
+      Seq(b0, b1, b2).map(_.toDF("doc_id", "text")),
+      "doc_id", "text", replayDir).collect()
+    def bandRows(d: String) = spark.read.parquet(s"$d/bands")
+      .select($"band", $"bkey", $"doc_id")
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(bandRows(idxDir) == bandRows(replayDir),
+      "recovered index must equal the uninterrupted replay's band table")
+  }
 }
