@@ -211,7 +211,13 @@ object DedupIndex {
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = bandsT.select(col("band"), col("bkey"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    // CPU-dense wave sizing ([[Similarity.denseShuffleSides]]): both
+    // sides shuffle every band row with its k-long signature payload
+    // (~8k+64 B); the row count is a metadata-only parquet count.
+    // Below one 64 MB wave the sides come back untouched.
+    val (aj, bj) = Similarity.denseShuffleSides(a, b, Seq("band", "bkey"),
+      2L * bandsT.count(), 8 * k + 64)
+    aj.join(bj, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
       .dropDuplicates("id_a", "id_b")

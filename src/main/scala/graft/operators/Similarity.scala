@@ -597,7 +597,13 @@ object Similarity {
     val effCellCap = cellCap.orElse(if (autoGuard)
       autoCellCap(withGeom(corpus), "geom", total, nlist, matBc) else None)
     val (qk, ck, joinKeys) = shardHotCells(q, c, effCellCap)
-    qk.join(ck, joinKeys)
+    // CPU-dense wave sizing (see denseShuffleSides): self-join upper
+    // bound total·(1+nprobe) rows; each side's payload is the quantize3
+    // re-rank vectors + scalars, ~448 B/row measured at dim 64 (the
+    // 2.2 GB / 5·10⁶-row int8 shuffle of the round-10 A/B)
+    val (qj, cj) = denseShuffleSides(qk, ck, joinKeys,
+      total * (1L + nprobe), bytesPerRow = 448)
+    qj.join(cj, joinKeys)
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosCol(col("qv"), col("nv"), col("qn"), col("nn")))
       .select(col("qid"), col("nid"), col("cos"))
@@ -653,6 +659,47 @@ object Similarity {
           explode(sequence(lit(0), greatest(col("nshards"), lit(1)) - 1)))
         .drop("nshards")
       (qk, ck, Seq("cell", "shard"))
+  }
+
+  /** Plan-time WAVE SIZING for the CPU-dense candidate joins — the
+    * per-regime form of the AQE advisory lever BENCH_LOCAL.md's
+    * round-10 addendum measured: AQE's default 64 MB advisory coalesces
+    * a multi-GB, compute-bound shuffle to ~one task per core, and a
+    * single slow task then doubles the whole wave (10⁶ ivf_int8
+    * measured 92–180 s across sessions; 16 MB tasks → ~4 waves →
+    * 49–64 s, variance collapsed). A global 16 MB advisory is WRONG for
+    * the relational regime (it replans small-shuffle joins into
+    * under-filled reducers, 10–30× regressions), so the engine derives
+    * the split per JOB from the estimated shuffle width instead:
+    *
+    *   - below one full 64 MB wave (estBytes ≤ cores · 64 MB) the
+    *     inputs return UNTOUCHED — the plan is byte-identical to the
+    *     pre-sizing one, AQE manages the shuffle as before (the sf0.1 /
+    *     relational regime);
+    *   - above it, both join sides repartition EXPLICITLY on the join
+    *     keys to ceil(estBytes / 16 MB) tasks (floored at 4 waves,
+    *     capped at 32× cores). An explicit-count repartition is exempt
+    *     from AQE coalescing, satisfies the join's distribution
+    *     requirement (no second exchange), and sizes tasks to
+    *     cores × waves — which is what a CPU-bound shuffle wants, vs
+    *     the IO-oriented byte advisory.
+    *
+    * `estRows × bytesPerRow` is a deliberate UPPER BOUND (self-join
+    * row counts, measured payload widths): over-engaging on a serving
+    * shape only means smaller tasks on a corpus-sized scan. */
+  private[operators] def denseShuffleSides(
+      q: DataFrame, c: DataFrame, keys: Seq[String],
+      estRows: Long, bytesPerRow: Int): (DataFrame, DataFrame) = {
+    val cores = q.sparkSession.sparkContext.defaultParallelism
+    val estBytes = estRows.toDouble * bytesPerRow
+    if (estBytes <= cores * 64d * 1024 * 1024) (q, c)
+    else {
+      val nTasks = math.min(
+        math.max(math.ceil(estBytes / (16d * 1024 * 1024)), 4.0 * cores),
+        32.0 * cores).toInt
+      (q.repartition(nTasks, keys.map(col): _*),
+        c.repartition(nTasks, keys.map(col): _*))
+    }
   }
 
   /** Sampling fraction denominator for the skew probes: ids with
@@ -2081,7 +2128,12 @@ object Similarity {
     val rb = screenResid(col("cb"), col("mb"), col("nb"))
     val cosCode = screenCosCode(col("ca"), col("cda"), col("cb"), col("cdb"))
     val margin = lit(2.0) * (ra + rb) + lit(4.0) * ra * rb
-    val cand = q.join(c, Seq("band", "bkey"))
+    // CPU-dense wave sizing (see denseShuffleSides): both sides explode
+    // to ~nBands rows per vector, each carrying the dim-byte code blob
+    // + three scalars (~dim + 48 B)
+    val (qj, cj) = denseShuffleSides(q, c, Seq("band", "bkey"),
+      2L * nBands * n0, bytesPerRow = dim + 48)
+    val cand = qj.join(cj, Seq("band", "bkey"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (cosCode - margin).as("lb"), (cosCode + margin).as("ub"))
