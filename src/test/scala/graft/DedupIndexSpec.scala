@@ -135,4 +135,21 @@ class DedupIndexSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(after == before, "query results must be identical post-compaction")
   }
+
+  test("selfPairs from the index equals minhashLsh's pair set (the l55 pair stage)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dix_selfpairs").toString
+    DedupIndex.build(docs, "doc_id", "text", dir)
+    val fromIndex = DedupIndex.selfPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same constants, same pair rule (shared band + est agreement >=
+    // 0.5), so the index self-join must reproduce the batch operator's
+    // pair set exactly — the equality that lets l55 share l26's oracle
+    val batch = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromIndex.nonEmpty, "fixture must produce near-dup pairs")
+    assert(fromIndex == batch,
+      s"extra=${(fromIndex -- batch).take(5)} missing=${(batch -- fromIndex).take(5)}")
+  }
 }

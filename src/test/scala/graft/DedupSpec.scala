@@ -611,4 +611,39 @@ class DedupSpec extends SparkSpec {
     assert(rep(102L) === ((0L, 0L, 0L, 0.0)), "null-text bench doc reports zeros")
   }
 
+  test("minhashLshVerified: exact scores, precision by construction, deterministic planted recall") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+    val verified = Dedup.minhashLshVerified(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision is STRUCTURAL: the exact-verify stage recomputes the
+    // true Jaccard per candidate, so every emitted pair must agree with
+    // ngramJaccard's score for the same pair, and no pair may appear
+    // under the threshold
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.nonEmpty)
+    assert(verified.values.forall(_ >= 0.5))
+    verified.foreach { case (p, j) =>
+      assert(exact.get(p).contains(j), s"pair $p: verified=$j exact=${exact.get(p)}")
+    }
+    // recall on THIS fixture is total (every >=0.5 pair collides in
+    // some band — the equality the l2 oracle pins at every SF); a
+    // candidate-stage regression shows up here as a missing pair
+    assert(verified.keySet == exact.keySet,
+      s"missing=${(exact.keySet -- verified.keySet).take(5)}")
+    // deterministic planted recall: double the corpus with offset ids —
+    // identical texts share every band signature, so each planted pair
+    // MUST be found at jaccard exactly 1.0, never probabilistically
+    val planted = docs.select(($"doc_id" + 1000000L).as("doc_id"), $"text",
+      $"lang", $"source", $"n_chars")
+    val doubled = Dedup.minhashLshVerified(
+      docs.unionByName(planted), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ids = docs.select($"doc_id").collect().map(_.getLong(0))
+    ids.foreach { i =>
+      assert(doubled.get((i, i + 1000000L)).contains(1.0),
+        s"planted duplicate of $i must pair at jaccard 1.0")
+    }
+  }
 }
