@@ -1448,6 +1448,37 @@ object LlmQueries {
       .orderBy(col("doc_id")),
     None)
 
+  /** L: the JL → ANN COMPOSITION, gated — project 64 → 16 dims
+    * ([[Similarity.jlProject]], the l34 operator) and run LSH top-k IN
+    * THE PROJECTED SPACE ([[Similarity.lshTopK]] at dim = 16): the
+    * "compress, then index" pipeline every scale deployment runs (4×
+    * less band-key arithmetic and 4× smaller codes per vector). The
+    * invariant is [[plantedRecall]]'s, THROUGH the composition:
+    * identical vectors project to identical 16-d vectors (the map is a
+    * pure function), so each query's planted partner still shares
+    * every band signature after projection and must land in its top-3
+    * at cosine exactly 1.0 — compression changed the geometry of
+    * everything EXCEPT the exact-duplicate relation the gate pins.
+    * DuckDB-checkable like l13. */
+  val l56JlAnnRecall = Q(
+    "l56_jl_ann_recall",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
+      val proj = Similarity.jlProject(corpus, "vec_id", "embedding", outDim = 16)
+        .select(col("vec_id"), col("proj").cast("array<float>").as("embedding"))
+      val queries = proj.filter(col("vec_id") < PlantOffset)
+      val hit = Similarity.lshTopK(queries, proj, 3, dim = 16)
+        .filter(col("nid") === col("qid") + PlantOffset)
+        .select(col("qid")).distinct().withColumn("found", lit(true))
+      emb.select(col("vec_id").as("qid"))
+        .join(hit, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("found"), lit(false)).as("found"))
+        .orderBy(col("qid"))
+    },
+    Some(PlantedRecallOracle))
+
   /** L: dedup GROUPS answered from the persisted band index — l26's
     * transitive-closure semantics with the pair stage amortized through
     * [[DedupIndex.selfPairs]] (the corpus is never re-shingled or
@@ -1740,5 +1771,5 @@ object LlmQueries {
     l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
-    l54SketchRollup, l55DedupGroupsIndexed)
+    l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall)
 }
