@@ -1169,7 +1169,14 @@ object LlmQueries {
       "vec_id", "embedding", outDim = 16)
       .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "value")))
       .orderBy(col("vec_id"), col("pos")),
-    None)
+    None,
+    // bench times the production shape — the raw array projection (what
+    // a pipeline consumes); the posexplode exists only for the driver
+    // harness's scalar canonicalization
+    bench = Some((s, dir) => Similarity.jlProject(
+      Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", outDim = 16)
+      .orderBy(col("vec_id"))))
 
   /** The l35 PQ index for `dir`'s embeddings table, session-cached like
     * [[annIndex]] and sharing its centroid table (`centroidsFrom`) so
