@@ -86,6 +86,8 @@ object Bench {
     "l51_cdc_dedup",        // gear-hash CDC chunking + chunk-fp dedup ledger
     "l25_semdedup",         // SemDedup cluster dedup on the doubled corpus
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups
+    "l55_dedup_groups_indexed", // dedup groups from the persisted band index (repeat-run shape)
+    "l56_jl_ann_recall",    // JL 64->16 projection -> LSH ANN composition
     "l27_pretrain_pipeline", // composed dedup→gates→decontaminate→split flow
     "l28_pretrain_neardup", // the pipeline with the component-collapse stage
     "m6_scd2_history")      // SCD2 keep-every-version window

@@ -1484,7 +1484,16 @@ object LlmQueries {
         .select(col("qid"), coalesce(col("found"), lit(false)).as("found"))
         .orderBy(col("qid"))
     },
-    Some(PlantedRecallOracle))
+    Some(PlantedRecallOracle),
+    // bench times the bare composition a pipeline runs: project the
+    // corpus once, self-join ANN in the 16-d space
+    bench = Some((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val proj = Similarity.jlProject(emb, "vec_id", "embedding", outDim = 16)
+        .select(col("vec_id"), col("proj").cast("array<float>").as("embedding"))
+      Similarity.lshTopK(proj, proj, 3, dim = 16)
+        .orderBy(col("qid"), col("rank"))
+    }))
 
   /** L: dedup GROUPS answered from the persisted band index — l26's
     * transitive-closure semantics with the pair stage amortized through
