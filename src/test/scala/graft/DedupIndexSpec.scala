@@ -152,4 +152,21 @@ class DedupIndexSpec extends SparkSpec {
     assert(fromIndex == batch,
       s"extra=${(fromIndex -- batch).take(5)} missing=${(batch -- fromIndex).take(5)}")
   }
+
+  test("selfPairs edge inputs: exact twins pair, null-text and disjoint docs contribute nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dix_selfpairs_edge").toString
+    val tiny = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),        // exact twin of 1 — must pair
+      (3L, null.asInstanceOf[String]), // null text — no band rows at build
+      (4L, "z y x w v u t s"))         // disjoint shingles — no shared band
+      .toDF("doc_id", "text")
+    DedupIndex.build(tiny, "doc_id", "text", dir)
+    val pairs = DedupIndex.selfPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // id ordering canonical (id_a < id_b), no self-pairs by construction
+    assert(pairs.forall { case (a, b) => a < b })
+  }
 }

@@ -72,8 +72,8 @@ for name, sql in sorted(oracle.items()):
 # ---------------------------------------------------------------------------
 # Python cross-oracle for the DETERMINISTIC no_oracle queries.
 #
-# l9 (FNV fingerprint), l16 (winnowing), l2 (seeded minhash LSH) and l3
-# (simhash) are not SQL-expressible (wrapping 64-bit arithmetic), so the
+# l9 (FNV fingerprint), l16 (winnowing) and l3 (simhash) are not
+# SQL-expressible (wrapping 64-bit arithmetic), so the
 # driver records rows-only checks and the Spark specs verify them against
 # Spark-computed ground truth. That is sound but single-engine: the code
 # below reimplements each algorithm INDEPENDENTLY in pure Python from its
