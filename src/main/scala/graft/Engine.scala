@@ -45,10 +45,13 @@ object Engine {
       // the advisory to 16 MB ran it 49-64 s — but the SAME 16 MB
       // default regressed the sf0.1 relational joins 10-30× (c7
       // broadcast 0.5 → 14.8 s; AQE replans small-shuffle joins into
-      // many under-filled reducers). The 16 MB setting is therefore
-      // applied only where it is measured to win: ScaleBench (the 10⁶+
-      // regime) defaults to it via SPARK_GRAFT_ADVISORY, which any
-      // caller can also export to retune this session.
+      // many under-filled reducers). Round-11: the split is now derived
+      // per JOB inside the engine — Similarity.denseShuffleSides gives
+      // the CPU-dense candidate joins an explicit cores×waves
+      // repartition when their estimated shuffle exceeds one 64 MB
+      // wave, and leaves every smaller plan byte-identical — so neither
+      // this session builder nor ScaleBench overrides the advisory
+      // (SPARK_GRAFT_ADVISORY remains as an A/B lever).
       .config("spark.ui.enabled", "false")
     shufflePartitions.foreach(n => b.config("spark.sql.shuffle.partitions", n))
     val s = b.getOrCreate()
