@@ -38,6 +38,21 @@ object SketchRollup {
       .agg(hll_sketch_agg(col(metricCol)).as("sketch"))
   }
 
+  /** Fold a batch's sketch table into the maintained one at the same
+    * grain — the STREAMING/incremental maintenance step (each ingest
+    * batch sketches only ITSELF; the fold is a register-wise
+    * `hll_union_agg` per cell, so the maintained table after any batch
+    * schedule is identical to building over the union of all batches —
+    * the order-independence law SketchRollupSpec pins). At 100 TB this
+    * is "the sketch table is a streaming sink": per-batch work is
+    * batch-sized, the raw history is never rescanned. */
+  def merge(state: DataFrame, batch: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension column")
+    state.unionByName(batch)
+      .groupBy(dims.map(col): _*)
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+  }
+
   /** Merge a (possibly persisted) sketch table down to `keep` grain and
     * estimate: distinct counts at any coarser grain, no raw data.
     * `keep = Seq.empty` is the GLOBAL (grand-total) rollup — one row,

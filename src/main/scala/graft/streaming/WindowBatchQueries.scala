@@ -336,6 +336,43 @@ object WindowBatchQueries {
     },
     None)
 
+  /** S: streaming MAINTENANCE of the l54 sketch tier, batch replay —
+    * each ingest batch sketches only ITSELF per (event_type, day) cell
+    * and FOLDS into the maintained sketch table
+    * ([[graft.operators.SketchRollup.merge]], a register-wise
+    * `hll_union_agg` per cell); the raw history is never rescanned.
+    * Because an HLL register is an order-independent max, the table
+    * after any batch schedule is identical to building over the union
+    * (SketchRollupSpec pins fold ≡ whole exactly), so the folded
+    * rollup satisfies the SAME tolerance invariant as l54 — which is
+    * what the DuckDB oracle checks: per-type estimate within 5% of the
+    * exact distinct count computed in the same plan. */
+  val s12SketchMaintainReplay = Q(
+    "s12_sketch_maintain_replay",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val batches = (0 to 2).map(i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i))
+      val dims = Seq("event_type", "day")
+      val state = batches.tail.foldLeft(
+        graft.operators.SketchRollup.buildSketchTable(batches.head, dims, "user_id")) {
+        (st, b) => graft.operators.SketchRollup.merge(
+          st, graft.operators.SketchRollup.buildSketchTable(b, dims, "user_id"), dims)
+      }
+      val est = graft.operators.SketchRollup.rollup(state, Seq("event_type"))
+      val exact = Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct").cast("double") / col("exact_users") - 1.0)
+            <= 0.05).as("within_tol"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                   CAST(1 AS BOOLEAN) AS within_tol
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** S: windowed TRENDING keys — per tumbling 1-hour window, the top-3
     * `props.k` values by count (ties to the smaller key): the
     * streaming heavy-hitter pattern ("what's trending this hour").
@@ -379,5 +416,6 @@ object WindowBatchQueries {
 
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
     s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
-    s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay, s11TrendingReplay)
+    s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay, s11TrendingReplay,
+    s12SketchMaintainReplay)
 }

@@ -39,6 +39,64 @@ class SketchRollupSpec extends SparkSpec {
     }
   }
 
+  test("incremental merge fold equals building over the union (s12's maintenance law)") {
+    import spark.implicits._
+    val dims = Seq("event_type", "day")
+    // fold three disjoint ingest slices through merge()...
+    val batches = (0 to 2).map(i => events.filter(pmod($"event_id", lit(3)) === i))
+    val folded = batches.tail.foldLeft(
+      SketchRollup.buildSketchTable(batches.head, dims, "user_id")) {
+      (st, b) => SketchRollup.merge(
+        st, SketchRollup.buildSketchTable(b, dims, "user_id"), dims)
+    }
+    // ...and in a DIFFERENT batch order — register-wise max is
+    // commutative, so both folds and the single pass must agree exactly
+    val reordered = Seq(batches(2), batches(0)).foldLeft(
+      SketchRollup.buildSketchTable(batches(1), dims, "user_id")) {
+      (st, b) => SketchRollup.merge(
+        st, SketchRollup.buildSketchTable(b, dims, "user_id"), dims)
+    }
+    val whole = estimates(SketchRollup.rollup(
+      SketchRollup.buildSketchTable(events, dims, "user_id"), Seq("event_type")))
+    assert(estimates(SketchRollup.rollup(folded, Seq("event_type"))) === whole)
+    assert(estimates(SketchRollup.rollup(reordered, Seq("event_type"))) === whole)
+    // and the folded table keeps the fine grain intact (one row per cell)
+    assert(folded.groupBy(dims.map(col): _*).count()
+      .filter($"count" > 1).isEmpty)
+  }
+
+  test("streaming sketch maintenance: foreachBatch fold equals the batch table (s12's streaming shape)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dims = Seq("event_type", "day")
+    val stream = MemoryStream[(String, String, Long)]
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = stream.toDF().toDF("event_type", "day_s", "user_id")
+      .withColumn("day", to_date($"day_s")).drop("day_s")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bs = SketchRollup.buildSketchTable(batch, dims, "user_id")
+        state = (if (state == null) bs
+                 else SketchRollup.merge(state, bs, dims)).localCheckpoint()
+      }.start()
+    val rows = Seq(
+      Seq(("click", "2024-01-01", 1L), ("click", "2024-01-01", 2L), ("view", "2024-01-02", 3L)),
+      Seq(("click", "2024-01-01", 2L), ("click", "2024-01-02", 4L)),
+      Seq(("view", "2024-01-02", 3L), ("view", "2024-01-02", 5L)))
+    try rows.foreach { b => stream.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val got = estimates(SketchRollup.rollup(state, Seq("event_type")))
+    val whole = estimates(SketchRollup.rollup(
+      SketchRollup.buildSketchTable(
+        rows.flatten.toDF("event_type", "day_s", "user_id")
+          .withColumn("day", to_date($"day_s")).drop("day_s"),
+        dims, "user_id"),
+      Seq("event_type")))
+    assert(got === whole, s"stream=$got batch=$whole")
+    assert(got("click") === 3L && got("view") === 2L) // tiny cardinalities: HLL exact mode
+  }
+
   test("persisted sketch table answers the same rollup after a parquet round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sketch_").toString
     try {
