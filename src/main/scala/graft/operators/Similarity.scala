@@ -2128,11 +2128,16 @@ object Similarity {
     val rb = screenResid(col("cb"), col("mb"), col("nb"))
     val cosCode = screenCosCode(col("ca"), col("cda"), col("cb"), col("cdb"))
     val margin = lit(2.0) * (ra + rb) + lit(4.0) * ra * rb
-    // CPU-dense wave sizing (see denseShuffleSides): both sides explode
-    // to ~nBands rows per vector, each carrying the dim-byte code blob
-    // + three scalars (~dim + 48 B)
+    // CPU-dense wave sizing (see denseShuffleSides): the corpus side
+    // explodes to nBands rows per vector, each carrying the dim-byte
+    // code blob + three scalars (~dim + 48 B); in multiProbe mode the
+    // QUERY side explodes to nBands·(b+1) rows per vector (the probe
+    // fanout), so the former flat 2·nBands·n0 estimate undercounted by
+    // ~(b+1)× and a large multi-probe shuffle could miss the wave-sized
+    // repartition entirely (r11 ADVICE)
+    val qFanout = if (multiProbe) nBands.toLong * (b + 1) else nBands.toLong
     val (qj, cj) = denseShuffleSides(q, c, Seq("band", "bkey"),
-      2L * nBands * n0, bytesPerRow = dim + 48)
+      (qFanout + nBands) * n0, bytesPerRow = dim + 48)
     val cand = qj.join(cj, Seq("band", "bkey"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

@@ -554,9 +554,48 @@ for i, t in docs:
     # array_min(empty) is NULL but aggregate(empty, 0L, xor) is 0
     l16.append((i, len(fps), min(fps) if fps else None, s64(x)))
 crosscheck("l16_winnow", ["doc_id", "n_fp", "fp_min", "fp_xor"], l16)
-# l2_minhash_lsh is no longer cross-checked here: its declared form is
-# the LSH+exact-verify pipeline, whose exact scores the generic DuckDB
-# oracle above hash-checks directly
+# l2_minhash_lsh's declared form is the LSH+exact-verify pipeline, whose
+# exact scores the generic DuckDB oracle above hash-checks directly. The
+# EST-ONLY pair rule (band collision + signature agreement >= threshold —
+# l2's bench shape and the exact rule behind DedupIndex.selfPairs/l55)
+# keeps its own cross-engine value check below via l55: the full
+# selfPairs pair set and its min-id closure re-derived in pure Python.
+
+
+def l55_py(docs, threshold=0.5):  # DedupIndex.selfPairs + min-id closure
+    sigs = {i: minhash_sig_py(t.split(" ")) for i, t in docs if t is not None}
+    buckets = {}
+    for i, sig in sigs.items():
+        for band, key in enumerate(band_keys_py(sig)):
+            buckets.setdefault((band, key), []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = min(ids[x], ids[y]), max(ids[x], ids[y])
+                cand.add((a, b))
+    pairs = [(a, b) for a, b in cand
+             if sum(1 for u, v in zip(sigs[a], sigs[b]) if u == v) / len(sigs[a])
+             >= threshold]
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the root of every tree is its component's min
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(i, find(i)) for i in sorted({i for p in pairs for i in p})]
+
+
+crosscheck("l55_dedup_groups_indexed", ["id", "comp"], l55_py(docs))
 crosscheck("l3_simhash", ["id_a", "id_b", "hamming"], l3_py(docs))
 embs = con.execute(
     "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
