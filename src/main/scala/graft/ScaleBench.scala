@@ -367,7 +367,7 @@ object ScaleBench {
           .createTempDirectory("graft_scale_dix").toString
         val (dt, bandRows) = timed("dixf_build") {
           graft.operators.DedupIndex.build(docs, "doc_id", "text", outD)
-          spark.read.parquet(s"$outD/bands").count()
+          graft.operators.DedupIndex.readBands(spark, outD).count()
         }
         runs("dixf_build") = (dt, bandRows)
         outD
@@ -451,7 +451,7 @@ object ScaleBench {
         val batch1 = docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
         if (wanted("dix_build")) runs("dix_build") = timed("dix_build") {
           graft.operators.DedupIndex.build(corpus99, "doc_id", "text", dixDir)
-          spark.read.parquet(s"$dixDir/bands").count()
+          graft.operators.DedupIndex.readBands(spark, dixDir).count()
         }
         if (wanted("dix_query")) runs("dix_query") = timed("dix_query") {
           graft.operators.DedupIndex.query(batch1, "doc_id", "text", dixDir).count()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash/LSH dedup index for the TEXT tier — the analog of
@@ -11,18 +11,40 @@ import org.apache.spark.sql.functions._
   * covers the INCREMENTAL regime — |batch| ≪ |corpus|, the shape a
   * growing deployment pays daily.
   *
-  * Layout under `dir`:
-  *   - `bands/` — one row per (doc, band): `(band INT, bkey LONG,
-  *     doc_id LONG, sig ARRAY<LONG>)`, PARTITIONED BY `bprefix =
-  *     pmod(bkey, 256)`. The signature rides the band row (the l6
-  *     lesson: carry the comparison payload on the band shuffle —
-  *     joining a separate signature table would re-shuffle the corpus
-  *     per query); the prefix directories give the serving path
-  *     partition PRUNING — a small probe batch touches only the
-  *     prefixes its own band keys name, not the whole table.
+  * Layout under `dir` (round-12: manifest-pointer commits):
+  *   - `MANIFEST` — one small text file naming the CURRENT state: a
+  *     version number, the list of live band SEGMENT directories, and
+  *     the list of live TOMBSTONE directories. Every mutation (build /
+  *     append / delete / compact) writes its data into a FRESH
+  *     directory and then swaps the manifest in one atomic rename —
+  *     readers resolve the manifest once and see exactly one
+  *     generation, never a half-written mix. This is the object-store
+  *     commit shape (Iceberg/Delta-style pointer swap; on S3 the rename
+  *     becomes a conditional PUT of the manifest object) and it
+  *     replaces the former `bands/` directory-rename swap, which was
+  *     atomic only on a local/HDFS filesystem and raced readers that
+  *     listed files mid-swap.
+  *   - `seg_<version>/` — band segments: one row per (doc, band):
+  *     `(band INT, bkey LONG, doc_id LONG, sig ARRAY<LONG>)`,
+  *     PARTITIONED BY `bprefix = pmod(bkey, 256)`. The signature rides
+  *     the band row (the l6 lesson: carry the comparison payload on the
+  *     band shuffle — joining a separate signature table would
+  *     re-shuffle the corpus per query); the prefix directories give
+  *     the serving path partition PRUNING — a small probe batch touches
+  *     only the prefixes its own band keys name, not the whole table.
+  *   - `del_<version>/` — tombstone segments: one `doc_id` column.
+  *     [[delete]] is O(|deleted ids|): it writes ids, not data, and
+  *     readers drop tombstoned docs with a broadcast anti-join.
+  *     [[compact]] materializes the deletions and clears the list.
   *   - `meta/` — one row `(k, bands, shingle_n)`, so the index is
   *     self-describing and query/append cannot silently mix
   *     parameterizations.
+  *
+  * Single-writer discipline (documented contract): mutations are
+  * serialized by the caller — the manifest swap makes each mutation
+  * atomic for READERS, it does not arbitrate two concurrent writers
+  * (the deployment answer is the same as Delta's: an external lock or
+  * conditional-PUT loop around the pointer swap).
   *
   * Determinism: signatures are seeded splitmix64 minima over FNV
   * shingle hashes ([[graft.functions.MinHashSigExpr]]) and band keys
@@ -36,10 +58,75 @@ import org.apache.spark.sql.functions._
   * signature agreement fraction ≥ `threshold` — exactly
   * [[Dedup.minhashLsh]]'s pair rule restricted to (probe × index)
   * pairs. The self-id guard makes re-querying an already-appended
-  * batch meaningful (a doc never suppresses itself). */
+  * batch meaningful (a doc never suppresses itself).
+  *
+  * Deletion law (spec-pinned, and the l57 gate): after `delete(ids)`,
+  * every read path — [[query]], [[selfPairs]], [[ingestFold]]'s probe —
+  * is row-identical to the same read against a FRESH index built over
+  * the corpus minus the deleted docs. This holds by construction
+  * because band rows are row-local per doc: dropping a doc's rows is
+  * exactly what a rebuild without it would produce. */
 object DedupIndex {
 
-  /** Build the band table from scratch (overwrite). */
+  /** The resolved state of an index: which segment directories are
+    * live and which tombstone directories apply. */
+  final case class Manifest(
+      version: Long, segments: Seq[String], tombstones: Seq[String])
+
+  private def manifestFile(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "MANIFEST")
+
+  /** Resolve the current manifest. One small driver-side read — the
+    * 100 TB analog is one GET of the pointer object. */
+  def readManifest(dir: String): Manifest = {
+    val lines = java.nio.file.Files
+      .readAllLines(manifestFile(dir)).toArray(Array.empty[String])
+    def list(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    Manifest(lines(0).trim.toLong,
+      if (lines.length > 1) list(lines(1)) else Nil,
+      if (lines.length > 2) list(lines(2)) else Nil)
+  }
+
+  /** Publish a new index state: write the manifest to a temp name, then
+    * ATOMIC_MOVE it over `MANIFEST`. A reader either resolves the old
+    * pointer or the new one — never a mix (the former bands/ rename
+    * pair had a window where neither directory existed). */
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    val tmp = java.nio.file.Paths.get(
+      dir, s"MANIFEST.tmp.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, java.util.Arrays.asList(
+      m.version.toString, m.segments.mkString(","), m.tombstones.mkString(",")))
+    java.nio.file.Files.move(tmp, manifestFile(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** The live band table: union of the manifest's segments minus its
+    * tombstoned docs. Resolved from ONE manifest read, so a DataFrame
+    * built here keeps seeing the generation it opened even if a
+    * compact/append publishes a newer one mid-query. Partition pruning
+    * on `bprefix` applies per segment scan; the tombstone anti-join is
+    * a broadcast of the (small) deleted-id set and disappears entirely
+    * when nothing was ever deleted. */
+  def readBands(spark: SparkSession, dir: String): DataFrame =
+    readBands(spark, dir, readManifest(dir))
+
+  private def readBands(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
+    require(m.segments.nonEmpty, s"dedup index at $dir has no segments")
+    val bands = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
+      .reduce(_ unionByName _)
+    if (m.tombstones.isEmpty) bands
+    else {
+      val dead = m.tombstones.map(t => spark.read.parquet(s"$dir/$t"))
+        .reduce(_ unionByName _).select(col("doc_id")).distinct()
+      bands.join(broadcast(dead), Seq("doc_id"), "left_anti")
+    }
+  }
+
+  /** Build the band table from scratch (overwrite: a fresh manifest
+    * pointing at one fresh segment — any prior generation's directories
+    * become unreferenced and are left for [[vacuum]]). */
   def build(
       docs: DataFrame,
       idCol: String,
@@ -53,22 +140,44 @@ object DedupIndex {
     import spark.implicits._
     Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, overwrite = true)
+    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, "seg_1")
+    writeManifest(dir, Manifest(1L, Seq("seg_1"), Nil))
   }
 
   /** Append a new batch's band rows to an existing index (reads the
     * parameterization from `meta/` — a batch can never be banded with
-    * different constants than the corpus it joins). Post-append the
-    * index is row-identical to a fresh build over the union, because
-    * band rows are row-local per doc — no global state to refresh
-    * (DedupIndexSpec pins the equivalence). */
+    * different constants than the corpus it joins). The batch lands in
+    * its own segment directory and becomes visible in one manifest
+    * swap; post-append the index is row-identical to a fresh build over
+    * the union, because band rows are row-local per doc — no global
+    * state to refresh (DedupIndexSpec pins the equivalence). */
   def append(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       dir: String): Unit = {
     val (k, bands, shingleN) = meta(docs, dir)
-    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, overwrite = false)
+    val m = readManifest(dir)
+    val seg = s"seg_${m.version + 1}"
+    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, seg)
+    writeManifest(dir, m.copy(version = m.version + 1, segments = m.segments :+ seg))
+  }
+
+  /** Delete docs from the index — the takedown/opt-out maintenance op a
+    * 100 TB corpus runs weekly. O(|ids|): writes ONE tombstone segment
+    * of doc_ids and swaps the manifest; no band data is rewritten
+    * (that's [[compact]]'s job). Every read path honors tombstones via
+    * [[readBands]], so post-delete results are row-identical to a fresh
+    * build without the deleted docs (the parity law, spec-pinned and
+    * gated by l57). Idempotent: re-deleting an id is a no-op by the
+    * anti-join's semantics. */
+  def delete(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val m = readManifest(dir)
+    val del = s"del_${m.version + 1}"
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$del")
+    writeManifest(dir, m.copy(
+      version = m.version + 1, tombstones = m.tombstones :+ del))
   }
 
   /** Survivors of `incoming` against the indexed corpus: drops every
@@ -111,7 +220,7 @@ object DedupIndex {
     // ≤ 256 distinct values by construction — driver-bounded
     val prefixes = probe.select(col("bprefix")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    val index = spark.read.parquet(s"$dir/bands")
+    val index = readBands(spark, dir)
       .where(col("bprefix").isin(prefixes: _*))
     val hit = probe.join(index, Seq("bprefix", "band", "bkey"))
       .where(col("doc_id") =!= col("__qid"))
@@ -138,10 +247,10 @@ object DedupIndex {
     *   - null-text docs always survive and contribute no band rows.
     *
     * Each batch's survivor frame is checkpointed BEFORE its append:
-    * `query` is lazy and re-reads `bands/` on every execution, so an
-    * unmaterialized survivor plan re-executed after later appends would
-    * see a bigger index than existed when its batch arrived. Scale
-    * shape: per batch this is l42's probe (batch-sized re-band +
+    * `query` is lazy and re-resolves the manifest on every execution,
+    * so an unmaterialized survivor plan re-executed after later appends
+    * would see a bigger index than existed when its batch arrived.
+    * Scale shape: per batch this is l42's probe (batch-sized re-band +
     * partition-pruned scan) + l43's append (row-local) — the corpus is
     * never re-banded, and the append REUSES the probe's checkpointed
     * band rows (a semi-join on survivor ids) instead of computing every
@@ -165,12 +274,16 @@ object DedupIndex {
         else {
           val (probe, surv) = surviveAgainst(b, idCol, textCol, dir, threshold)
           val s = graft.Checkpoints.rotate(s"dix_ingest_b$i", surv)
+          val m = readManifest(dir)
+          val seg = s"seg_${m.version + 1}"
           writeBandRows(
             probe.join(s.select(col(idCol).as("__qid")), Seq("__qid"),
                 "left_semi")
               .select(col("__qid").as("doc_id"), col("__qsig").as("sig"),
                 col("band"), col("bkey"), col("bprefix")),
-            dir, overwrite = false)
+            s"$dir/$seg")
+          writeManifest(dir,
+            m.copy(version = m.version + 1, segments = m.segments :+ seg))
           s
         }
       kept.select(col(idCol), lit(i).as("ingest_batch"))
@@ -180,7 +293,7 @@ object DedupIndex {
   /** Near-duplicate candidate pairs of the INDEXED corpus with itself —
     * the pair stage of a dedup-groups run answered FROM the persisted
     * band table, zero text scans: the signature rides every band row,
-    * so the whole stage is one self-equi-join of `bands/` on
+    * so the whole stage is one self-equi-join of the band table on
     * (band, bkey) plus the signature-agreement filter. This is what
     * amortizes the batch closure's dominant cost (at 10⁶ docs, pair
     * construction was ~118 s of l26's 126 s — all re-shingling and
@@ -202,19 +315,22 @@ object DedupIndex {
     * first, the l27/l28 ordering). Pair-level dropDuplicates before
     * the signature compare, as in minhashLsh. */
   def selfPairs(
-      spark: org.apache.spark.sql.SparkSession,
+      spark: SparkSession,
       dir: String,
       threshold: Double = 0.5): DataFrame = {
     val k = spark.read.parquet(s"$dir/meta").collect()(0).getAs[Int]("k")
-    val bandsT = spark.read.parquet(s"$dir/bands")
+    // resolve the manifest ONCE so both join sides scan the same
+    // generation (two readBands calls could straddle a compact)
+    val bandsT = readBands(spark, dir)
     val a = bandsT.select(col("band"), col("bkey"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = bandsT.select(col("band"), col("bkey"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
     // CPU-dense wave sizing ([[Similarity.denseShuffleSides]]): both
     // sides shuffle every band row with its k-long signature payload
-    // (~8k+64 B); the row count is a metadata-only parquet count.
-    // Below one 64 MB wave the sides come back untouched.
+    // (~8k+64 B); the row count is a metadata-only parquet count when
+    // nothing is tombstoned (and a counting scan when something is —
+    // compact to get the metadata fast path back).
     val (aj, bj) = Similarity.denseShuffleSides(a, b, Seq("band", "bkey"),
       2L * bandsT.count(), 8 * k + 64)
     aj.join(bj, Seq("band", "bkey"))
@@ -225,39 +341,50 @@ object DedupIndex {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Rewrite the band table into one file per prefix directory — the
-    * maintenance pass an APPEND-grown index needs: every [[append]] (or
-    * [[ingestFold]] batch) adds at least one file to each touched
-    * prefix, so a daily-ingest deployment accumulates
-    * days × writers small files and the probe's partition-pruned scan
-    * pays an open/footer cost per file instead of per prefix. Compact
-    * reads `bands/`, rewrites it 1-file-per-prefix into a sibling
-    * directory, then swaps directories with two renames (read and write
-    * never touch the same path, so the read plan's file listing stays
-    * valid throughout). The swap is atomic per rename on a local/HDFS
-    * filesystem; an object-store deployment would swap a manifest
-    * pointer instead (Iceberg/Delta-style) — the rewrite itself is the
-    * portable part. Row content is untouched: a post-compaction query
-    * is row-identical (spec-pinned), only the file layout changes. */
-  def compact(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val tmp = s"$dir/bands_compacting"
-    spark.read.parquet(s"$dir/bands")
+  /** Rewrite the live band rows into one segment with one file per
+    * prefix directory, MATERIALIZING tombstones — the maintenance pass
+    * an append/delete-grown index needs: every [[append]] (or
+    * [[ingestFold]] batch) adds a segment, every [[delete]] adds an
+    * anti-join to the read path, so a daily-ingest deployment
+    * accumulates per-day file opens and tombstone probes. Compact reads
+    * the current generation, writes it 1-file-per-prefix into a fresh
+    * segment, and publishes a manifest naming ONLY that segment with an
+    * empty tombstone list — one atomic pointer swap; a reader that
+    * resolved the old manifest keeps its old segments (they are not
+    * touched), a reader arriving after the swap sees exactly the new
+    * one. Unreferenced directories are reclaimed by [[vacuum]], kept
+    * separate deliberately so in-flight readers of the old generation
+    * survive a concurrent compact. Row content is untouched modulo
+    * tombstones: a post-compaction query is row-identical
+    * (spec-pinned), only the file layout changes. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val m = readManifest(dir)
+    val seg = s"seg_${m.version + 1}"
+    readBands(spark, dir, m)
       // one writer per prefix directory ⇒ exactly one file per prefix
       .repartition(col("bprefix"))
-      .write.mode("overwrite").partitionBy("bprefix").parquet(tmp)
-    val old = new java.io.File(s"$dir/bands_old")
-    def fail(msg: String) = throw new IllegalStateException(msg)
-    if (!new java.io.File(s"$dir/bands").renameTo(old))
-      fail(s"compact: cannot move $dir/bands aside")
-    if (!new java.io.File(tmp).renameTo(new java.io.File(s"$dir/bands"))) {
-      old.renameTo(new java.io.File(s"$dir/bands")): Unit // roll back
-      fail(s"compact: cannot move $tmp into place")
+      .write.partitionBy("bprefix").parquet(s"$dir/$seg")
+    writeManifest(dir, Manifest(m.version + 1, Seq(seg), Nil))
+  }
+
+  /** Remove directories no manifest references (post-compact garbage).
+    * Separate from [[compact]] so the old generation outlives the swap
+    * for readers that already resolved it — run vacuum when those are
+    * known drained (the deployment analog: object-store lifecycle
+    * rules on unreferenced prefixes). */
+  def vacuum(dir: String): Unit = {
+    val live = {
+      val m = readManifest(dir)
+      (m.segments ++ m.tombstones).toSet + "meta" + "MANIFEST"
     }
     def rec(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
       f.delete(): Unit
     }
-    rec(old)
+    val kids = new java.io.File(dir).listFiles()
+    if (kids != null)
+      kids.filterNot(f => live.contains(f.getName) ||
+        f.getName.startsWith("MANIFEST")).foreach(rec)
   }
 
   private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
@@ -273,7 +400,7 @@ object DedupIndex {
       shingleN: Int,
       k: Int,
       bands: Int,
-      overwrite: Boolean): Unit = {
+      segment: String): Unit = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     writeBandRows(
       docs
@@ -286,19 +413,19 @@ object DedupIndex {
           posexplode(Dedup.lshBandKeys(col("sig"), bands, k / bands))
             .as(Seq("band", "bkey")))
         .withColumn("bprefix", pmod(col("bkey"), lit(256L)).cast("int")),
-      dir, overwrite)
+      s"$dir/$segment")
   }
 
   /** Sink for prepared band rows `(doc_id, sig, band, bkey, bprefix)` —
     * shared by the signature-computing [[writeBands]] and
-    * [[ingestFold]]'s probe-row reuse path. */
-  private def writeBandRows(
-      rows: DataFrame, dir: String, overwrite: Boolean): Unit = {
+    * [[ingestFold]]'s probe-row reuse path. Always writes a FRESH
+    * segment directory; visibility comes from the caller's manifest
+    * swap, never from files appearing in a listed directory. */
+  private def writeBandRows(rows: DataFrame, segDir: String): Unit = {
     rows
       // one writer per prefix directory: without this every task writes
       // into every partition dir — 256·tasks small files per build
       .repartition(col("bprefix"))
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("bprefix").parquet(s"$dir/bands")
+      .write.partitionBy("bprefix").parquet(segDir)
   }
 }

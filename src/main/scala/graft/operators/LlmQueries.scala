@@ -1538,6 +1538,67 @@ object LlmQueries {
             SELECT id, min(comp) AS comp FROM reach GROUP BY id
             ORDER BY id"""))
 
+  /** Full-corpus band index with a DELETE applied — the l57 substrate:
+    * build over all documents, then tombstone the doc_id % 5 == 2
+    * slice ([[DedupIndex.delete]] — one id-list write + a manifest
+    * swap, no band data rewritten). Session-cached like the other index
+    * dirs; separate from [[dedupIndexFull]] so l55's index is never
+    * mutated. */
+  private def dedupIndexDeleted(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    dedupIndexBuilt.computeIfAbsent("d:" + dir, _ => {
+      val out = annIndexRoot.resolve("dixd_" + Integer.toHexString(dir.hashCode)).toString
+      val docs = Tables(s, dir, "documents")
+      DedupIndex.build(docs, "doc_id", "text", out)
+      DedupIndex.delete(
+        docs.filter(col("doc_id") % 5 === 2).select(col("doc_id")), "doc_id", out)
+      out
+    })
+
+  /** L: dedup groups from the index AFTER A DELETE — the takedown
+    * maintenance shape ([[DedupIndex.delete]]): the doc_id % 5 == 2
+    * slice is tombstoned (an O(|ids|) id-list write + one atomic
+    * manifest swap; no band data rewritten) and every read path drops
+    * tombstoned docs with a broadcast anti-join. The parity LAW — post-
+    * delete results ≡ a fresh build without the deleted docs — holds by
+    * construction because band rows are row-local per doc, and
+    * DedupIndexSpec pins it on query and selfPairs; this DECLARED form
+    * gates it at the VALUE level: the pair set and closure must match
+    * l26's recursive-CTE oracle computed over `documents` MINUS the
+    * deleted slice. Same est≡exact coincidence as l55 (deleting docs
+    * induces the subgraph under both pair rules, so fixture equality at
+    * the full corpus implies it on the survivor set). */
+  val l57DedupIndexDelete = Q(
+    "l57_dedup_groups_deleted",
+    (s, dir) => Dedup.connectedComponents(
+      DedupIndex.selfPairs(s, dedupIndexDeleted(s, dir)), "id_a", "id_b")
+      .orderBy(col("id")),
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents WHERE doc_id % 5 != 2),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 2, 1)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+                           FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT id_a, id_b FROM inter
+                           JOIN sizes na ON id_a = na.doc_id
+                           JOIN sizes nb ON id_b = nb.doc_id
+                           WHERE ni * 1.0 / (na.n + nb.n - ni) >= 0.5),
+                 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                           UNION
+                           SELECT id_b AS u, id_a AS v FROM pairs),
+                 reach AS (SELECT u AS id, u AS comp FROM edges
+                           UNION
+                           SELECT e.v AS id, r.comp
+                           FROM reach r JOIN edges e ON e.u = r.id)
+            SELECT id, min(comp) AS comp FROM reach GROUP BY id
+            ORDER BY id"""))
+
   /** L: near-dup group collapse with a QUALITY keeper
     * ([[Dedup.collapseKeepBest]] — RefinedWeb's "keep the best copy"
     * policy vs l26/l28's min-id convention): every near-dup component
@@ -1787,5 +1848,6 @@ object LlmQueries {
     l42DedupIndexQuery, l43DedupIndexAppend, l44QualityKeeper, l45BigramLogProb,
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
-    l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall)
+    l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
+    l57DedupIndexDelete)
 }

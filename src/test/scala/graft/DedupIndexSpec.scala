@@ -96,14 +96,14 @@ class DedupIndexSpec extends SparkSpec {
     })
     // and the reused band rows persisted by the fold are row-identical
     // to the recomputed ones (same sig, band, bkey, bprefix per doc)
-    val canon = (d: String) => spark.read.parquet(s"$d/bands")
+    val canon = (d: String) => DedupIndex.readBands(spark, d)
       .select($"doc_id", $"sig", $"band", $"bkey", $"bprefix")
       .collect().map(_.toSeq).toSet
     assert(canon(foldDir) == canon(naiveDir),
       "probe-row-reuse append wrote different band rows than the recompute path")
   }
 
-  test("compact: append-grown index collapses to one file per prefix, rows and query identical") {
+  test("compact: append-grown index collapses to one segment with one file per prefix, rows and query identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dix_compact").toString
     DedupIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
@@ -111,29 +111,113 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.append(docs.filter($"doc_id" % 4 === 1), "doc_id", "text", dir)
     def parquetFiles(prefixDir: java.io.File): Int =
       prefixDir.listFiles().count(f => f.getName.endsWith(".parquet"))
-    def prefixDirs: Seq[java.io.File] = new java.io.File(s"$dir/bands")
-      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("bprefix="))
-      .toSeq
-    assert(prefixDirs.exists(parquetFiles(_) > 1),
-      "fixture must exercise fragmentation (3 writes should fragment some prefix)")
+    def prefixDirs: Seq[java.io.File] =
+      DedupIndex.readManifest(dir).segments
+        .flatMap(s => Option(new java.io.File(s"$dir/$s").listFiles()).toSeq.flatten)
+        .filter(f => f.isDirectory && f.getName.startsWith("bprefix="))
+    assert(DedupIndex.readManifest(dir).segments.size == 3,
+      "three writes must be three live segments pre-compaction")
     val incoming = docs.filter($"doc_id" % 4 === 3)
     val before = DedupIndex.query(incoming, "doc_id", "text", dir)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
-    val rowsBefore = spark.read.parquet(s"$dir/bands")
+    val rowsBefore = DedupIndex.readBands(spark, dir)
       .collect().map(_.toSeq).toSet
 
     DedupIndex.compact(spark, dir)
 
+    val m = DedupIndex.readManifest(dir)
+    assert(m.segments.size == 1 && m.tombstones.isEmpty,
+      s"compaction must publish exactly one segment, got $m")
     assert(prefixDirs.nonEmpty && prefixDirs.forall(parquetFiles(_) == 1),
       "every prefix directory must hold exactly one file post-compaction")
-    assert(!new java.io.File(s"$dir/bands_old").exists())
-    assert(!new java.io.File(s"$dir/bands_compacting").exists())
-    val rowsAfter = spark.read.parquet(s"$dir/bands")
+    val rowsAfter = DedupIndex.readBands(spark, dir)
       .collect().map(_.toSeq).toSet
     assert(rowsAfter == rowsBefore, "compaction must not change row content")
     val after = DedupIndex.query(incoming, "doc_id", "text", dir)
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(after == before, "query results must be identical post-compaction")
+    // vacuum reclaims the pre-compaction segment directories (now
+    // unreferenced) and leaves the live generation + meta intact
+    DedupIndex.vacuum(dir)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("MANIFEST", "meta") ++ m.segments,
+      s"vacuum left unexpected entries: $left")
+    assert(DedupIndex.query(incoming, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == before)
+  }
+
+  test("delete: every read path ≡ fresh build without the deleted docs; compact materializes") {
+    import spark.implicits._
+    // the parity law behind l57: build full, delete a slice, and the
+    // index must answer query/selfPairs EXACTLY as a fresh index built
+    // over corpus-minus-deleted would
+    val dir = java.nio.file.Files.createTempDirectory("dix_del").toString
+    DedupIndex.build(docs, "doc_id", "text", dir)
+    val deleted = docs.filter($"doc_id" % 5 === 2).select($"doc_id")
+    DedupIndex.delete(deleted, "doc_id", dir)
+    val refDir = java.nio.file.Files.createTempDirectory("dix_del_ref").toString
+    DedupIndex.build(docs.filter($"doc_id" % 5 =!= 2), "doc_id", "text", refDir)
+
+    val pairsGot = DedupIndex.selfPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsRef = DedupIndex.selfPairs(spark, refDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsGot == pairsRef,
+      s"extra=${(pairsGot -- pairsRef).take(5)} missing=${(pairsRef -- pairsGot).take(5)}")
+    assert(pairsGot.nonEmpty, "fixture must keep some pairs post-delete")
+    // the delete must actually remove pair coverage (some pair involved
+    // a deleted doc), or the fixture proves nothing
+    val pairsFull = Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsFull != pairsGot, "deleted slice must have carried pairs")
+
+    val probe = docs.filter($"doc_id" % 5 === 4)
+    val qGot = DedupIndex.query(probe, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val qRef = DedupIndex.query(probe, "doc_id", "text", refDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(qGot == qRef, "query through tombstones diverged from rebuild")
+    // re-delete is idempotent
+    DedupIndex.delete(deleted, "doc_id", dir)
+    assert(DedupIndex.selfPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == pairsGot)
+    // compact materializes the tombstones: band rows shrink to the
+    // surviving docs and the tombstone list empties, same answers
+    DedupIndex.compact(spark, dir)
+    val m = DedupIndex.readManifest(dir)
+    assert(m.tombstones.isEmpty && m.segments.size == 1)
+    val delIds = deleted.collect().map(_.getLong(0)).toSet
+    val liveIds = DedupIndex.readBands(spark, dir)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(liveIds.intersect(delIds).isEmpty,
+      "compaction must physically drop tombstoned docs")
+    assert(DedupIndex.selfPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == pairsGot)
+  }
+
+  test("manifest swap: a reader that resolved before a compact keeps its generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dix_gen").toString
+    DedupIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    DedupIndex.append(docs.filter($"doc_id" % 4 === 2), "doc_id", "text", dir)
+    // resolve NOW: the returned frame is pinned to this manifest
+    val pinned = DedupIndex.readBands(spark, dir)
+    val expect = pinned.count()
+    // a concurrent writer compacts AND appends a new batch
+    DedupIndex.compact(spark, dir)
+    DedupIndex.append(docs.filter($"doc_id" % 4 === 1), "doc_id", "text", dir)
+    // the pinned reader still sees exactly the generation it opened
+    // (its old segment directories were swapped out of the manifest but
+    // never touched — vacuum is deliberately separate)
+    assert(pinned.count() == expect,
+      "reader resolved pre-compact must keep seeing its own generation")
+    // a fresh resolve sees the post-append state: one compacted segment
+    // + one appended segment, covering %4∈{0,1,2}
+    val now = DedupIndex.readManifest(dir)
+    assert(now.segments.size == 2, s"got $now")
+    val ids = DedupIndex.readBands(spark, dir)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 4 != 3) && ids.exists(_ % 4 == 1))
   }
 
   test("selfPairs from the index equals minhashLsh's pair set (the l55 pair stage)") {

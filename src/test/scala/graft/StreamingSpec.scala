@@ -438,7 +438,7 @@ class StreamingSpec extends SparkSpec {
     graft.operators.DedupIndex.ingestFold(
       Seq(b0, b1, b2).map(_.toDF("doc_id", "text")),
       "doc_id", "text", replayDir).collect()
-    def bandRows(d: String) = spark.read.parquet(s"$d/bands")
+    def bandRows(d: String) = graft.operators.DedupIndex.readBands(spark, d)
       .select($"band", $"bkey", $"doc_id")
       .collect().map(_.toSeq.toString).sorted.toSeq
     assert(bandRows(idxDir) == bandRows(replayDir),
