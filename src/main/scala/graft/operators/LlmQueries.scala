@@ -1599,6 +1599,69 @@ object LlmQueries {
             SELECT id, min(comp) AS comp FROM reach GROUP BY id
             ORDER BY id"""))
 
+  /** Post-delete ANN index pair for l58, session-cached: `_1` = the
+    * full-corpus int8 index with the vec_id % 10 == 7 slice DELETED
+    * ([[Similarity.deleteFromIvfIndex]] — touched cell partitions
+    * rewritten, centroids/widths fixed); `_2` = the reference index
+    * built FRESH over the surviving corpus at the deleted index's own
+    * centroids (`centroidsFrom`) — the rebuild the deletion law is
+    * stated against. */
+  private val annIndexDeletedBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def annIndexDeleted(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) =
+    annIndexDeletedBuilt.computeIfAbsent(dir, _ => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val delIdx = annIndexRoot.resolve(
+        "del_" + Integer.toHexString(dir.hashCode)).toString
+      Similarity.buildIvfIndex(emb, delIdx, cellCap = Some(256)).count()
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")), delIdx).count()
+      val refIdx = annIndexRoot.resolve(
+        "delref_" + Integer.toHexString(dir.hashCode)).toString
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 10 =!= 7), refIdx,
+        cellCap = Some(256), centroidsFrom = Some(delIdx)).count()
+      (delIdx, refIdx)
+    })
+
+  /** L: ANN index DELETION, gated by the deletion law — build the int8
+    * index over the full corpus, delete the vec_id % 10 == 7 slice
+    * ([[Similarity.deleteFromIvfIndex]]: only touched cell partitions
+    * rewritten via broadcast anti-join + dynamic partition overwrite,
+    * centroid bookkeeping refreshed, emptied cells dropped), then serve
+    * a query batch from it. The DECLARED form is [[topKParity]] of the
+    * post-delete serve path against the same serve from a FRESH index
+    * built over the surviving corpus at the same centroids — l43's
+    * append law in reverse, per query, DuckDB-checkable. Bench times
+    * what a takedown actually costs: a fresh build + the delete pass
+    * (the l32/l33 ingest-row convention). */
+  val l58AnnIndexDelete = Q(
+    "l58_ann_index_delete",
+    (s, dir) => {
+      val (delIdx, refIdx) = annIndexDeleted(s, dir)
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val remaining = emb.filter(col("vec_id") % 10 =!= 7)
+      val batch = remaining.filter(col("vec_id") % 20 === 0)
+      topKParity(batch,
+        Similarity.ivfTopKIndexed(batch, remaining, delIdx, 3),
+        Similarity.ivfTopKIndexed(batch, remaining, refIdx, 3))
+    },
+    Some("""SELECT vec_id AS qid, CAST(1 AS BOOLEAN) AS parity
+            FROM embeddings WHERE vec_id % 10 != 7 AND vec_id % 20 = 0
+            ORDER BY vec_id"""),
+    bench = Some((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val out = annIndexRoot.resolve(
+        "bdel_" + Integer.toHexString(dir.hashCode) + "_" +
+          freshIndexCounter.getAndIncrement()).toString
+      Similarity.buildIvfIndex(emb, out, cellCap = Some(256)).count()
+      Similarity.deleteFromIvfIndex(
+        emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")), out).count()
+      s.read.parquet(s"$out/centroids")
+        .filter(col("n_vectors") > 0)
+        .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
+    }))
+
   /** L: near-dup group collapse with a QUALITY keeper
     * ([[Dedup.collapseKeepBest]] — RefinedWeb's "keep the best copy"
     * policy vs l26/l28's min-id convention): every near-dup component
@@ -1849,5 +1912,5 @@ object LlmQueries {
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
-    l57DedupIndexDelete)
+    l57DedupIndexDelete, l58AnnIndexDelete)
 }

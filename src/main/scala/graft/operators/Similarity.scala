@@ -1076,6 +1076,73 @@ object Similarity {
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")
   }
 
+  /** Deletes vectors from an EXISTING index — the takedown/opt-out
+    * maintenance op, [[appendToIvfIndex]]'s inverse: only the cell
+    * partitions that actually hold deleted ids are rewritten (one
+    * partition-pruned read of the touched cells + a broadcast anti-join
+    * + a dynamic partition overwrite; untouched cells are never read or
+    * written), and the centroid table's n_vectors is refreshed from
+    * nlist driver-side rows. Centroids and shard widths stay FIXED — a
+    * delete only shrinks cells, and probe replication still covers
+    * every shard — so the read path after a delete is result-identical
+    * to a fresh [[buildIvfIndex]] over the surviving corpus at the same
+    * centroids (the deletion law; SimilaritySpec pins it and l58 gates
+    * it per query). A cell emptied entirely gets its partition
+    * directory dropped explicitly: dynamic overwrite only rewrites
+    * partitions PRESENT in the output, so an emptied cell would
+    * otherwise keep its stale files (at warehouse scale this is the
+    * manifest/metastore partition-drop call). Finding the touched cells
+    * costs one postings scan (output nlist-bounded) — the id→cell map
+    * is content-derived, not stored; a deployment deleting daily would
+    * persist that map at ingest to skip the scan.
+    * Returns per-cell removed counts (cell, n_removed). */
+  def deleteFromIvfIndex(ids: DataFrame, dir: String): DataFrame = {
+    val spark = ids.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    import spark.implicits._
+    val del = ids.select(col("vec_id")).distinct()
+    val posts = spark.read.parquet(s"$dir/postings")
+    // touched cells + per-cell removed counts: nlist-bounded collect
+    val removed = posts.join(broadcast(del), Seq("vec_id"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_removed"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (removed.nonEmpty) {
+      val touched = removed.keys.map(Integer.valueOf).toSeq
+      val centRows = spark.read.parquet(s"$dir/centroids")
+        .orderBy(col("cell")).collect()
+      val emptied = centRows.collect {
+        case r if removed.getOrElse(r.getInt(0), 0L) == r.getLong(4) => r.getInt(0)
+      }.toSet
+      // survivors of the touched cells, MATERIALIZED before the write:
+      // dynamic overwrite rejects a plan that still reads the path it
+      // overwrites, and the surviving rows are cell-bounded anyway
+      val keep = posts.where(col("cell").isin(touched: _*))
+        .join(broadcast(del), Seq("vec_id"), "left_anti")
+        .repartition(math.min(n, math.max(1, touched.size)), col("cell"))
+        .localCheckpoint()
+      if (keep.count() > 0)
+        keep.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .option("compression", "zstd")
+          .partitionBy("cell").parquet(s"$dir/postings")
+      emptied.foreach { c =>
+        def rec(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
+          f.delete(): Unit
+        }
+        rec(new java.io.File(s"${dir.stripPrefix("file:")}/postings/cell=$c"))
+      }
+      centRows.map { r =>
+        val cell = r.getInt(0)
+        (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
+          r.getLong(4) - removed.getOrElse(cell, 0L))
+      }.toSeq
+        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+    removed.toSeq.sortBy(_._1).toDF("cell", "n_removed")
+  }
+
   /** IVF top-k answered FROM the persisted index: probe cells come from
     * the materialized centroid table (an nlist-row scalar collect, the
     * same documented discipline as the build side) and the corpus side

@@ -384,6 +384,47 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(dir1).sameElements(rows(dir2)))
   }
 
+  test("index delete: read path after delete ≡ fixed-centroid rebuild without the ids; emptied cells drop") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_idx_del").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_idx_delref").toString
+    Similarity.buildIvfIndex(emb.select(col("vec_id"), col("embedding")),
+      dir1, cellCap = Some(256)).count()
+    val delIds = emb.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    val removed = Similarity.deleteFromIvfIndex(delIds, dir1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(removed.values.sum == delIds.count(), "every id must be removed once")
+    // bookkeeping refresh: counts cover exactly the survivors, and the
+    // posting rows agree (no stale file left behind in a touched cell)
+    val remaining = emb.filter(col("vec_id") % 10 =!= 7)
+    val meta = spark.read.parquet(s"$dir1/centroids")
+    assert(meta.agg(sum(col("n_vectors"))).head().getLong(0) == remaining.count())
+    val postIds = spark.read.parquet(s"$dir1/postings")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(postIds == remaining.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet)
+    // the deletion law: post-delete serve ≡ fresh build over the
+    // surviving corpus at the SAME centroids
+    Similarity.buildIvfIndex(remaining.select(col("vec_id"), col("embedding")),
+      dir2, cellCap = Some(256), centroidsFrom = Some(dir1)).count()
+    def rows(d: String) = Similarity.ivfTopKIndexed(remaining, remaining, d, 3)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(dir1).sameElements(rows(dir2)))
+    // idempotence: re-deleting the same ids is a no-op
+    assert(Similarity.deleteFromIvfIndex(delIds, dir1).count() == 0)
+    // emptied-cell handling: delete EVERYTHING in some cell and its
+    // partition directory must disappear (dynamic overwrite alone would
+    // leave the stale files in place)
+    val firstCell = spark.read.parquet(s"$dir1/postings")
+      .select(col("cell")).orderBy(col("cell")).head().getInt(0)
+    val cellIds = spark.read.parquet(s"$dir1/postings")
+      .filter(col("cell") === firstCell).select(col("vec_id"))
+    Similarity.deleteFromIvfIndex(cellIds, dir1).count()
+    assert(!new java.io.File(s"$dir1/postings/cell=$firstCell").exists(),
+      "an emptied cell's partition directory must be dropped")
+    assert(spark.read.parquet(s"$dir1/postings")
+      .filter(col("cell") === firstCell).count() == 0)
+  }
+
   test("IVF hot-cell guard: sharding is result-identical and bounds the join bucket") {
     import spark.implicits._
     // the semDedup cellCap fixture shape: a tight 300-member cluster
