@@ -110,6 +110,7 @@ object Bench {
     "l26_dedup_groups",     // near-dup pairs closed into transitive groups
     "l55_dedup_groups_indexed", // dedup groups from the persisted band index (repeat-run shape)
     "l57_dedup_groups_deleted", // same, post-delete (tombstone anti-join on the read path)
+    "l59_dedup_groups_incremental", // labels + delta edges only (the O(batch) repeat run)
     "l56_jl_ann_recall",    // JL 64->16 projection -> LSH ANN composition
     "l27_pretrain_pipeline", // composed dedup→gates→decontaminate→split flow
     "l28_pretrain_neardup", // the pipeline with the component-collapse stage

@@ -835,6 +835,73 @@ object Dedup {
       maxIter: Int = 15): DataFrame =
     connectedComponentsStars(pairs, aCol, bCol, maxIter)
 
+  /** INCREMENTAL component maintenance — close (persisted labels from a
+    * prior [[connectedComponents]] run) + (delta edges from an appended
+    * batch) without re-deriving or re-closing the old pair graph: the
+    * daily shape a 100 TB dedup-groups deployment runs, where the full
+    * l55 closure re-pays the corpus-sized pair join per run even though
+    * an append can only MERGE existing components, never split them.
+    *
+    * Contraction argument (why this equals the full closure): collapse
+    * every old component to its representative (the min-id label —
+    * labels are exactly that map). An appended batch adds edges only
+    * incident to new docs (old×old pairs were all present before), so
+    * components of the union graph = components of the CONTRACTED delta
+    * graph, expanded back through the label map; and since each old
+    * rep IS its component's minimum, the min-id label of a contracted
+    * component equals the min id over the merged components' full
+    * membership. So:
+    *
+    *   1. rewrite each delta endpoint to its current label (ids with no
+    *      label — new docs, or old singletons that had no edges —
+    *      represent themselves);
+    *   2. run the [[connectedComponentsStars]] closure on that
+    *      CONTRACTED edge list — touched-components + batch sized, not
+    *      corpus sized;
+    *   3. propagate: old labels ride ONE broadcast join against the
+    *      (small) rep→newLabel map; contracted nodes that were never in
+    *      `labels` (new docs / old singletons) emit their own rows.
+    *
+    * Cost: the closure runs on |delta| edges; the only corpus-scale
+    * work is the single map-side (broadcast) relabel join over the
+    * label table — no shuffle of old state, no old-pair re-derivation.
+    * Spec-pinned against the full closure on random graph/batch splits
+    * (DedupSpec) and gated at the value level by l59, which must
+    * hash-match l26's full-corpus oracle. */
+  def incrementalComponents(labels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    // 1. contract: endpoint -> its current label; track which endpoints
+    // had one, so step 3 can find the never-labeled nodes WITHOUT an
+    // anti-join against the corpus-scale label table
+    val la = labels.select(col("id").as("id_a"), col("comp").as("ca"))
+    val lb = labels.select(col("id").as("id_b"), col("comp").as("cb"))
+    val contracted = deltaEdges
+      .join(la, Seq("id_a"), "left")
+      .join(lb, Seq("id_b"), "left")
+      .select(
+        coalesce(col("ca"), col("id_a")).as("u"),
+        col("ca").isNull.as("u_raw"),
+        coalesce(col("cb"), col("id_b")).as("v"),
+        col("cb").isNull.as("v_raw"))
+    val edges = graft.Checkpoints.rotate("dedup.incremental.contracted",
+      contracted.select(col("u"), col("v")).filter(col("u") =!= col("v")))
+    // 2. close the contracted graph (touched comps + batch nodes only)
+    val relabel = connectedComponents(edges, "u", "v")
+    // 3a. contracted nodes that never had a label emit their own rows
+    val rawNodes = contracted.filter(col("u_raw")).select(col("u").as("id"))
+      .unionAll(contracted.filter(col("v_raw")).select(col("v").as("id")))
+      .distinct()
+    val newPart = relabel.join(broadcast(rawNodes), Seq("id"), "left_semi")
+      // a raw node untouched by the closure (only self-edges) keeps itself
+      .unionByName(rawNodes.join(relabel, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp")))
+    // 3b. old labels relabel through the (touched-comps-sized) rep map —
+    // one broadcast join over the label table, untouched comps coalesce
+    val repMap = relabel.select(col("id").as("comp"), col("comp").as("newcomp"))
+    val oldPart = labels.join(broadcast(repMap), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+    oldPart.unionByName(newPart)
+  }
+
   /** Near-dup group collapse with QUALITY-AWARE keeper selection — the
     * RefinedWeb-style policy: instead of the min-id representative the
     * batch pipelines keep (l27/l28), each near-duplicate component

@@ -341,6 +341,51 @@ object DedupIndex {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup candidate pairs INCIDENT TO a given id set — the delta
+    * stage of incremental dedup-groups maintenance ([[Dedup
+    * .incrementalComponents]], l59): after an [[append]], the only
+    * pairs the closure has not already seen are those touching the new
+    * docs, so instead of [[selfPairs]]' full corpus×corpus self-join
+    * this joins the NEW docs' band rows (batch-sized, broadcast)
+    * against a partition-pruned scan of the prefixes those rows
+    * name — the same probe shape as [[query]], emitting pairs instead
+    * of a survivor verdict. Pair rule identical to [[selfPairs]]
+    * (shared band + est agreement ≥ threshold, canonical id_a < id_b),
+    * so selfPairs(union) = selfPairs(old) ∪ pairsWithNew(newIds) —
+    * agreement is symmetric, so the least/greatest canonicalization
+    * can reorder ids without touching the signatures. */
+  def pairsWithNew(
+      spark: SparkSession,
+      dir: String,
+      newIds: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val k = spark.read.parquet(s"$dir/meta").collect()(0).getAs[Int]("k")
+    val bandsT = readBands(spark, dir)
+    val nb = bandsT.join(
+      broadcast(newIds.select(col(newIds.columns.head).cast("long").as("doc_id"))
+        .distinct()),
+      Seq("doc_id"), "left_semi")
+      .select(col("band"), col("bkey"), col("bprefix"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      .localCheckpoint() // executed twice: prefix list + the join probe
+    // ≤ 256 distinct values by construction — driver-bounded (the same
+    // pruning discipline as query's probe)
+    val prefixes = nb.select(col("bprefix")).distinct()
+      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val corpus = bandsT.where(col("bprefix").isin(prefixes: _*))
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    broadcast(nb.drop("bprefix")).join(corpus, Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"),
+        col("sig_a"), col("sig_b"))
+      .dropDuplicates("u", "v")
+      .filter(Dedup.estJaccard(col("sig_a"), col("sig_b"), k) >= threshold)
+      .select(col("u").as("id_a"), col("v").as("id_b"))
+  }
+
   /** Rewrite the live band rows into one segment with one file per
     * prefix directory, MATERIALIZING tombstones — the maintenance pass
     * an append/delete-grown index needs: every [[append]] (or

@@ -1599,6 +1599,74 @@ object LlmQueries {
             SELECT id, min(comp) AS comp FROM reach GROUP BY id
             ORDER BY id"""))
 
+  /** Incremental-maintenance fixture for l59, session-cached: build the
+    * band index over the BASE corpus (doc_id % 10 ≠ 7), persist its
+    * closure labels (the state a deployment carries between runs), then
+    * APPEND the held-out batch. Returns (index dir, labels dir). */
+  private def dedupIndexIncr(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val key = "n:" + dir
+    dedupIndexBuilt.computeIfAbsent(key, _ => {
+      val out = annIndexRoot.resolve("dixn_" + Integer.toHexString(dir.hashCode)).toString
+      val lab = annIndexRoot.resolve("dixnl_" + Integer.toHexString(dir.hashCode)).toString
+      val docs = Tables(s, dir, "documents")
+      DedupIndex.build(docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", out)
+      Dedup.connectedComponents(DedupIndex.selfPairs(s, out), "id_a", "id_b")
+        .write.mode("overwrite").parquet(lab)
+      DedupIndex.append(docs.filter(col("doc_id") % 10 === 7), "doc_id", "text", out)
+      s"$out|$lab"
+    }).split('|') match { case Array(a, b) => (a, b) }
+  }
+
+  /** L: INCREMENTAL dedup-groups maintenance — the O(batch) repeat-run
+    * shape l55 still lacked: after an append, re-close only (persisted
+    * labels) + (delta edges incident to the batch) instead of re-running
+    * the corpus×corpus pair join and full closure. Delta pairs come
+    * from [[DedupIndex.pairsWithNew]] (batch band rows broadcast
+    * against a partition-pruned corpus scan — l42's probe shape,
+    * emitting pairs) and the merge is [[Dedup.incrementalComponents]]
+    * (contract old components to their min-id reps, close the
+    * touched-comps + batch graph, propagate through ONE broadcast
+    * relabel join). The DECLARED output must hash-match l26's
+    * full-corpus recursive-CTE oracle — the value-level statement of
+    * "incremental ≡ full closure over the union". */
+  val l59DedupGroupsIncremental = Q(
+    "l59_dedup_groups_incremental",
+    (s, dir) => {
+      val (idx, lab) = dedupIndexIncr(s, dir)
+      val batchIds = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+      Dedup.incrementalComponents(
+        s.read.parquet(lab),
+        DedupIndex.pairsWithNew(s, idx, batchIds))
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE
+                 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+                 sh AS (SELECT doc_id,
+                               unnest(list_transform(
+                                 generate_series(1, greatest(len(t) - 2, 1)),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS s
+                        FROM toks),
+                 sets AS (SELECT DISTINCT doc_id, s FROM sh),
+                 sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+                 inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+                           FROM sets x JOIN sets y ON x.s = y.s AND x.doc_id < y.doc_id
+                           GROUP BY 1, 2),
+                 pairs AS (SELECT id_a, id_b FROM inter
+                           JOIN sizes na ON id_a = na.doc_id
+                           JOIN sizes nb ON id_b = nb.doc_id
+                           WHERE ni * 1.0 / (na.n + nb.n - ni) >= 0.5),
+                 edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                           UNION
+                           SELECT id_b AS u, id_a AS v FROM pairs),
+                 reach AS (SELECT u AS id, u AS comp FROM edges
+                           UNION
+                           SELECT e.v AS id, r.comp
+                           FROM reach r JOIN edges e ON e.u = r.id)
+            SELECT id, min(comp) AS comp FROM reach GROUP BY id
+            ORDER BY id"""))
+
   /** Post-delete ANN index pair for l58, session-cached: `_1` = the
     * full-corpus int8 index with the vec_id % 10 == 7 slice DELETED
     * ([[Similarity.deleteFromIvfIndex]] — touched cell partitions
@@ -1912,5 +1980,5 @@ object LlmQueries {
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
-    l57DedupIndexDelete, l58AnnIndexDelete)
+    l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental)
 }

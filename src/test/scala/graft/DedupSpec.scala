@@ -273,6 +273,70 @@ class DedupSpec extends SparkSpec {
     assert(selfComp == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("incremental CC: labels + delta edges ≡ full closure, on random splits") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // seeded random graph over ids 0..199, split by node parity into an
+    // OLD graph (both endpoints old) and the DELTA (edges touching a
+    // new node) — exactly an append's edge split: old×old pairs existed
+    // before, every delta edge touches a new doc
+    for (seed <- Seq(7, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val all = Seq.fill(250)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      def isNew(x: Long) = x % 3 == 0
+      val oldPairs = all.filter { case (a, b) => !isNew(a) && !isNew(b) }
+      val delta = all.filter { case (a, b) => isNew(a) || isNew(b) }
+      assert(oldPairs.nonEmpty && delta.nonEmpty)
+      val labels = Dedup.connectedComponents(
+        oldPairs.toDF("id_a", "id_b"), "id_a", "id_b").localCheckpoint()
+      val incr = Dedup.incrementalComponents(labels, delta.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.connectedComponents(
+        all.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr == full, s"seed $seed: incremental diverged from full closure")
+    }
+    // merge case pinned by hand: a new node bridges two old components,
+    // and the merged label is the min over BOTH memberships.
+    // localCheckpoint: lab2 is held across TWO incrementalComponents
+    // calls, each of which runs an internal closure under the same
+    // rotation key — the Checkpoints depth-2 caller contract requires
+    // an independently-materialized copy for that pattern
+    val lab2 = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .localCheckpoint()
+    val got = Dedup.incrementalComponents(
+      lab2, Seq((2L, 50L), (50L, 10L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 50L -> 1L))
+    // a new node smaller than every old member becomes the new label
+    val got2 = Dedup.incrementalComponents(
+      lab2, Seq((0L, 11L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 0L -> 0L, 10L -> 0L, 11L -> 0L))
+  }
+
+  test("pairsWithNew: selfPairs(old) ∪ pairsWithNew(batch) ≡ selfPairs(union)") {
+    import spark.implicits._
+    import graft.operators.{Dedup, DedupIndex}
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("dix_pairs_new").toString
+    DedupIndex.build(docs.filter($"doc_id" % 10 =!= 7), "doc_id", "text", dir)
+    val oldPairs = DedupIndex.selfPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupIndex.append(docs.filter($"doc_id" % 10 === 7), "doc_id", "text", dir)
+    val delta = DedupIndex.pairsWithNew(spark, dir,
+      docs.filter($"doc_id" % 10 === 7).select($"doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta.nonEmpty, "fixture batch must carry near-dup pairs")
+    assert(delta.forall { case (a, b) => a % 10 == 7 || b % 10 == 7 },
+      "every delta pair must touch the batch")
+    val full = DedupIndex.selfPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oldPairs ++ delta == full,
+      s"extra=${((oldPairs ++ delta) -- full).take(5)} missing=${(full -- (oldPairs ++ delta)).take(5)}")
+  }
+
   test("repetition signals: hand-computed fractions, short-doc zero convention") {
     import spark.implicits._
     val docs = Seq(
