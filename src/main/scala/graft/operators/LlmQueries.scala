@@ -1966,6 +1966,69 @@ object LlmQueries {
                    CAST(1 AS BOOLEAN) AS within_tol
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** L/D: persisted mergeable QUANTILE rollup ([[QuantileRollup]] —
+    * l54's pattern for percentiles: per-(event_type, day) DDSketch-
+    * style log-bucket histograms built in one pass, merged to per-type
+    * p50/p95 without rescanning raw data). Unlike the HLL tier the
+    * error bound is DETERMINISTIC — every value in bucket i lies within
+    * α = (γ−1)/(γ+1) ≈ 0.99% relative of the bucket midpoint — so the
+    * DECLARED tolerance invariant (estimate within 1.05% of the exact
+    * rank-value computed in the same plan) is guaranteed, not
+    * probabilistic; DuckDB asserts the exact side directly with the
+    * same rank convention (rank = max(1, ⌈q·n⌉), the lower discrete
+    * quantile). QuantileRollupSpec pins the bit-exact merge-equals-
+    * whole law and the parquet round-trip; bench times the bare
+    * build + rollup shape. */
+  val l60QuantileRollup = Q(
+    "l60_quantile_rollup",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val sketches = QuantileRollup.buildSketchTable(
+        ev, Seq("event_type", "day"), "value")
+      val est = QuantileRollup.quantiles(sketches, Seq("event_type"), Seq(0.5, 0.95))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("q") === 0.5, col("est"))).as("p50_est"),
+          max(when(col("q") === 0.95, col("est"))).as("p95_est"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      def rank(q: Double) =
+        greatest(lit(1L), ceil(lit(q) * col("n")).cast("long"))
+      val exact = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === rank(0.5), col("value"))).as("exact_p50"),
+          max(when(col("rn") === rank(0.95), col("value"))).as("exact_p95"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_p50"), col("exact_p95"),
+          (abs(col("p50_est") / col("exact_p50") - 1.0) <= 0.0105).as("p50_within_tol"),
+          (abs(col("p95_est") / col("exact_p95") - 1.0) <= 0.0105).as("p95_within_tol"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH r AS (SELECT event_type, value,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY value) AS rn,
+                              count(*) OVER (PARTITION BY event_type) AS n
+                       FROM events)
+            SELECT event_type,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                            THEN value END) AS exact_p50,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                            THEN value END) AS exact_p95,
+                   CAST(1 AS BOOLEAN) AS p50_within_tol,
+                   CAST(1 AS BOOLEAN) AS p95_within_tol
+            FROM r GROUP BY event_type ORDER BY event_type"""),
+    bench = Some((s, dir) => {
+      val ev = Tables(s, dir, "events").withColumn("day", to_date(col("ts")))
+      QuantileRollup.quantiles(
+        QuantileRollup.buildSketchTable(ev, Seq("event_type", "day"), "value"),
+        Seq("event_type"), Seq(0.5, 0.95))
+        .orderBy(col("event_type"), col("q"))
+    }))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -1980,5 +2043,6 @@ object LlmQueries {
     l46ClusterAssign, l47BpeTrain, l48BpeEncode, l49FrequentNgrams,
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
-    l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental)
+    l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental,
+    l60QuantileRollup)
 }
