@@ -112,6 +112,8 @@ object Bench {
     "l57_dedup_groups_deleted", // same, post-delete (tombstone anti-join on the read path)
     "l59_dedup_groups_incremental", // labels + delta edges only (the O(batch) repeat run)
     "l56_jl_ann_recall",    // JL 64->16 projection -> LSH ANN composition
+    "l60_quantile_rollup",  // mergeable log-bucket quantile tier (build + rollup)
+    "l61_jl_pq_pipeline",   // composed serve: persisted JL projection -> PQ index -> ADC
     "l27_pretrain_pipeline", // composed dedup→gates→decontaminate→split flow
     "l28_pretrain_neardup", // the pipeline with the component-collapse stage
     "m6_scd2_history")      // SCD2 keep-every-version window

@@ -2029,6 +2029,68 @@ object LlmQueries {
         .orderBy(col("event_type"), col("q"))
     }))
 
+  /** The composed retrieval tier for l61, session-cached: JL-project
+    * the doubled corpus 64 → 16 dims ONCE and persist the projection
+    * (`_1`), then build the PQ index over the projected table (`_2`) —
+    * project → persist → index, the ingest flow a retrieval deployment
+    * actually runs. */
+  private def jlPqIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val key = "jlpq:" + dir
+    dedupIndexBuilt.computeIfAbsent(key, _ => {
+      val hex = Integer.toHexString(dir.hashCode)
+      val projDir = annIndexRoot.resolve("jlproj_" + hex).toString
+      val idxDir = annIndexRoot.resolve("jlpq_" + hex).toString
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + PlantOffset).as("vec_id"), col("embedding")))
+      Similarity.jlProject(corpus, "vec_id", "embedding", outDim = 16)
+        .select(col("vec_id"), col("proj").cast("array<float>").as("embedding"))
+        .write.mode("overwrite").parquet(projDir)
+      Similarity.buildPqIndex(s.read.parquet(projDir), idxDir,
+        cellCap = Some(256)).count()
+      s"$projDir|$idxDir"
+    }).split('|') match { case Array(a, b) => (a, b) }
+  }
+
+  /** L: the FULL retrieval pipeline composed end to end — JL projection
+    * (l34) → persisted PQ index build over the projected corpus (l29 +
+    * l35's tiers) → serve from it — declared as ONE query, because
+    * composition is where deployments break: each stage is individually
+    * gated, but only this row proves the projection's output schema,
+    * the index's cell geometry and the ADC serve path agree at 16 dims
+    * (m = 8 subquantizers × 2 dims). The invariant is [[plantedRecall]]
+    * THROUGH the whole pipeline: identical vectors project identically
+    * (pure map), assign to the same cell, and the sound ADC screen +
+    * exact re-rank must put each query's planted partner (cos exactly
+    * 1.0 in the projected space) in its top-3 — DuckDB-checkable like
+    * l56. Bench times the bare asymmetric composed serve (|Q| ≪ |C|
+    * from the persisted projection + PQ index — the repeat-run shape;
+    * ingest cost is l33's row and the projection is l34's). */
+  val l61JlPqPipeline = Q(
+    "l61_jl_pq_pipeline",
+    (s, dir) => {
+      val (projDir, idxDir) = jlPqIndex(s, dir)
+      val proj = s.read.parquet(projDir)
+      val queries = proj.filter(col("vec_id") < PlantOffset)
+      val hit = Similarity.pqTopKIndexed(queries, proj, idxDir, 3)
+        .filter(col("nid") === col("qid") + PlantOffset)
+        .select(col("qid")).distinct().withColumn("found", lit(true))
+      Tables(s, dir, "embeddings").select(col("vec_id").as("qid"))
+        .join(hit, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("found"), lit(false)).as("found"))
+        .orderBy(col("qid"))
+    },
+    Some(PlantedRecallOracle),
+    bench = Some((s, dir) => {
+      val (projDir, idxDir) = jlPqIndex(s, dir)
+      val proj = s.read.parquet(projDir)
+      Similarity.pqTopKIndexed(
+        proj.filter(col("vec_id") < PlantOffset && col("vec_id") % 20 === 0),
+        proj, idxDir, 3)
+        .orderBy(col("qid"), col("rank"))
+    }))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -2044,5 +2106,5 @@ object LlmQueries {
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
     l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental,
-    l60QuantileRollup)
+    l60QuantileRollup, l61JlPqPipeline)
 }
