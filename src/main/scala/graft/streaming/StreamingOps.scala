@@ -56,10 +56,12 @@ object StreamingOps {
   def trendingCounts(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "1 hour"): DataFrame =
     events
-      // -1 sentinel for missing/null keys — keeps the downstream rank's
-      // tie-break engine-agnostic (see s11TrendingReplay)
-      .withColumn("k",
-        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L)))
+      // missing/unparseable keys stay NULL — one group, like any SQL
+      // groupBy. The -1 sentinel lives only in the oracle-facing s11
+      // replay (engines order null groups differently at rank
+      // boundaries); folding it into the OPERATOR would merge a genuine
+      // key -1 with the missing-key group (r11 ADVICE)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_).as("w"), col("k"))
       .agg(count(lit(1)).as("n"))

@@ -386,10 +386,14 @@ object WindowBatchQueries {
     "s11_trending_replay",
     (s, dir) => {
       import s.implicits._
-      // missing/null $.k coalesces to the -1 sentinel (d8's discipline):
-      // without it a null key group tying at the top-3 boundary would
-      // rank differently across engines (Spark sorts nulls FIRST
-      // ascending, DuckDB LAST)
+      // missing/null $.k coalesces to the -1 sentinel HERE, in the
+      // oracle-facing replay only: without it a null key group tying at
+      // the top-3 boundary would rank differently across engines (Spark
+      // sorts nulls FIRST ascending, DuckDB LAST). The production
+      // operator (StreamingOps.trendingCounts) keeps the key nullable —
+      // the sentinel is a gate-determinism device, not an operator
+      // semantic (the fixture's $.k is never null and never -1, so the
+      // two shapes count identical groups there)
       val counts = Tables(s, dir, "events")
         .withColumn("k",
           coalesce(get_json_object($"props", "$.k").cast("long"), lit(-1L)))

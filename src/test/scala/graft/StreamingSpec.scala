@@ -444,4 +444,93 @@ class StreamingSpec extends SparkSpec {
     assert(bandRows(idxDir) == bandRows(replayDir),
       "recovered index must equal the uninterrupted replay's band table")
   }
+
+  test("s12 crash recovery: sketch maintenance restarts from checkpoint; HLL-union idempotence absorbs the redelivered batch") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SketchRollup
+    val dims = Seq("event_type", "day")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type STRING, day_s STRING, user_id LONG")
+    def evJson(t: String, d: String, u: Long) =
+      s"""{"event_type":"$t","day_s":"$d","user_id":$u}"""
+    val b0 = Seq(("click", "2024-01-01", 1L), ("click", "2024-01-01", 2L),
+      ("view", "2024-01-02", 3L))
+    val b1 = Seq(("click", "2024-01-01", 2L), ("click", "2024-01-02", 4L))
+    val b2 = Seq(("view", "2024-01-02", 3L), ("view", "2024-01-02", 5L))
+
+    /** Drive the three batches through a file source with a real
+      * checkpoint into a PERSISTED sketch table at `stateDir` —
+      * read-merge-overwrite per batch, the s12 maintenance loop as a
+      * durable sink. `crash` injects a failure AFTER batch 1's effects
+      * ran (state written, stream commit log not) and restarts with the
+      * state var pattern of a dead process: everything reloads from
+      * disk. Unlike s10's query+append, the fold needs NO commit
+      * marker: an HLL register is a max, so re-merging the redelivered
+      * batch's sketch into a state that already contains it leaves
+      * every register — and therefore every estimate — unchanged. */
+    def drive(tag: String, crash: Boolean): org.apache.spark.sql.DataFrame = {
+      val root = Files.createTempDirectory(s"graft_s12_$tag")
+      val src = root.resolve("src"); Files.createDirectories(src)
+      val chk = root.resolve("chk").toString
+      val stateDir = root.resolve("sketches").toString
+      @volatile var poison = false
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def start() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+        .writeStream.option("checkpointLocation", chk).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          delivered += bid
+          val bs = SketchRollup.buildSketchTable(
+            batch.withColumn("day", to_date($"day_s")).drop("day_s"),
+            dims, "user_id")
+          val merged =
+            if (new java.io.File(stateDir).exists())
+              SketchRollup.merge(spark.read.parquet(stateDir), bs, dims)
+            else bs
+          // localCheckpoint severs the read of the path being overwritten
+          merged.localCheckpoint().coalesce(1)
+            .write.mode("overwrite").parquet(stateDir)
+          if (poison) {
+            poison = false
+            throw new RuntimeException(
+              "injected crash: state written, stream commit log not")
+          }
+        }.start()
+      def writeBatch(n: String, rows: Seq[(String, String, Long)]): Unit =
+        Files.write(src.resolve(n),
+          rows.map((evJson _).tupled).mkString("\n").getBytes): Unit
+      writeBatch("b0.json", b0)
+      val q1 = start()
+      q1.processAllAvailable()
+      writeBatch("b1.json", b1)
+      if (crash) {
+        poison = true
+        intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+      } else q1.processAllAvailable()
+      writeBatch("b2.json", b2)
+      val q2 = if (crash) start() else q1
+      try q2.processAllAvailable() finally q2.stop()
+      if (crash) // batch 0 committed (never redelivered); batch 1 twice; 2 fresh
+        assert(delivered.toList == List(0L, 1L, 1L, 2L), s"deliveries: $delivered")
+      spark.read.parquet(stateDir)
+    }
+
+    val recovered = drive("crash", crash = true)
+    val clean = drive("clean", crash = false)
+    // the maintained table after the crash+restart answers every rollup
+    // identically to the uninterrupted run's, cell for cell...
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      SketchRollup.rollup(df, dims).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(cells(recovered) == cells(clean),
+      s"recovered=${cells(recovered)} clean=${cells(clean)}")
+    // ...and both match exact distinct counts (tiny cardinalities: HLL
+    // exact mode), so idempotence held at the VALUE level — the
+    // redelivered batch 1 was absorbed, not double-counted (a counting
+    // sink would read click@01-01 = 3 users here instead of 2)
+    val exact = (b0 ++ b1 ++ b2).groupBy(e => (e._1, e._2))
+      .map { case (k, v) => k -> v.map(_._3).distinct.size.toLong }
+    assert(cells(recovered) == exact, s"got ${cells(recovered)} want $exact")
+  }
 }
