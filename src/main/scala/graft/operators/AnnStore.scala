@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-pointer commits for the persisted ANN index tier — the
+  * [[DedupIndex]] commit discipline applied to the vector indexes
+  * ([[Similarity.buildIvfIndex]] / [[Similarity.buildPqIndex]] and
+  * their append/delete/compact maintenance ops).
+  *
+  * Layout under an index `dir`:
+  *   - `MANIFEST` — one small text file naming the CURRENT state: a
+  *     version, the live centroid generation, the optional codebook
+  *     generation (PQ), the live posting SEGMENT directories, and the
+  *     live TOMBSTONE directories. Every mutation writes its data into
+  *     FRESH directories and then swaps the manifest in one atomic
+  *     rename — a reader resolves the pointer once and sees exactly one
+  *     generation, never a half-written mix. This is the object-store
+  *     commit shape (Iceberg/Delta-style pointer swap; on S3 the rename
+  *     becomes a conditional PUT of the pointer object) and it replaces
+  *     the former layout's in-place `postings/` appends and
+  *     dynamic-partition delete rewrites, which were atomic only per
+  *     file and raced readers that listed partitions mid-mutation.
+  *   - `seg_<v>/cell=<c>/…` — posting segments, partitioned by cell:
+  *     the partition-pruning layout is unchanged, it just lives under
+  *     per-commit segment roots. A multi-segment read is ONE parquet
+  *     relation over the segment roots (one scan node; pruning by
+  *     `cell` applies per root).
+  *   - `cent_<v>/` — centroid-table generations (cell, centroid, cnorm,
+  *     nshards, n_vectors). Appends and deletes refresh the counts by
+  *     writing a new generation, never by overwriting the live one
+  *     under a reader.
+  *   - `cb_<v>/` — PQ codebook generations (immutable after build —
+  *     appends reuse them bit-identically).
+  *   - `del_<v>/` — tombstones: one `vec_id` column, the ids a delete
+  *     removed. Readers drop them with a broadcast anti-join (skipped
+  *     entirely when no tombstones exist, keeping the fresh-index plan
+  *     byte-identical to the pre-manifest one); [[Similarity
+  *     .compactIvfIndex]] materializes them and clears the list.
+  *
+  * Single-writer discipline (same contract as [[DedupIndex]]):
+  * mutations are serialized by the caller — the swap makes each
+  * mutation atomic for READERS; two concurrent writers need an external
+  * lock or a conditional-PUT loop around the pointer. A tombstoned id
+  * stays suppressed until a compact clears the tombstone list, so
+  * re-ingesting a previously deleted id requires a compact first —
+  * documented, spec-pinned. */
+object AnnStore {
+
+  final case class Manifest(
+      version: Long,
+      cent: String,
+      codebooks: Option[String],
+      segments: Seq[String],
+      tombstones: Seq[String])
+
+  private def manifestFile(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "MANIFEST")
+
+  /** Does `dir` hold a committed index? (One pointer-file stat.) */
+  def exists(dir: String): Boolean =
+    java.nio.file.Files.exists(manifestFile(dir))
+
+  /** Resolve the current manifest — one small driver-side read; the
+    * 100 TB analog is one GET of the pointer object. */
+  def read(dir: String): Manifest = {
+    val lines = java.nio.file.Files
+      .readAllLines(manifestFile(dir)).toArray(Array.empty[String])
+    def list(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def at(i: Int): String = if (lines.length > i) lines(i).trim else ""
+    Manifest(at(0).toLong, at(1),
+      Option(at(2)).filter(s => s.nonEmpty && s != "-"),
+      list(at(3)), list(at(4)))
+  }
+
+  /** Publish a new index state: temp write + ATOMIC_MOVE over
+    * `MANIFEST`. A reader resolves either the old pointer or the new
+    * one — never a mix. */
+  private[operators] def publish(dir: String, m: Manifest): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val tmp = java.nio.file.Paths.get(
+      dir, s"MANIFEST.tmp.${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.write(tmp, java.util.Arrays.asList(
+      m.version.toString, m.cent, m.codebooks.getOrElse("-"),
+      m.segments.mkString(","), m.tombstones.mkString(",")))
+    java.nio.file.Files.move(tmp, manifestFile(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** The live centroid table of the manifest's current generation. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    centroids(spark, dir, read(dir))
+
+  private[operators] def centroids(
+      spark: SparkSession, dir: String, m: Manifest): DataFrame =
+    spark.read.parquet(s"$dir/${m.cent}")
+
+  /** The live PQ codebook table (build-immutable). */
+  def codebooks(spark: SparkSession, dir: String): DataFrame = {
+    val m = read(dir)
+    val cb = m.codebooks.getOrElse(
+      sys.error(s"index at $dir has no codebook generation (int8 tier?)"))
+    spark.read.parquet(s"$dir/$cb")
+  }
+
+  /** The live posting view: a union of the manifest's segment scans
+    * (one relation per segment root — Spark's partition discovery
+    * requires per-root reads; pruning on `cell` pushes through the
+    * union into every scan), minus tombstoned ids via a broadcast
+    * anti-join that disappears entirely when no delete is outstanding.
+    * A fresh single-segment index therefore reads with a plan
+    * byte-identical to the pre-manifest layout. Resolved from ONE
+    * manifest read, so a DataFrame built here keeps seeing the
+    * generation it opened even if a compact/append publishes a newer
+    * one mid-query. */
+  def postings(spark: SparkSession, dir: String): DataFrame =
+    postings(spark, dir, read(dir))
+
+  private[operators] def postings(
+      spark: SparkSession, dir: String, m: Manifest): DataFrame = {
+    val segs = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
+      .reduce(_.unionByName(_))
+    if (m.tombstones.isEmpty) segs
+    else {
+      val dead = m.tombstones.map(t => spark.read.parquet(s"$dir/$t"))
+        .reduce(_.unionByName(_))
+        .select(col("vec_id")).distinct()
+      segs.join(broadcast(dead), Seq("vec_id"), "left_anti")
+    }
+  }
+
+  /** Absolute paths of the live posting segments (footprint
+    * accounting — ScaleBench's bytes-on-disk comparisons). */
+  def postingsPaths(dir: String): Seq[String] =
+    read(dir).segments.map(s => s"$dir/$s")
+
+  /** Remove directories no manifest references (post-compact/append
+    * garbage). Deliberately separate from the mutations so a reader
+    * that resolved an old generation survives a concurrent compact —
+    * run vacuum when those are known drained (the deployment analog:
+    * object-store lifecycle rules on unreferenced prefixes). */
+  def vacuum(dir: String): Unit = {
+    val m = read(dir)
+    val live: Set[String] =
+      (m.segments ++ m.tombstones ++ m.codebooks.toSeq).toSet +
+        m.cent + "MANIFEST"
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
+      f.delete(): Unit
+    }
+    val kids = new java.io.File(dir).listFiles()
+    if (kids != null)
+      kids.filterNot(f => live.contains(f.getName)).foreach(rec)
+  }
+}

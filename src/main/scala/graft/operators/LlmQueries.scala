@@ -969,8 +969,8 @@ object LlmQueries {
     "l29_ann_index_build",
     (s, dir) => {
       val idx = annIndex(s, dir)
-      val cents = s.read.parquet(s"$idx/centroids")
-      val posts = s.read.parquet(s"$idx/postings")
+      val cents = Similarity.indexCentroids(s, idx)
+      val posts = Similarity.indexPostings(s, idx)
       val a = cents.agg(
         coalesce(sum(col("n_vectors")), lit(0L)).cast("long").as("n_vectors_total"))
       val b = posts.agg(count(lit(1)).as("n_postings"))
@@ -984,7 +984,7 @@ object LlmQueries {
     },
     Some("""SELECT count(*) AS n_vectors_total, count(*) AS n_postings,
                    CAST(1 AS BOOLEAN) AS integrity_ok FROM embeddings"""),
-    bench = Some((s, dir) => s.read.parquet(s"${annIndex(s, dir)}/centroids")
+    bench = Some((s, dir) => Similarity.indexCentroids(s, annIndex(s, dir))
       .filter(col("n_vectors") > 0)
       .select(col("cell"), col("n_vectors")).orderBy(col("cell"))))
 
@@ -1068,8 +1068,8 @@ object LlmQueries {
       // corpus exactly once — DuckDB asserts both totals equal the
       // source-table count, so a lost or double-appended batch is red.
       // Append ≡ rebuild read parity stays in SimilaritySpec.
-      val cents = s.read.parquet(s"$out/centroids")
-      val posts = s.read.parquet(s"$out/postings")
+      val cents = Similarity.indexCentroids(s, out)
+      val posts = Similarity.indexPostings(s, out)
       val a = cents.agg(
         coalesce(sum(col("n_vectors")), lit(0L)).cast("long").as("n_vectors_total"))
       val b = posts.agg(count(lit(1)).as("n_postings"))
@@ -1090,7 +1090,7 @@ object LlmQueries {
       Similarity.buildIvfIndex(
         emb.filter(col("vec_id") % 10 =!= 0), out, cellCap = Some(256)).count()
       Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 10 === 0), out).count()
-      s.read.parquet(s"$out/centroids")
+      Similarity.indexCentroids(s, out)
         .filter(col("n_vectors") > 0)
         .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
     }))
@@ -1122,9 +1122,9 @@ object LlmQueries {
       // centroids ⇒ cell-for-cell identical posting counts). The fresh
       // build cost is still paid every invocation — that is what this
       // row measures; the parity read adds only two nlist-row scans.
-      val fresh = s.read.parquet(s"$out/centroids")
+      val fresh = Similarity.indexCentroids(s, out)
         .select(col("cell"), col("n_vectors").as("f_n"))
-      val cached = s.read.parquet(s"${annIndex(s, dir)}/centroids")
+      val cached = Similarity.indexCentroids(s, annIndex(s, dir))
         .select(col("cell"), col("n_vectors").as("c_n"))
       fresh.join(cached, Seq("cell"), "full_outer")
         .agg(
@@ -1141,7 +1141,7 @@ object LlmQueries {
       Similarity.buildIvfIndex(
         Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         out, cellCap = Some(256)).count()
-      s.read.parquet(s"$out/centroids")
+      Similarity.indexCentroids(s, out)
         .filter(col("n_vectors") > 0)
         .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
     }))
@@ -1725,7 +1725,7 @@ object LlmQueries {
       Similarity.buildIvfIndex(emb, out, cellCap = Some(256)).count()
       Similarity.deleteFromIvfIndex(
         emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")), out).count()
-      s.read.parquet(s"$out/centroids")
+      Similarity.indexCentroids(s, out)
         .filter(col("n_vectors") > 0)
         .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
     }))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{CentroidMatrix, TopKByScore, VectorFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -895,14 +895,17 @@ object Similarity {
     * assignments are computed ONCE at ingest and materialized, so query
     * runs read them instead of re-deriving — at 100 TB the index IS the
     * product, and per-run recompute (the honest cost the benchmarks pay)
-    * is amortized away. Two tables under `dir`:
-    *   - `centroids`: (cell, centroid array<double>, cnorm, nshards,
+    * is amortized away. Two tables under `dir`, committed via
+    * [[AnnStore]] manifest generations (atomic pointer swap — the
+    * object-store commit shape; every mutation writes fresh
+    * directories and publishes, readers resolve the pointer once):
+    *   - `centroids` (a `cent_<v>` generation): (cell, centroid array<double>, cnorm, nshards,
     *     n_vectors) — nlist rows. Carrying the per-cell posting count
     *     and shard width HERE means the read path never scans postings
     *     for bookkeeping (the corpus size for the top-k strategy switch
     *     is Σ n_vectors over nlist rows) and the hot-cell probe fanout
     *     has its input without a count job.
-    *   - `postings`: (vec_id, codes BINARY, cdot, m, nrm, shard, cell),
+    *   - `postings` (`seg_<v>` segments): (vec_id, codes BINARY, cdot, m, nrm, shard, cell),
     *     PARTITIONED BY cell — the INT8 tier made durable: 1 byte per
     *     element ([[graft.functions.Int8PackExpr]] codes) + three
     *     scalars, ~4× smaller than float or quantize3 postings. Scoring
@@ -928,6 +931,16 @@ object Similarity {
     * corpora, where stride seeds sit wherever the id order put them.
     * Returns per-cell posting counts (cell, n_vectors) — deterministic
     * (stride centroids, first-max assignment). */
+  /** The live centroid table of a persisted index — resolves the
+    * [[AnnStore]] manifest once. */
+  def indexCentroids(spark: SparkSession, dir: String): DataFrame =
+    AnnStore.centroids(spark, dir)
+
+  /** The live posting view of a persisted index (manifest segments
+    * minus tombstones — [[AnnStore.postings]]). */
+  def indexPostings(spark: SparkSession, dir: String): DataFrame =
+    AnnStore.postings(spark, dir)
+
   def buildIvfIndex(
       corpus: DataFrame,
       dir: String,
@@ -941,7 +954,7 @@ object Similarity {
     val view = corpus.select(col("vec_id"), col("embedding"))
     val (centroids, cnorms) = centroidsFrom match {
       case Some(src) =>
-        val rows = spark.read.parquet(s"$src/centroids").orderBy(col("cell")).collect()
+        val rows = AnnStore.centroids(spark, src).orderBy(col("cell")).collect()
         (rows.map(_.getSeq[Double](1).toArray), rows.map(_.getDouble(2)))
       case None =>
         val total = view.count()
@@ -994,7 +1007,7 @@ object Similarity {
       // because the int8 codes are ~2/3 of the bytes and random codes
       // compress under nothing; the metadata columns are what shrink
       .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("cell").parquet(s"$dir/postings")
+      .partitionBy("cell").parquet(s"$dir/seg_1")
 
     // the pack+assign staging table is fully consumed (counts collected,
     // postings written) — free its blocks before returning instead of
@@ -1009,17 +1022,23 @@ object Similarity {
       (i, c.toSeq, nm, ns, nv)
     }.toSeq
       .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$dir/cent_1")
+    // fresh-build commit: everything above went into version-1
+    // directories; this swap is the moment the index EXISTS for readers
+    AnnStore.publish(dir,
+      AnnStore.Manifest(1L, "cent_1", None, Seq("seg_1"), Nil))
 
-    spark.read.parquet(s"$dir/centroids")
+    AnnStore.centroids(spark, dir)
       .filter(col("n_vectors") > 0)
       .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
   }
 
   /** Appends a vector batch into an EXISTING index — centroids fixed,
-    * only the touched cell partitions gain files ([[DataFrame]] append
-    * into the cell-partitioned parquet; untouched cells are never
-    * rewritten or read). The m-tier composition (m4 MERGE / m5 dynamic
+    * the batch lands in a FRESH cell-partitioned segment directory and
+    * becomes visible in one [[AnnStore]] manifest swap (existing
+    * segments are never rewritten or read; a reader mid-append sees
+    * either the old segment list or the new one, never a partially
+    * listed directory). The m-tier composition (m4 MERGE / m5 dynamic
     * overwrite) applied to the ANN tier: a growing corpus upserts
     * postings instead of rebuilding, and the read path after an append
     * is ROW-IDENTICAL to a fresh [[buildIvfIndex]] over the full corpus
@@ -1035,7 +1054,9 @@ object Similarity {
     val spark = batch.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
-    val centRows = spark.read.parquet(s"$dir/centroids").orderBy(col("cell")).collect()
+    val man = AnnStore.read(dir)
+    val centRows = AnnStore.centroids(spark, dir, man)
+      .orderBy(col("cell")).collect()
     val centroids = centRows.map(_.getSeq[Double](1).toArray)
     val cnorms = centRows.map(_.getDouble(2))
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
@@ -1061,86 +1082,107 @@ object Similarity {
     val appended = rows.groupBy(col("cell")).agg(count(lit(1)).as("n_appended"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
-      .write.mode("append").option("compression", "zstd")
-      .partitionBy("cell").parquet(s"$dir/postings")
+    if (appended.nonEmpty) {
+      // one commit = one fresh segment + one refreshed centroid
+      // generation + one pointer swap (never an in-place write)
+      val seg = s"seg_${man.version + 1}"
+      val cent = s"cent_${man.version + 1}"
+      rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cell").parquet(s"$dir/$seg")
 
-    centRows.map { r =>
-      val cell = r.getInt(0)
-      (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
-        r.getLong(4) + appended.getOrElse(cell, 0L))
-    }.toSeq
-      .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      centRows.map { r =>
+        val cell = r.getInt(0)
+        (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
+          r.getLong(4) + appended.getOrElse(cell, 0L))
+      }.toSeq
+        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+        .write.mode("overwrite").parquet(s"$dir/$cent")
+      AnnStore.publish(dir, man.copy(version = man.version + 1,
+        cent = cent, segments = man.segments :+ seg))
+    }
 
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")
   }
 
   /** Deletes vectors from an EXISTING index — the takedown/opt-out
-    * maintenance op, [[appendToIvfIndex]]'s inverse: only the cell
-    * partitions that actually hold deleted ids are rewritten (one
-    * partition-pruned read of the touched cells + a broadcast anti-join
-    * + a dynamic partition overwrite; untouched cells are never read or
-    * written), and the centroid table's n_vectors is refreshed from
-    * nlist driver-side rows. Centroids and shard widths stay FIXED — a
-    * delete only shrinks cells, and probe replication still covers
-    * every shard — so the read path after a delete is result-identical
-    * to a fresh [[buildIvfIndex]] over the surviving corpus at the same
-    * centroids (the deletion law; SimilaritySpec pins it and l58 gates
-    * it per query). A cell emptied entirely gets its partition
-    * directory dropped explicitly: dynamic overwrite only rewrites
-    * partitions PRESENT in the output, so an emptied cell would
-    * otherwise keep its stale files (at warehouse scale this is the
-    * manifest/metastore partition-drop call). Finding the touched cells
-    * costs one postings scan (output nlist-bounded) — the id→cell map
-    * is content-derived, not stored; a deployment deleting daily would
+    * maintenance op, [[appendToIvfIndex]]'s inverse, O(|deleted ids|)
+    * in write volume: the delete writes a TOMBSTONE segment (the ids
+    * actually present, one column) plus a refreshed centroid
+    * generation, and publishes both in one [[AnnStore]] manifest swap —
+    * no posting data is rewritten, no partition directory is touched,
+    * and a reader mid-delete sees either the old state or the new one.
+    * Readers drop tombstoned ids with a broadcast anti-join
+    * ([[AnnStore.postings]]); [[compactIvfIndex]] materializes the
+    * tombstones and clears the list. Centroids and shard widths stay
+    * FIXED — a delete only shrinks cells, and probe replication still
+    * covers every shard — so the read path after a delete is
+    * result-identical to a fresh [[buildIvfIndex]] over the surviving
+    * corpus at the same centroids (the deletion law; SimilaritySpec
+    * pins it and l58 gates it per query). An emptied cell simply has no
+    * live rows: probes of it match nothing, and its files fall out at
+    * the next compact+vacuum. Finding the per-cell removed counts costs
+    * one postings scan (output nlist-bounded) — the id→cell map is
+    * content-derived, not stored; a deployment deleting daily would
     * persist that map at ingest to skip the scan.
     * Returns per-cell removed counts (cell, n_removed). */
   def deleteFromIvfIndex(ids: DataFrame, dir: String): DataFrame = {
     val spark = ids.sparkSession
-    val n = spark.sparkContext.defaultParallelism
     import spark.implicits._
     val del = ids.select(col("vec_id")).distinct()
-    val posts = spark.read.parquet(s"$dir/postings")
+    val man = AnnStore.read(dir)
+    val posts = AnnStore.postings(spark, dir, man)
+    // ids actually present in the LIVE view (re-deleting is a no-op and
+    // an id never indexed must not poison a future re-ingest), pinned:
+    // the counts collect and the tombstone write both read it
+    val present = posts.join(broadcast(del), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cell")).localCheckpoint()
     // touched cells + per-cell removed counts: nlist-bounded collect
-    val removed = posts.join(broadcast(del), Seq("vec_id"), "left_semi")
+    val removed = present
       .groupBy(col("cell")).agg(count(lit(1)).as("n_removed"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (removed.nonEmpty) {
-      val touched = removed.keys.map(Integer.valueOf).toSeq
-      val centRows = spark.read.parquet(s"$dir/centroids")
-        .orderBy(col("cell")).collect()
-      val emptied = centRows.collect {
-        case r if removed.getOrElse(r.getInt(0), 0L) == r.getLong(4) => r.getInt(0)
-      }.toSet
-      // survivors of the touched cells, MATERIALIZED before the write:
-      // dynamic overwrite rejects a plan that still reads the path it
-      // overwrites, and the surviving rows are cell-bounded anyway
-      val keep = posts.where(col("cell").isin(touched: _*))
-        .join(broadcast(del), Seq("vec_id"), "left_anti")
-        .repartition(math.min(n, math.max(1, touched.size)), col("cell"))
-        .localCheckpoint()
-      if (keep.count() > 0)
-        keep.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .option("compression", "zstd")
-          .partitionBy("cell").parquet(s"$dir/postings")
-      emptied.foreach { c =>
-        def rec(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
-          f.delete(): Unit
-        }
-        rec(new java.io.File(s"${dir.stripPrefix("file:")}/postings/cell=$c"))
-      }
-      centRows.map { r =>
-        val cell = r.getInt(0)
-        (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
-          r.getLong(4) - removed.getOrElse(cell, 0L))
-      }.toSeq
+      val tomb = s"del_${man.version + 1}"
+      val cent = s"cent_${man.version + 1}"
+      present.select(col("vec_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$tomb")
+      AnnStore.centroids(spark, dir, man).orderBy(col("cell")).collect()
+        .map { r =>
+          val cell = r.getInt(0)
+          (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
+            r.getLong(4) - removed.getOrElse(cell, 0L))
+        }.toSeq
         .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-        .write.mode("overwrite").parquet(s"$dir/centroids")
+        .write.mode("overwrite").parquet(s"$dir/$cent")
+      AnnStore.publish(dir, man.copy(version = man.version + 1,
+        cent = cent, tombstones = man.tombstones :+ tomb))
     }
     removed.toSeq.sortBy(_._1).toDF("cell", "n_removed")
+  }
+
+  /** Rewrites the live posting view into ONE fresh segment,
+    * MATERIALIZING tombstones — the maintenance pass an
+    * append/delete-grown index needs: every append adds a segment
+    * (per-commit file sets), every delete adds a broadcast anti-join to
+    * the read path; compact collapses both back to the fresh-build
+    * shape (one segment, no tombstones) and publishes in one manifest
+    * swap. A reader that resolved the old manifest keeps its old
+    * segments (they are not touched until [[AnnStore.vacuum]]); a
+    * reader arriving after the swap sees exactly the new one. Row
+    * content is untouched modulo tombstones: a post-compaction read is
+    * row-identical (spec-pinned), only the file layout changes. The
+    * centroid generation is carried over unchanged — append/delete
+    * already keep its counts current. */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val n = spark.sparkContext.defaultParallelism
+    val man = AnnStore.read(dir)
+    val seg = s"seg_${man.version + 1}"
+    AnnStore.postings(spark, dir, man)
+      .repartition(n, col("cell"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("cell").parquet(s"$dir/$seg")
+    AnnStore.publish(dir, man.copy(version = man.version + 1,
+      segments = Seq(seg), tombstones = Nil))
   }
 
   /** IVF top-k answered FROM the persisted index: probe cells come from
@@ -1171,7 +1213,8 @@ object Similarity {
     val spark = queries.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
-    val centRows = spark.read.parquet(s"$indexDir/centroids")
+    val man = AnnStore.read(indexDir) // ONE pointer resolve per query
+    val centRows = AnnStore.centroids(spark, indexDir, man)
       .orderBy(col("cell")).collect()
     val centroids = centRows.map(_.getSeq[Double](1).toArray)
     val cnorms = centRows.map(_.getDouble(2))
@@ -1193,7 +1236,7 @@ object Similarity {
       .withColumn("shard",
         explode(sequence(lit(0), greatest(col("nshards"), lit(1)) - 1)))
       .drop("nshards")
-    val postings = spark.read.parquet(s"$indexDir/postings").select(
+    val postings = AnnStore.postings(spark, indexDir, man).select(
       col("vec_id").as("nid"), col("codes").as("cb"), col("cdot").as("cdb"),
       col("m").as("mb"), col("nrm").as("nb"), col("shard"), col("cell"))
 
@@ -1241,7 +1284,7 @@ object Similarity {
     * hash-ordered sample of `sampleN` q3 vectors (driver-side Lloyd —
     * sampleN·d ints ≈ 4 MB at the 16k default, a documented bounded
     * collect, the standard PQ practice of training on a sample) and
-    * persisted at `dir/codebooks` so serving and appends reuse them
+    * persisted as a `cb_<v>` generation so serving and appends reuse them
     * bit-identically. `centroidsFrom` shares a coarse quantizer with an
     * existing index (the spec pins serve parity against the int8 tier
     * through it). Returns the same per-cell histogram as
@@ -1263,7 +1306,7 @@ object Similarity {
     val view = corpus.select(col("vec_id"), col("embedding"))
     val (centroids, cnorms) = centroidsFrom match {
       case Some(src) =>
-        val rows = spark.read.parquet(s"$src/centroids").orderBy(col("cell")).collect()
+        val rows = AnnStore.centroids(spark, src).orderBy(col("cell")).collect()
         (rows.map(_.getSeq[Double](1).toArray), rows.map(_.getDouble(2)))
       case None =>
         val total = view.count()
@@ -1316,7 +1359,7 @@ object Similarity {
         col("shard"), col("cell"))
       .repartition(n, col("cell"))
       .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("cell").parquet(s"$dir/postings")
+      .partitionBy("cell").parquet(s"$dir/seg_1")
 
     rows.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -1330,16 +1373,18 @@ object Similarity {
         (sub, code, (0 until cb.dsub).map(j => cb.cw(sub, code, j)))
       }
     }.toDF("sub", "code", "cw")
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+      .write.mode("overwrite").parquet(s"$dir/cb_1")
 
     centroids.zip(cnorms).zipWithIndex.map { case ((c, nm), i) =>
       val (nv, ns) = cellMeta.getOrElse(i, (0L, 1))
       (i, c.toSeq, nm, ns, nv)
     }.toSeq
       .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$dir/cent_1")
+    AnnStore.publish(dir,
+      AnnStore.Manifest(1L, "cent_1", Some("cb_1"), Seq("seg_1"), Nil))
 
-    spark.read.parquet(s"$dir/centroids")
+    AnnStore.centroids(spark, dir)
       .filter(col("n_vectors") > 0)
       .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
   }
@@ -1398,12 +1443,15 @@ object Similarity {
     val spark = queries.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
-    val centRows = spark.read.parquet(s"$indexDir/centroids")
+    val man = AnnStore.read(indexDir) // ONE pointer resolve per query
+    val centRows = AnnStore.centroids(spark, indexDir, man)
       .orderBy(col("cell")).collect()
     val centroids = centRows.map(_.getSeq[Double](1).toArray)
     val cnorms = centRows.map(_.getDouble(2))
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
-    val cbRows = spark.read.parquet(s"$indexDir/codebooks")
+    val cbRows = spark.read.parquet(
+      man.codebooks.map(cb => s"$indexDir/$cb").getOrElse(
+        sys.error(s"index at $indexDir has no codebook generation")))
       .orderBy(col("sub"), col("code")).collect()
     val m = cbRows.map(_.getInt(0)).max + 1
     val ksEff = cbRows.map(_.getInt(1)).max + 1
@@ -1445,7 +1493,7 @@ object Similarity {
     // serving regime, ~16 KB each — a bounded, rotation-managed
     // checkpoint, same discipline as the banded-guard materialization.
     val qm = graft.Checkpoints.rotate("similarity.pqProbe", q)
-    val postings = spark.read.parquet(s"$indexDir/postings").select(
+    val postings = AnnStore.postings(spark, indexDir, man).select(
       col("vec_id").as("nid"), col("pqc"), col("rn"), col("nrm").as("nb"),
       col("shard"), col("cell"))
 
@@ -1495,7 +1543,7 @@ object Similarity {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val totalN = spark.read.parquet(s"$indexDir/centroids")
+    val totalN = AnnStore.centroids(spark, indexDir)
       .agg(sum(col("n_vectors"))).head().getLong(0)
     val cand = pqCandidatesIndexed(queries, indexDir, nprobe)
 

@@ -19,9 +19,9 @@ object PqScratch {
       .localCheckpoint()
     val pqDir = s"$dir/__graft_pq_index"
     val ivfDir = s"$dir/__graft_ivf_index"
-    if (!new java.io.File(s"$pqDir/centroids").exists())
+    if (!graft.operators.AnnStore.exists(pqDir))
       Similarity.buildPqIndex(emb, pqDir, cellCap = Some(8192)).count()
-    if (!new java.io.File(s"$ivfDir/centroids").exists())
+    if (!graft.operators.AnnStore.exists(ivfDir))
       Similarity.buildIvfIndex(emb, ivfDir, cellCap = Some(8192)).count()
 
     def t(name: String)(body: => Long): Unit = {

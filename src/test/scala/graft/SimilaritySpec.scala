@@ -218,7 +218,7 @@ class SimilaritySpec extends SparkSpec {
     // the centroid table, never a postings scan)
     assert(counts.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
     // the postings ARE the int8 tier: 1 B/elem codes + three scalars
-    val post = spark.read.parquet(s"$dir/postings")
+    val post = Similarity.indexPostings(spark, dir)
     assert(post.columns.toSet ==
       Set("vec_id", "codes", "cdot", "m", "nrm", "shard", "cell"))
     val dim = emb.head().getSeq[Float](1).length
@@ -246,8 +246,8 @@ class SimilaritySpec extends SparkSpec {
     val p = idx.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head.toLowerCase
     def occurrences(needle: String): Int = needle.r.findAllIn(p).size
-    assert(p.linesIterator.count(l => l.contains("scan") && l.contains("postings")) == 1,
-      s"read path must scan the postings table exactly once:\n${p.take(1500)}")
+    assert(p.linesIterator.count(l => l.contains("scan") && l.contains("seg_")) == 1,
+      s"read path must scan the postings segments exactly once:\n${p.take(1500)}")
     assert(occurrences("nearestcellsexpr") == 1,
       s"corpus-side assignment recompute detected:\n${p.take(1500)}")
     assert(occurrences("int8packexpr") == 1,
@@ -270,7 +270,7 @@ class SimilaritySpec extends SparkSpec {
     // completeness: every corpus vector posted exactly once
     assert(counts.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
     // the postings ARE the PQ tier: m one-byte codes + two scalars
-    val post = spark.read.parquet(s"$dirB/postings")
+    val post = Similarity.indexPostings(spark, dirB)
     assert(post.columns.toSet ==
       Set("vec_id", "pqc", "rn", "nrm", "shard", "cell"))
     assert(post.select(max(length(col("pqc")))).head().getInt(0) == 8)
@@ -281,8 +281,10 @@ class SimilaritySpec extends SparkSpec {
         if (f.isDirectory) f.listFiles().map(rec).sum else f.length()
       rec(new java.io.File(d))
     }
-    assert(bytes(s"$dirB/postings") < bytes(s"$dirA/postings"),
-      s"pq=${bytes(s"$dirB/postings")} int8=${bytes(s"$dirA/postings")}")
+    def postBytes(d: String): Long =
+      graft.operators.AnnStore.postingsPaths(d).map(bytes).sum
+    assert(postBytes(dirB) < postBytes(dirA),
+      s"pq=${postBytes(dirB)} int8=${postBytes(dirA)}")
     // soundness: EVERY candidate's [lb, ub] contains its exact q3 cosine
     // (the invariant TopKScreenAgg's no-true-member-pruned guarantee
     // rests on)
@@ -322,8 +324,8 @@ class SimilaritySpec extends SparkSpec {
     // carries neither a corpus-side nor a query-side per-row recompute
     val p = pqServe.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head.toLowerCase
-    assert(p.linesIterator.count(l => l.contains("scan") && l.contains("postings")) == 1,
-      s"PQ read path must scan the postings table exactly once:\n${p.take(1500)}")
+    assert(p.linesIterator.count(l => l.contains("scan") && l.contains("seg_")) == 1,
+      s"PQ read path must scan the postings segments exactly once:\n${p.take(1500)}")
     assert("nearestcellsexpr".r.findAllIn(p).isEmpty,
       s"per-row assignment recompute in the serve plan:\n${p.take(1500)}")
     assert(!p.contains("pqludf") && "scalaudf".r.findAllIn(p).isEmpty,
@@ -336,11 +338,11 @@ class SimilaritySpec extends SparkSpec {
     val d2 = java.nio.file.Files.createTempDirectory("graft_pq_d2").toString
     Similarity.buildPqIndex(corpus, d1, cellCap = Some(256)).count()
     Similarity.buildPqIndex(corpus, d2, cellCap = Some(256)).count()
-    def cb(d: String) = spark.read.parquet(s"$d/codebooks")
+    def cb(d: String) = graft.operators.AnnStore.codebooks(spark, d)
       .orderBy(col("sub"), col("code"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     assert(cb(d1).sameElements(cb(d2)))
-    def codes(d: String) = spark.read.parquet(s"$d/postings")
+    def codes(d: String) = Similarity.indexPostings(spark, d)
       .select(col("vec_id"), col("pqc"), col("rn")).orderBy(col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2)))
     assert(codes(d1).sameElements(codes(d2)))
@@ -351,7 +353,7 @@ class SimilaritySpec extends SparkSpec {
     val tB = java.nio.file.Files.createTempDirectory("graft_pq_tb").toString
     Similarity.buildIvfIndex(tiny, tA, nlistOpt = Some(4)).count()
     Similarity.buildPqIndex(tiny, tB, centroidsFrom = Some(tA)).count()
-    assert(spark.read.parquet(s"$tB/codebooks")
+    assert(graft.operators.AnnStore.codebooks(spark, tB)
       .groupBy(col("sub")).agg(countDistinct(col("code")).as("k"))
       .agg(max(col("k"))).head().getLong(0) <= 40)
     def sorted(df: org.apache.spark.sql.DataFrame) =
@@ -374,7 +376,7 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(appended.values.sum == batch.count())
     // metadata refresh: centroid table counts now cover the full corpus
-    val meta = spark.read.parquet(s"$dir1/centroids")
+    val meta = Similarity.indexCentroids(spark, dir1)
     assert(meta.agg(sum(col("n_vectors"))).head().getLong(0) == emb.count())
     // parity: append ≡ rebuild at the SAME centroids (centroidsFrom)
     Similarity.buildIvfIndex(emb.select(col("vec_id"), col("embedding")),
@@ -394,11 +396,12 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(removed.values.sum == delIds.count(), "every id must be removed once")
     // bookkeeping refresh: counts cover exactly the survivors, and the
-    // posting rows agree (no stale file left behind in a touched cell)
+    // LIVE posting view agrees (tombstoned rows are invisible to every
+    // reader even though no posting file was rewritten)
     val remaining = emb.filter(col("vec_id") % 10 =!= 7)
-    val meta = spark.read.parquet(s"$dir1/centroids")
+    val meta = Similarity.indexCentroids(spark, dir1)
     assert(meta.agg(sum(col("n_vectors"))).head().getLong(0) == remaining.count())
-    val postIds = spark.read.parquet(s"$dir1/postings")
+    val postIds = Similarity.indexPostings(spark, dir1)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(postIds == remaining.select(col("vec_id"))
       .collect().map(_.getLong(0)).toSet)
@@ -411,18 +414,60 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(dir1).sameElements(rows(dir2)))
     // idempotence: re-deleting the same ids is a no-op
     assert(Similarity.deleteFromIvfIndex(delIds, dir1).count() == 0)
-    // emptied-cell handling: delete EVERYTHING in some cell and its
-    // partition directory must disappear (dynamic overwrite alone would
-    // leave the stale files in place)
-    val firstCell = spark.read.parquet(s"$dir1/postings")
+    // emptied-cell handling: delete EVERYTHING in some cell — the LIVE
+    // view shows no rows for it, and a compact (which materializes the
+    // tombstones) + vacuum physically drops its partition directory
+    val firstCell = Similarity.indexPostings(spark, dir1)
       .select(col("cell")).orderBy(col("cell")).head().getInt(0)
-    val cellIds = spark.read.parquet(s"$dir1/postings")
+    val cellIds = Similarity.indexPostings(spark, dir1)
       .filter(col("cell") === firstCell).select(col("vec_id"))
     Similarity.deleteFromIvfIndex(cellIds, dir1).count()
-    assert(!new java.io.File(s"$dir1/postings/cell=$firstCell").exists(),
-      "an emptied cell's partition directory must be dropped")
-    assert(spark.read.parquet(s"$dir1/postings")
+    assert(Similarity.indexPostings(spark, dir1)
       .filter(col("cell") === firstCell).count() == 0)
+    // (codes is BINARY — hex it so row equality is value equality)
+    def stableRows() = Similarity.indexPostings(spark, dir1)
+      .select(col("vec_id"), hex(col("codes")).as("codes"), col("cdot"),
+        col("m"), col("nrm"), col("shard"), col("cell"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val preCompact = stableRows()
+    Similarity.compactIvfIndex(spark, dir1)
+    graft.operators.AnnStore.vacuum(dir1)
+    // post-compact: one segment, zero tombstones, row-identical view,
+    // and the emptied cell's files are GONE from disk
+    val man = graft.operators.AnnStore.read(dir1)
+    assert(man.segments.size == 1 && man.tombstones.isEmpty)
+    assert(stableRows().sameElements(preCompact))
+    assert(!new java.io.File(
+      s"$dir1/${man.segments.head}/cell=$firstCell").exists(),
+      "an emptied cell's partition directory must be dropped by compact")
+  }
+
+  test("ANN manifest commits: mid-compact reader keeps its generation; vacuum reclaims only garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_man").toString
+    Similarity.buildIvfIndex(emb.select(col("vec_id"), col("embedding")),
+      dir, cellCap = Some(256)).count()
+    Similarity.deleteFromIvfIndex(
+      emb.filter(col("vec_id") % 5 === 2).select(col("vec_id")), dir).count()
+    // a reader that resolved the pre-compact manifest: its DataFrame
+    // pins the old segment+tombstone set (one pointer resolve at open)
+    val oldReader = Similarity.indexPostings(spark, dir)
+    val before = oldReader.count()
+    Similarity.compactIvfIndex(spark, dir)
+    // the old generation's files are untouched by the swap, so the
+    // in-flight reader still computes — and sees its own generation
+    assert(oldReader.count() == before)
+    // a NEW reader resolves the new pointer: exactly one segment, no
+    // tombstone anti-join, same rows
+    val man = graft.operators.AnnStore.read(dir)
+    assert(man.segments == Seq(s"seg_${man.version}") && man.tombstones.isEmpty)
+    assert(Similarity.indexPostings(spark, dir).count() == before)
+    // vacuum drops exactly the unreferenced directories; the live
+    // generation (and the manifest) survive and the view is unchanged
+    graft.operators.AnnStore.vacuum(dir)
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left == Set("MANIFEST", man.cent, man.segments.head),
+      s"unexpected survivors: $left")
+    assert(Similarity.indexPostings(spark, dir).count() == before)
   }
 
   test("IVF hot-cell guard: sharding is result-identical and bounds the join bucket") {
@@ -455,7 +500,7 @@ class SimilaritySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_hot").toString
     Similarity.buildIvfIndex(corpus, dir, nlistOpt = Some(8),
       cellCap = Some(32)).count()
-    val buckets = spark.read.parquet(s"$dir/postings")
+    val buckets = Similarity.indexPostings(spark, dir)
       .groupBy(col("cell"), col("shard")).agg(count(lit(1)).as("c"))
     assert(buckets.agg(max(col("c"))).head().getLong(0) <= 64,
       "hot cell must shard to ≤ 2×cap per join bucket")
