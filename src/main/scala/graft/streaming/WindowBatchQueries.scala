@@ -373,6 +373,69 @@ object WindowBatchQueries {
                    CAST(1 AS BOOLEAN) AS within_tol
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** S: streaming MAINTENANCE of the l60 QUANTILE tier, batch replay —
+    * the [[s12SketchMaintainReplay]] pattern on the percentile sketch:
+    * each ingest batch buckets only ITSELF per (event_type, day) cell
+    * ([[graft.operators.QuantileRollup.buildSketchTable]]) and FOLDS
+    * into the maintained bucket table ([[graft.operators.QuantileRollup
+    * .merge]] — bucket counts ADD, so the folded table is BIT-IDENTICAL
+    * to building over the union, a stronger law than the HLL tier's
+    * estimate-identity; QuantileRollupSpec pins it). The folded rollup
+    * therefore satisfies l60's tolerance invariant verbatim, which is
+    * what the oracle checks: per-type p50/p95 within the deterministic
+    * α bound of the exact rank-values computed in the same plan.
+    * Redelivery is NOT naturally idempotent for count sums (unlike HLL
+    * register maxima) — the streaming sink uses the s10 marker
+    * discipline; StreamingSpec pins the crash-recovery run. */
+  val s13QuantileMaintainReplay = Q(
+    "s13_quantile_maintain_replay",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val batches = (0 to 2).map(i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i))
+      val dims = Seq("event_type", "day")
+      val state = batches.tail.foldLeft(
+        graft.operators.QuantileRollup.buildSketchTable(batches.head, dims, "value")) {
+        (st, b) => graft.operators.QuantileRollup.merge(
+          st, graft.operators.QuantileRollup.buildSketchTable(b, dims, "value"), dims)
+      }
+      val est = graft.operators.QuantileRollup
+        .quantiles(state, Seq("event_type"), Seq(0.5, 0.95))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("q") === 0.5, col("est"))).as("p50_est"),
+          max(when(col("q") === 0.95, col("est"))).as("p95_est"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      def rank(q: Double) =
+        greatest(lit(1L), ceil(lit(q) * col("n")).cast("long"))
+      val exact = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === rank(0.5), col("value"))).as("exact_p50"),
+          max(when(col("rn") === rank(0.95), col("value"))).as("exact_p95"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_p50"), col("exact_p95"),
+          (abs(col("p50_est") / col("exact_p50") - 1.0) <= 0.0105).as("p50_within_tol"),
+          (abs(col("p95_est") / col("exact_p95") - 1.0) <= 0.0105).as("p95_within_tol"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH r AS (SELECT event_type, value,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY value) AS rn,
+                              count(*) OVER (PARTITION BY event_type) AS n
+                       FROM events)
+            SELECT event_type,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                            THEN value END) AS exact_p50,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                            THEN value END) AS exact_p95,
+                   CAST(1 AS BOOLEAN) AS p50_within_tol,
+                   CAST(1 AS BOOLEAN) AS p95_within_tol
+            FROM r GROUP BY event_type ORDER BY event_type"""))
+
   /** S: windowed TRENDING keys — per tumbling 1-hour window, the top-3
     * `props.k` values by count (ties to the smaller key): the
     * streaming heavy-hitter pattern ("what's trending this hour").
@@ -421,5 +484,5 @@ object WindowBatchQueries {
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
     s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
     s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay, s11TrendingReplay,
-    s12SketchMaintainReplay)
+    s12SketchMaintainReplay, s13QuantileMaintainReplay)
 }

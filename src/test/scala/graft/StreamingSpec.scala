@@ -533,4 +533,104 @@ class StreamingSpec extends SparkSpec {
       .map { case (k, v) => k -> v.map(_._3).distinct.size.toLong }
     assert(cells(recovered) == exact, s"got ${cells(recovered)} want $exact")
   }
+
+  test("s13 crash recovery: quantile-tier maintenance restarts from checkpoint; marker-guarded merge keeps counts exact") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.operators.QuantileRollup
+    val dims = Seq("event_type", "day")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_type STRING, day_s STRING, value DOUBLE")
+    def evJson(t: String, d: String, v: Double) =
+      s"""{"event_type":"$t","day_s":"$d","value":$v}"""
+    // negatives and a zero exercise the sign column through the sink
+    val b0 = Seq(("click", "2024-01-01", 12.5), ("click", "2024-01-01", 80.0),
+      ("view", "2024-01-02", -3.25))
+    val b1 = Seq(("click", "2024-01-01", 12.5), ("click", "2024-01-02", 0.0))
+    val b2 = Seq(("view", "2024-01-02", 640.0), ("view", "2024-01-02", 2.0))
+    def sketchOf(rows: Seq[(String, String, Double)]) =
+      QuantileRollup.buildSketchTable(
+        rows.toDF("event_type", "day_s", "value")
+          .withColumn("day", to_date($"day_s")).drop("day_s"),
+        dims, "value")
+
+    /** The s12 drive loop on the QUANTILE tier, with one structural
+      * difference: bucket counts are SUMS, so re-merging a redelivered
+      * batch would double-count it (HLL register maxima absorbed that
+      * for free). The sink therefore uses s10's per-batchId commit
+      * marker — state write + marker model the one atomic manifest
+      * commit a Delta/Iceberg sink (or AnnStore/DedupIndex's pointer
+      * swap) provides. */
+    def drive(tag: String, crash: Boolean): org.apache.spark.sql.DataFrame = {
+      val root = Files.createTempDirectory(s"graft_s13_$tag")
+      val src = root.resolve("src"); Files.createDirectories(src)
+      val chk = root.resolve("chk").toString
+      val stateDir = root.resolve("buckets").toString
+      def applied(bid: Long) = Files.exists(root.resolve(s"applied_$bid"))
+      def mark(bid: Long): Unit = {
+        Files.createFile(root.resolve(s"applied_$bid")): Unit
+      }
+      @volatile var poison = false
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def start() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.toString)
+        .writeStream.option("checkpointLocation", chk).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          delivered += bid
+          if (!applied(bid)) {
+            val bs = QuantileRollup.buildSketchTable(
+              batch.withColumn("day", to_date($"day_s")).drop("day_s"),
+              dims, "value")
+            val merged =
+              if (new java.io.File(stateDir).exists())
+                QuantileRollup.merge(spark.read.parquet(stateDir), bs, dims)
+              else bs
+            // localCheckpoint severs the read of the path being overwritten
+            merged.localCheckpoint().coalesce(1)
+              .write.mode("overwrite").parquet(stateDir)
+            mark(bid)
+          }
+          if (poison) {
+            poison = false
+            throw new RuntimeException(
+              "injected crash: state committed, stream commit log not written")
+          }
+        }.start()
+      def writeBatch(n: String, rows: Seq[(String, String, Double)]): Unit =
+        Files.write(src.resolve(n),
+          rows.map((evJson _).tupled).mkString("\n").getBytes): Unit
+      writeBatch("b0.json", b0)
+      val q1 = start()
+      q1.processAllAvailable()
+      writeBatch("b1.json", b1)
+      if (crash) {
+        poison = true
+        intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+      } else q1.processAllAvailable()
+      writeBatch("b2.json", b2)
+      val q2 = if (crash) start() else q1
+      try q2.processAllAvailable() finally q2.stop()
+      if (crash) // batch 0 committed; batch 1 redelivered (marker skips it)
+        assert(delivered.toList == List(0L, 1L, 1L, 2L), s"deliveries: $delivered")
+      spark.read.parquet(stateDir)
+    }
+
+    val recovered = drive("crash", crash = true)
+    val clean = drive("clean", crash = false)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select($"event_type", $"day", $"sgn", $"bucket", $"cnt")
+        .collect().map(_.toSeq.toString).sorted.toSeq
+    // bucket counts are exact integers: the crash+restart table is
+    // BIT-IDENTICAL to the uninterrupted run AND to the one-shot build
+    // over the union — merge-equals-whole held through the crash
+    assert(rows(recovered) == rows(clean))
+    assert(rows(recovered) == rows(sketchOf(b0 ++ b1 ++ b2)))
+    // the marker is load-bearing: re-merging the redelivered batch into
+    // the recovered state (what a markerless sink would have done)
+    // double-counts exactly batch 1's rows
+    val total = recovered.agg(sum($"cnt")).head().getLong(0)
+    assert(total == (b0 ++ b1 ++ b2).size.toLong)
+    assert(QuantileRollup.merge(recovered, sketchOf(b1), dims)
+      .agg(sum($"cnt")).head().getLong(0) == total + b1.size)
+  }
 }
