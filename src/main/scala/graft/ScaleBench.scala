@@ -397,7 +397,7 @@ object ScaleBench {
       if (wanted("dedup_groups_incremental")) {
         val outD = java.nio.file.Files
           .createTempDirectory("graft_scale_dixi").toString
-        val labD = s"$outD/_labels"
+        val labD = s"$outD/labels"
         val base = docs.filter(col("doc_id") % 100 =!= 7)
         val batch = docs.filter(col("doc_id") % 100 === 7)
         runs("dixi_build") = timed("dixi_build") {
@@ -414,11 +414,21 @@ object ScaleBench {
           graft.operators.DedupIndex.append(batch, "doc_id", "text", outD)
           batch.count()
         }
+        // stage isolation: the delta-pair probe alone (batch re-band +
+        // ONE prefix-pruned band-table scan + broadcast join). For any
+        // real batch the 8 keys/doc saturate all 256 prefixes, so this
+        // is the corpus-scan floor the incremental run sits on — the
+        // same floor as l42's query probe; everything above it
+        // (contracted closure + label relabel) is O(batch + touched)
+        runs("dixi_delta") = timed("dixi_delta") {
+          graft.operators.DedupIndex.pairsWithNew(
+            spark, outD, batch, "doc_id", "text").count()
+        }
         runs("dedup_groups_incremental") = timed("dedup_groups_incremental") {
           graft.operators.Dedup.incrementalComponents(
             spark.read.parquet(labD),
             graft.operators.DedupIndex.pairsWithNew(
-              spark, outD, batch.select(col("doc_id")))).count()
+              spark, outD, batch, "doc_id", "text")).count()
         }
       }
       if (wanted("decon_join")) runs("decon_join") = timed("decon_join") {

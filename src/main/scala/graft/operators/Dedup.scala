@@ -884,8 +884,42 @@ object Dedup {
         col("cb").isNull.as("v_raw"))
     val edges = graft.Checkpoints.rotate("dedup.incremental.contracted",
       contracted.select(col("u"), col("v")).filter(col("u") =!= col("v")))
-    // 2. close the contracted graph (touched comps + batch nodes only)
-    val relabel = connectedComponents(edges, "u", "v")
+    // 2. close the contracted graph (touched comps + batch nodes only).
+    // Sub-floor skip, the engageCap discipline: a daily append's
+    // contracted graph is usually a few hundred edges, and the
+    // distributed star-contraction's fixed round overhead (~3 s of an
+    // 8 s run at 10⁶ corpus / 58 delta edges, BENCH_LOCAL round-12)
+    // dwarfs the work — at or under 4096 edges a driver-side union-find
+    // over the ALREADY-MATERIALIZED checkpoint rows produces the
+    // min-id labels by the same definition (provably identical output,
+    // not a heuristic; DedupSpec pins both branches on one input). The
+    // count is a metadata read of the checkpoint, not an extra job.
+    val nEdges = edges.count()
+    val spark = deltaEdges.sparkSession
+    val relabel =
+      if (nEdges <= 4096 && nEdges > 0) {
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min-id root — the closure's label convention
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        import spark.implicits._
+        nodes.map(nd => (nd, find(nd))).toSeq.toDF("id", "comp")
+      } else if (nEdges == 0) {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("id", "comp")
+      } else connectedComponents(edges, "u", "v")
     // 3a. contracted nodes that never had a label emit their own rows
     val rawNodes = contracted.filter(col("u_raw")).select(col("u").as("id"))
       .unionAll(contracted.filter(col("v_raw")).select(col("v").as("id")))

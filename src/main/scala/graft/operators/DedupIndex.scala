@@ -341,38 +341,52 @@ object DedupIndex {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Near-dup candidate pairs INCIDENT TO a given id set — the delta
+  /** Near-dup candidate pairs INCIDENT TO an appended batch — the delta
     * stage of incremental dedup-groups maintenance ([[Dedup
     * .incrementalComponents]], l59): after an [[append]], the only
     * pairs the closure has not already seen are those touching the new
     * docs, so instead of [[selfPairs]]' full corpus×corpus self-join
-    * this joins the NEW docs' band rows (batch-sized, broadcast)
-    * against a partition-pruned scan of the prefixes those rows
-    * name — the same probe shape as [[query]], emitting pairs instead
-    * of a survivor verdict. Pair rule identical to [[selfPairs]]
-    * (shared band + est agreement ≥ threshold, canonical id_a < id_b),
-    * so selfPairs(union) = selfPairs(old) ∪ pairsWithNew(newIds) —
-    * agreement is symmetric, so the least/greatest canonicalization
-    * can reorder ids without touching the signatures. */
+    * this joins the batch's band rows (RE-BANDED from the batch docs —
+    * a row-local, batch-sized pass; band rows are a deterministic
+    * function of the text, so they are bit-identical to the rows
+    * [[append]] wrote, and the index is never scanned just to recover
+    * them) broadcast against a partition-pruned scan of the prefixes
+    * those rows name — the same probe shape as [[query]], emitting
+    * pairs instead of a survivor verdict. One index scan total, vs the
+    * former id-semi-join form's two (a doc_id lookup gets no prefix
+    * pruning, so deriving the probe from the index cost a full
+    * band-table scan — at 10⁶ docs that was half the delta run).
+    * Call AFTER the batch's [[append]]: batch×batch pairs surface from
+    * the probe hitting the batch's own indexed rows. Pair rule
+    * identical to [[selfPairs]] (shared band + est agreement ≥
+    * threshold, canonical id_a < id_b), so selfPairs(union) =
+    * selfPairs(old) ∪ pairsWithNew(batch) — agreement is symmetric, so
+    * the least/greatest canonicalization can reorder ids without
+    * touching the signatures. */
   def pairsWithNew(
       spark: SparkSession,
       dir: String,
-      newIds: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
       threshold: Double = 0.5): DataFrame = {
-    val k = spark.read.parquet(s"$dir/meta").collect()(0).getAs[Int]("k")
-    val bandsT = readBands(spark, dir)
-    val nb = bandsT.join(
-      broadcast(newIds.select(col(newIds.columns.head).cast("long").as("doc_id"))
-        .distinct()),
-      Seq("doc_id"), "left_semi")
-      .select(col("band"), col("bkey"), col("bprefix"),
-        col("doc_id").as("id_a"), col("sig").as("sig_a"))
-      .localCheckpoint() // executed twice: prefix list + the join probe
+    val (k, bands, shingleN) = meta(batch, dir)
+    val n = spark.sparkContext.defaultParallelism
+    // batch-sized probe, materialized once (prefix list + join probe —
+    // the surviveAgainst discipline)
+    val nb = graft.Checkpoints.rotate("dedup_index_delta_probe",
+      batch.repartition(n, col(idCol))
+        .select(col(idCol).cast("long").as("id_a"),
+          Dedup.minhashSignature(col(textCol), k, shingleN).as("sig_a"))
+        .select(col("id_a"), col("sig_a"),
+          posexplode(Dedup.lshBandKeys(col("sig_a"), bands, k / bands))
+            .as(Seq("band", "bkey")))
+        .withColumn("bprefix", pmod(col("bkey"), lit(256L)).cast("int")))
     // ≤ 256 distinct values by construction — driver-bounded (the same
     // pruning discipline as query's probe)
     val prefixes = nb.select(col("bprefix")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    val corpus = bandsT.where(col("bprefix").isin(prefixes: _*))
+    val corpus = readBands(spark, dir).where(col("bprefix").isin(prefixes: _*))
       .select(col("band"), col("bkey"),
         col("doc_id").as("id_b"), col("sig").as("sig_b"))
     broadcast(nb.drop("bprefix")).join(corpus, Seq("band", "bkey"))

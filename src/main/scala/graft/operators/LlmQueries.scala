@@ -1622,9 +1622,9 @@ object LlmQueries {
     * shape l55 still lacked: after an append, re-close only (persisted
     * labels) + (delta edges incident to the batch) instead of re-running
     * the corpus×corpus pair join and full closure. Delta pairs come
-    * from [[DedupIndex.pairsWithNew]] (batch band rows broadcast
-    * against a partition-pruned corpus scan — l42's probe shape,
-    * emitting pairs) and the merge is [[Dedup.incrementalComponents]]
+    * from [[DedupIndex.pairsWithNew]] (the batch RE-BANDED row-locally,
+    * broadcast against a partition-pruned corpus scan — l42's probe
+    * shape, emitting pairs; one index scan total) and the merge is [[Dedup.incrementalComponents]]
     * (contract old components to their min-id reps, close the
     * touched-comps + batch graph, propagate through ONE broadcast
     * relabel join). The DECLARED output must hash-match l26's
@@ -1634,11 +1634,11 @@ object LlmQueries {
     "l59_dedup_groups_incremental",
     (s, dir) => {
       val (idx, lab) = dedupIndexIncr(s, dir)
-      val batchIds = Tables(s, dir, "documents")
-        .filter(col("doc_id") % 10 === 7).select(col("doc_id"))
+      val batch = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 7)
       Dedup.incrementalComponents(
         s.read.parquet(lab),
-        DedupIndex.pairsWithNew(s, idx, batchIds))
+        DedupIndex.pairsWithNew(s, idx, batch, "doc_id", "text"))
         .orderBy(col("id"))
     },
     Some("""WITH RECURSIVE

@@ -296,6 +296,19 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(incr == full, s"seed $seed: incremental diverged from full closure")
     }
+    // both closure branches pinned on the SAME construction: the 250-edge
+    // graphs above run the sub-floor driver-side union-find (≤4096
+    // contracted edges); this >4096-edge delta forces the distributed
+    // star-contraction branch, and the output law is identical
+    val rnd = new scala.util.Random(5)
+    val big = Seq.fill(5000)((rnd.nextInt(3000).toLong, rnd.nextInt(3000).toLong))
+    val noLabels = Seq.empty[(Long, Long)].toDF("id", "comp")
+    val incrBig = Dedup.incrementalComponents(noLabels, big.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullBig = Dedup.connectedComponents(
+      big.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incrBig == fullBig, "distributed branch diverged from full closure")
     // merge case pinned by hand: a new node bridges two old components,
     // and the merged label is the min over BOTH memberships.
     // localCheckpoint: lab2 is held across TWO incrementalComponents
@@ -326,7 +339,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     DedupIndex.append(docs.filter($"doc_id" % 10 === 7), "doc_id", "text", dir)
     val delta = DedupIndex.pairsWithNew(spark, dir,
-      docs.filter($"doc_id" % 10 === 7).select($"doc_id"))
+      docs.filter($"doc_id" % 10 === 7), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(delta.nonEmpty, "fixture batch must carry near-dup pairs")
     assert(delta.forall { case (a, b) => a % 10 == 7 || b % 10 == 7 },
