@@ -96,7 +96,8 @@ object Bench {
     "l35_pq_serve",         // serving from the product-quantized tier (ADC)
     "l33_ann_index_fresh",  // index INGEST, cache-busted fresh build per run
     "l32_ann_index_append", // incremental index append (build base + append)
-    "l58_ann_index_delete", // index takedown (build + touched-cell delete pass)
+    "l58_ann_index_delete", // index takedown (build + tombstone delete pass)
+    "l62_pq_index_append",  // PQ-tier append (base build + persisted-codebook encode)
     "l34_jl_project",       // seeded sparse JL projection 64→16 (row-local)
     "l36_pack_sequences",   // token-budget sequence packing (sharded windows)
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)

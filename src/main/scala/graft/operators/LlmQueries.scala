@@ -2091,6 +2091,53 @@ object LlmQueries {
         .orderBy(col("qid"), col("rank"))
     }))
 
+  /** L: PQ index APPEND — [[l32AnnIndexAppend]] for the PQ tier:
+    * build the base index (trains codebooks once), append the held-out
+    * batch encoded with the PERSISTED codebooks (training never
+    * re-runs, so all postings share one code space), and declare the
+    * post-append INTEGRITY invariant — refreshed centroid totals and
+    * the live posting count must both equal the full corpus, with no
+    * orphan cells; DuckDB asserts the totals from the source table, so
+    * a lost or double-appended batch is red. Append ≡ fixed-centroid+
+    * codebook rebuild read parity stays in SimilaritySpec; bench times
+    * what an ingest cycle pays (base build + append pass). */
+  val l62PqIndexAppend = Q(
+    "l62_pq_index_append",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val out = annIndexRoot.resolve(
+        "pqappend_" + Integer.toHexString(dir.hashCode)).toString
+      Similarity.buildPqIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), out, cellCap = Some(256)).count()
+      Similarity.appendToPqIndex(emb.filter(col("vec_id") % 10 === 0), out).count()
+      val cents = Similarity.indexCentroids(s, out)
+      val posts = Similarity.indexPostings(s, out)
+      val a = cents.agg(
+        coalesce(sum(col("n_vectors")), lit(0L)).cast("long").as("n_vectors_total"))
+      val b = posts.agg(count(lit(1)).as("n_postings"))
+      val orph = posts.select(col("cell"))
+        .join(cents.select(col("cell")), Seq("cell"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      a.crossJoin(b).crossJoin(orph)
+        .select(col("n_vectors_total"), col("n_postings"),
+          (col("n_vectors_total") === col("n_postings") &&
+            col("n_orphans") === 0).as("integrity_ok"))
+    },
+    Some("""SELECT count(*) AS n_vectors_total, count(*) AS n_postings,
+                   CAST(1 AS BOOLEAN) AS integrity_ok FROM embeddings"""),
+    bench = Some((s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val out = annIndexRoot.resolve(
+        "pqappend_" + Integer.toHexString(dir.hashCode) + "_" +
+          freshIndexCounter.getAndIncrement()).toString
+      Similarity.buildPqIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), out, cellCap = Some(256)).count()
+      Similarity.appendToPqIndex(emb.filter(col("vec_id") % 10 === 0), out).count()
+      Similarity.indexCentroids(s, out)
+        .filter(col("n_vectors") > 0)
+        .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
+    }))
+
   def all: Seq[Q] = Seq(
     l1ExactDedup, l2MinhashLsh, l3Simhash, l4NgramJaccard, l5CosineTopk,
     l6CosineNearDup, l7TextQuality, l8LangId, l9Fingerprint, l10Tfidf,
@@ -2106,5 +2153,5 @@ object LlmQueries {
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
     l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental,
-    l60QuantileRollup, l61JlPqPipeline)
+    l60QuantileRollup, l61JlPqPipeline, l62PqIndexAppend)
 }

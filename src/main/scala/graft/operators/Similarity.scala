@@ -1299,7 +1299,8 @@ object Similarity {
       m: Int = 8,
       ks: Int = 256,
       sampleN: Int = 16384,
-      trainIters: Int = 6): DataFrame = {
+      trainIters: Int = 6,
+      codebooksFrom: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
@@ -1318,15 +1319,23 @@ object Similarity {
     }
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
 
-    // codebook training sample: TOTAL deterministic order (hash, then
-    // id — ties impossible in practice but the order must not depend on
-    // them), bounded collect documented above
-    val sample = view
-      .select(col("vec_id"), VectorFunctions.quantize3(col("embedding")).as("qv"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(sampleN)
-      .select(col("qv")).collect().map(_.getSeq[Int](0).toArray)
-    val cb = graft.functions.PqCodebooks.train(sample, m, ks, trainIters)
+    // codebooksFrom: reuse an existing index's trained codebooks
+    // bit-identically (the fixed-codebooks rebuild that
+    // [[appendToPqIndex]]'s parity contract is stated against — a fresh
+    // training run over a different corpus sample would encode
+    // different bytes). Otherwise train on a TOTAL-deterministic-order
+    // sample (hash, then id — ties impossible in practice but the order
+    // must not depend on them), bounded collect documented above.
+    val cb = codebooksFrom match {
+      case Some(src) => loadPqCodebooks(spark, src, AnnStore.read(src))
+      case None =>
+        val sample = view
+          .select(col("vec_id"), VectorFunctions.quantize3(col("embedding")).as("qv"))
+          .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(sampleN)
+          .select(col("qv")).collect().map(_.getSeq[Int](0).toArray)
+        graft.functions.PqCodebooks.train(sample, m, ks, trainIters)
+    }
     val cbBc = sc.broadcast(cb)
 
     // one quantize+assign+encode pass, pinned (counts + write both read
@@ -1389,6 +1398,96 @@ object Similarity {
       .select(col("cell"), col("n_vectors")).orderBy(col("cell"))
   }
 
+  /** Appends a vector batch into an EXISTING PQ index —
+    * [[appendToIvfIndex]] for the PQ tier: centroids AND codebooks stay
+    * fixed (the batch encodes with the persisted codebooks
+    * bit-identically — training is never re-run, so existing postings
+    * and new ones live in one code space), the encoded batch lands in a
+    * fresh cell-partitioned segment, the centroid generation refreshes
+    * its counts, and one [[AnnStore]] manifest swap publishes both. The
+    * parity contract mirrors the int8 tier's: the read path after an
+    * append is ROW-IDENTICAL to a fresh [[buildPqIndex]] over the full
+    * corpus at the same centroids and codebooks (`centroidsFrom` +
+    * `codebooksFrom` — SimilaritySpec pins it, l62 gates the integrity
+    * invariant per run). Returns per-cell appended counts. */
+  def appendToPqIndex(batch: DataFrame, dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val sc = spark.sparkContext
+    val n = sc.defaultParallelism
+    val man = AnnStore.read(dir)
+    val centRows = AnnStore.centroids(spark, dir, man)
+      .orderBy(col("cell")).collect()
+    val centroids = centRows.map(_.getSeq[Double](1).toArray)
+    val cnorms = centRows.map(_.getDouble(2))
+    val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
+    val cbBc = sc.broadcast(loadPqCodebooks(spark, dir, man))
+
+    import spark.implicits._
+    val widths = centRows.map(r => (r.getInt(0), r.getInt(3))).toSeq
+      .toDF("cell", "nshards")
+    val rows = batch.select(col("vec_id"), col("embedding"))
+      .repartition(n, col("vec_id"))
+      .withColumn("qv", VectorFunctions.quantize3(col("embedding")))
+      .withColumn("enc", pqEncodeUdf(cbBc)(col("qv")))
+      .select(
+        col("vec_id"),
+        col("enc._1").as("pqc"), col("enc._2").as("rn"),
+        VectorFunctions.dotScaledFast(col("embedding"), col("embedding")).as("nrm"),
+        nearestCellsCol(matBc, int8GeomCol(col("embedding")), 1).as("cell"))
+      .join(broadcast(widths), "cell")
+      .withColumn("shard",
+        pmod(xxhash64(col("vec_id")), col("nshards").cast("long")).cast("int"))
+      .select(col("vec_id"), col("pqc"), col("rn"), col("nrm"),
+        col("shard"), col("cell"))
+      .localCheckpoint() // one quantize+encode+assign pass feeds count and write
+    val appended = rows.groupBy(col("cell")).agg(count(lit(1)).as("n_appended"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    if (appended.nonEmpty) {
+      val seg = s"seg_${man.version + 1}"
+      val cent = s"cent_${man.version + 1}"
+      rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("cell").parquet(s"$dir/$seg")
+      centRows.map { r =>
+        val cell = r.getInt(0)
+        (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
+          r.getLong(4) + appended.getOrElse(cell, 0L))
+      }.toSeq
+        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+        .write.mode("overwrite").parquet(s"$dir/$cent")
+      AnnStore.publish(dir, man.copy(version = man.version + 1,
+        cent = cent, segments = man.segments :+ seg))
+    }
+
+    appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")
+  }
+
+  /** Reconstruct the persisted codebook table into the flat-array
+    * [[graft.functions.PqCodebooks]] the encode/ADC primitives run on —
+    * m·ks rows, one bounded driver-side collect (~128 KB at the
+    * defaults); shared by serving, [[appendToPqIndex]] and the
+    * `codebooksFrom` rebuild so every consumer decodes the SAME bytes. */
+  private def loadPqCodebooks(
+      spark: SparkSession, indexDir: String,
+      man: AnnStore.Manifest): graft.functions.PqCodebooks = {
+    val cbRows = spark.read.parquet(
+      man.codebooks.map(cb => s"$indexDir/$cb").getOrElse(
+        sys.error(s"index at $indexDir has no codebook generation")))
+      .orderBy(col("sub"), col("code")).collect()
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksEff = cbRows.map(_.getInt(1)).max + 1
+    val dsub = cbRows(0).getSeq[Double](2).length
+    val flat = new Array[Double](m * ksEff * dsub)
+    cbRows.foreach { r =>
+      val base = (r.getInt(0) * ksEff + r.getInt(1)) * dsub
+      val cw = r.getSeq[Double](2)
+      var j = 0
+      while (j < dsub) { flat(base + j) = cw(j); j += 1 }
+    }
+    graft.functions.PqCodebooks(flat, m, ksEff, dsub)
+  }
+
   /** q3 vector → (PQ codes, inflated residual norm) with broadcast
     * codebooks — a tight primitive loop per row, the same UDF-with-
     * broadcast-handle precedent as the hyperplane band keys. */
@@ -1449,21 +1548,7 @@ object Similarity {
     val centroids = centRows.map(_.getSeq[Double](1).toArray)
     val cnorms = centRows.map(_.getDouble(2))
     val matBc = sc.broadcast(CentroidMatrix(centroids, cnorms))
-    val cbRows = spark.read.parquet(
-      man.codebooks.map(cb => s"$indexDir/$cb").getOrElse(
-        sys.error(s"index at $indexDir has no codebook generation")))
-      .orderBy(col("sub"), col("code")).collect()
-    val m = cbRows.map(_.getInt(0)).max + 1
-    val ksEff = cbRows.map(_.getInt(1)).max + 1
-    val dsub = cbRows(0).getSeq[Double](2).length
-    val flat = new Array[Double](m * ksEff * dsub)
-    cbRows.foreach { r =>
-      val base = (r.getInt(0) * ksEff + r.getInt(1)) * dsub
-      val cw = r.getSeq[Double](2)
-      var j = 0
-      while (j < dsub) { flat(base + j) = cw(j); j += 1 }
-    }
-    val cbBc = sc.broadcast(graft.functions.PqCodebooks(flat, m, ksEff, dsub))
+    val cbBc = sc.broadcast(loadPqCodebooks(spark, indexDir, man))
 
     import spark.implicits._
     val widths = centRows.map(r => (r.getInt(0), r.getInt(3))).toSeq
