@@ -32,6 +32,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // point-probe IN pushdown (DedupIndex.withProbeKeys): above this
+      // threshold Spark degrades a pushed IN to a [min,max] range
+      // filter, which uniform 64-bit band keys render useless; the
+      // probe caps its key list at 4096, so give the real IN form
+      // headroom past that
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
       // typed Aggregators (top-k, sketches) run as ObjectHashAggregate,
       // which silently degrades to SORT-BASED aggregation after 128
       // distinct keys per partition by default — a per-query-key top-k

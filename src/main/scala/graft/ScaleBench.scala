@@ -320,10 +320,17 @@ object ScaleBench {
     // PQ build write path, unamortized (codebook training + encode +
     // postings write); also records the measured postings footprint so
     // the 8×-smaller claim is a number, not an estimate
-    if (wanted("pq_build")) {
+    if (wanted("pq_build") || wanted("pq_append")) {
       val pDir = s"$dir/__graft_pq_w_${System.nanoTime()}"
-      runs("pq_build") = timed("pq_build") {
+      if (wanted("pq_build")) runs("pq_build") = timed("pq_build") {
         Similarity.buildPqIndex(emb, pDir, cellCap = Some(8192)).count()
+      } else Similarity.buildPqIndex(emb, pDir, cellCap = Some(8192)).count()
+      // the PQ ingest cycle's incremental shape (l62): ~1% batch,
+      // re-keyed as new ids, encoded with the PERSISTED codebooks
+      if (wanted("pq_append")) runs("pq_append") = timed("pq_append") {
+        val batch = emb.filter(pmod(xxhash64(col("vec_id")), lit(100L)) === 0)
+          .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding"))
+        Similarity.appendToPqIndex(batch, pDir).count()
       }
       def dirBytes(d: String): Long = {
         def rec(f: java.io.File): Long =
@@ -495,7 +502,8 @@ object ScaleBench {
       // persisted text-dedup band index: build over 99% of the corpus,
       // probe with the remaining 1% (the daily-ingest serving shape),
       // append that batch — the text analog of index_build/index_append
-      if (wanted("dix_build") || wanted("dix_query") || wanted("dix_append")) {
+      if (wanted("dix_build") || wanted("dix_query") || wanted("dix_append") ||
+          wanted("dix_query_point") || wanted("dix_query_point_nopush")) {
         val dixDir = s"/tmp/graft_dix_scale_${n}"
         val corpus99 = docs.filter(pmod(col("doc_id"), lit(100L)) =!= 0)
         val batch1 = docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
@@ -506,6 +514,24 @@ object ScaleBench {
         if (wanted("dix_query")) runs("dix_query") = timed("dix_query") {
           graft.operators.DedupIndex.query(batch1, "doc_id", "text", dixDir).count()
         }
+        // point-probe serving shape: ~50 docs against the 10⁶ index —
+        // the regime the bkey-sorted row groups + pushed IN filter
+        // exist for (400 keys ≤ the 512 cap ⇒ pushdown engages and
+        // row-group stats skip groups holding none of them); _nopush
+        // is the SAME probe with the pushdown capped off (prefix
+        // pruning only) — the honest A/B, identical results spec-pinned
+        lazy val pointProbe = docs.filter(pmod(col("doc_id"), lit(20000L)) === 3)
+        if (wanted("dix_query_point"))
+          runs("dix_query_point") = timed("dix_query_point") {
+            graft.operators.DedupIndex.query(
+              pointProbe, "doc_id", "text", dixDir).count()
+          }
+        if (wanted("dix_query_point_nopush"))
+          runs("dix_query_point_nopush") = timed("dix_query_point_nopush") {
+            graft.operators.DedupIndex.query(
+              pointProbe, "doc_id", "text", dixDir,
+              keyPushdownCap = 0).count()
+          }
         if (wanted("dix_append")) runs("dix_append") = timed("dix_append") {
           graft.operators.DedupIndex.append(batch1, "doc_id", "text", dixDir)
           0L

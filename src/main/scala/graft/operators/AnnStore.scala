@@ -61,11 +61,7 @@ object AnnStore {
   def exists(dir: String): Boolean =
     java.nio.file.Files.exists(manifestFile(dir))
 
-  /** Resolve the current manifest — one small driver-side read; the
-    * 100 TB analog is one GET of the pointer object. */
-  def read(dir: String): Manifest = {
-    val lines = java.nio.file.Files
-      .readAllLines(manifestFile(dir)).toArray(Array.empty[String])
+  private def parse(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def at(i: Int): String = if (lines.length > i) lines(i).trim else ""
@@ -74,16 +70,35 @@ object AnnStore {
       list(at(3)), list(at(4)))
   }
 
-  /** Publish a new index state: temp write + ATOMIC_MOVE over
-    * `MANIFEST`. A reader resolves either the old pointer or the new
-    * one — never a mix. */
+  /** Resolve the current manifest — one small driver-side read; the
+    * 100 TB analog is one GET of the pointer object. */
+  def read(dir: String): Manifest =
+    parse(java.nio.file.Files
+      .readAllLines(manifestFile(dir)).toArray(Array.empty[String]))
+
+  /** Resolve a PAST committed state (snapshot read / time travel) —
+    * every publish also writes an immutable `MANIFEST.v<N>`, so any
+    * version a retention-aware [[vacuum]] kept reads back exactly: the
+    * reproducibility hook for pinning the index snapshot a serving or
+    * eval run used. */
+  def readAt(dir: String, version: Long): Manifest =
+    parse(java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, s"MANIFEST.v$version"))
+      .toArray(Array.empty[String]))
+
+  /** Publish a new index state: write the immutable versioned manifest,
+    * then temp write + ATOMIC_MOVE over `MANIFEST`. A reader resolves
+    * either the old pointer or the new one — never a mix. */
   private[operators] def publish(dir: String, m: Manifest): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val lines = java.util.Arrays.asList(
+      m.version.toString, m.cent, m.codebooks.getOrElse("-"),
+      m.segments.mkString(","), m.tombstones.mkString(","))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"MANIFEST.v${m.version}"), lines)
     val tmp = java.nio.file.Paths.get(
       dir, s"MANIFEST.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp, java.util.Arrays.asList(
-      m.version.toString, m.cent, m.codebooks.getOrElse("-"),
-      m.segments.mkString(","), m.tombstones.mkString(",")))
+    java.nio.file.Files.write(tmp, lines)
     java.nio.file.Files.move(tmp, manifestFile(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
@@ -136,16 +151,26 @@ object AnnStore {
   def postingsPaths(dir: String): Seq[String] =
     read(dir).segments.map(s => s"$dir/$s")
 
-  /** Remove directories no manifest references (post-compact/append
-    * garbage). Deliberately separate from the mutations so a reader
-    * that resolved an old generation survives a concurrent compact —
-    * run vacuum when those are known drained (the deployment analog:
-    * object-store lifecycle rules on unreferenced prefixes). */
-  def vacuum(dir: String): Unit = {
-    val m = read(dir)
-    val live: Set[String] =
-      (m.segments ++ m.tombstones ++ m.codebooks.toSeq).toSet +
-        m.cent + "MANIFEST"
+  /** Remove directories and snapshot manifests outside the retention
+    * window (post-compact/append garbage). Deliberately separate from
+    * the mutations so a reader that resolved an old generation survives
+    * a concurrent compact — run vacuum when those are known drained
+    * (the deployment analog: object-store lifecycle rules on
+    * unreferenced prefixes). `retainVersions` keeps that many versions
+    * before the current one readable via [[readAt]]: their manifests
+    * and every directory any retained version references survive;
+    * directories are immutable and shared across versions, so retention
+    * usually costs only the delta. */
+  def vacuum(dir: String, retainVersions: Int = 0): Unit = {
+    val cur = read(dir)
+    val retained = (cur.version - retainVersions).max(1L) to cur.version
+    val manifests = cur +: retained
+      .filter(_ != cur.version)
+      .flatMap(v => try Some(readAt(dir, v))
+        catch { case _: java.io.IOException => None })
+    val live: Set[String] = manifests
+      .flatMap(m => m.segments ++ m.tombstones ++ m.codebooks.toSeq :+ m.cent)
+      .toSet ++ retained.map(v => s"MANIFEST.v$v") + "MANIFEST"
     def rec(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
       f.delete(): Unit

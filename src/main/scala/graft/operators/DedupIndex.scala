@@ -76,11 +76,7 @@ object DedupIndex {
   private def manifestFile(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "MANIFEST")
 
-  /** Resolve the current manifest. One small driver-side read — the
-    * 100 TB analog is one GET of the pointer object. */
-  def readManifest(dir: String): Manifest = {
-    val lines = java.nio.file.Files
-      .readAllLines(manifestFile(dir)).toArray(Array.empty[String])
+  private def parseManifest(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     Manifest(lines(0).trim.toLong,
@@ -88,15 +84,36 @@ object DedupIndex {
       if (lines.length > 2) list(lines(2)) else Nil)
   }
 
-  /** Publish a new index state: write the manifest to a temp name, then
-    * ATOMIC_MOVE it over `MANIFEST`. A reader either resolves the old
-    * pointer or the new one — never a mix (the former bands/ rename
-    * pair had a window where neither directory existed). */
+  /** Resolve the current manifest. One small driver-side read — the
+    * 100 TB analog is one GET of the pointer object. */
+  def readManifest(dir: String): Manifest =
+    parseManifest(java.nio.file.Files
+      .readAllLines(manifestFile(dir)).toArray(Array.empty[String]))
+
+  /** Resolve a PAST committed state (snapshot read / time travel):
+    * every publish also writes an immutable `MANIFEST.v<N>`, so any
+    * retained version can be read back exactly — the reproducibility
+    * hook a training run needs to pin the corpus snapshot it consumed.
+    * Throws if the version was never published or its manifest file was
+    * vacuumed away. */
+  def readManifestAt(dir: String, version: Long): Manifest =
+    parseManifest(java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(dir, s"MANIFEST.v$version"))
+      .toArray(Array.empty[String]))
+
+  /** Publish a new index state: write the immutable versioned manifest,
+    * then write the pointer to a temp name and ATOMIC_MOVE it over
+    * `MANIFEST`. A reader either resolves the old pointer or the new
+    * one — never a mix (the former bands/ rename pair had a window
+    * where neither directory existed). */
   private def writeManifest(dir: String, m: Manifest): Unit = {
+    val lines = java.util.Arrays.asList(
+      m.version.toString, m.segments.mkString(","), m.tombstones.mkString(","))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, s"MANIFEST.v${m.version}"), lines)
     val tmp = java.nio.file.Paths.get(
       dir, s"MANIFEST.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp, java.util.Arrays.asList(
-      m.version.toString, m.segments.mkString(","), m.tombstones.mkString(",")))
+    java.nio.file.Files.write(tmp, lines)
     java.nio.file.Files.move(tmp, manifestFile(dir),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
@@ -111,6 +128,14 @@ object DedupIndex {
     * when nothing was ever deleted. */
   def readBands(spark: SparkSession, dir: String): DataFrame =
     readBands(spark, dir, readManifest(dir))
+
+  /** Snapshot read: the band table exactly as committed at `version` —
+    * valid for any version whose manifest and directories a
+    * retention-aware [[vacuum]] kept (directories are immutable and
+    * shared across versions, so an old snapshot usually survives many
+    * later commits for free). */
+  def readBandsAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readBands(spark, dir, readManifestAt(dir, version))
 
   private def readBands(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
     require(m.segments.nonEmpty, s"dedup index at $dir has no segments")
@@ -189,8 +214,9 @@ object DedupIndex {
       idCol: String,
       textCol: String,
       dir: String,
-      threshold: Double = 0.5): DataFrame =
-    surviveAgainst(incoming, idCol, textCol, dir, threshold)._2
+      threshold: Double = 0.5,
+      keyPushdownCap: Int = 512): DataFrame =
+    surviveAgainst(incoming, idCol, textCol, dir, threshold, keyPushdownCap)._2
 
   /** The probe/survive core shared by [[query]] and [[ingestFold]]:
     * returns BOTH the checkpointed probe band rows (`__qid, __qsig,
@@ -202,7 +228,8 @@ object DedupIndex {
       idCol: String,
       textCol: String,
       dir: String,
-      threshold: Double): (DataFrame, DataFrame) = {
+      threshold: Double,
+      keyPushdownCap: Int = 512): (DataFrame, DataFrame) = {
     val spark = incoming.sparkSession
     val (k, bands, shingleN) = meta(incoming, dir)
     val n = spark.sparkContext.defaultParallelism
@@ -220,8 +247,8 @@ object DedupIndex {
     // ≤ 256 distinct values by construction — driver-bounded
     val prefixes = probe.select(col("bprefix")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    val index = readBands(spark, dir)
-      .where(col("bprefix").isin(prefixes: _*))
+    val index = withProbeKeys(probe, keyPushdownCap,
+      readBands(spark, dir).where(col("bprefix").isin(prefixes: _*)))
     val hit = probe.join(index, Seq("bprefix", "band", "bkey"))
       .where(col("doc_id") =!= col("__qid"))
       .where(Dedup.estJaccard(col("__qsig"), col("sig"), k) >= threshold)
@@ -369,7 +396,8 @@ object DedupIndex {
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      keyPushdownCap: Int = 512): DataFrame = {
     val (k, bands, shingleN) = meta(batch, dir)
     val n = spark.sparkContext.defaultParallelism
     // batch-sized probe, materialized once (prefix list + join probe —
@@ -386,7 +414,8 @@ object DedupIndex {
     // pruning discipline as query's probe)
     val prefixes = nb.select(col("bprefix")).distinct()
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
-    val corpus = readBands(spark, dir).where(col("bprefix").isin(prefixes: _*))
+    val corpus = withProbeKeys(nb, keyPushdownCap,
+      readBands(spark, dir).where(col("bprefix").isin(prefixes: _*)))
       .select(col("band"), col("bkey"),
         col("doc_id").as("id_b"), col("sig").as("sig_b"))
     broadcast(nb.drop("bprefix")).join(corpus, Seq("band", "bkey"))
@@ -419,31 +448,41 @@ object DedupIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val m = readManifest(dir)
     val seg = s"seg_${m.version + 1}"
-    readBands(spark, dir, m)
-      // one writer per prefix directory ⇒ exactly one file per prefix
-      .repartition(col("bprefix"))
-      .write.partitionBy("bprefix").parquet(s"$dir/$seg")
+    // one file per prefix, bkey-sorted with point-probe row groups —
+    // the same layout the build writes (writeBandRows)
+    writeBandRows(readBands(spark, dir, m), s"$dir/$seg")
     writeManifest(dir, Manifest(m.version + 1, Seq(seg), Nil))
   }
 
-  /** Remove directories no manifest references (post-compact garbage).
-    * Separate from [[compact]] so the old generation outlives the swap
-    * for readers that already resolved it — run vacuum when those are
-    * known drained (the deployment analog: object-store lifecycle
-    * rules on unreferenced prefixes). */
-  def vacuum(dir: String): Unit = {
-    val live = {
-      val m = readManifest(dir)
-      (m.segments ++ m.tombstones).toSet + "meta" + "MANIFEST"
-    }
+  /** Remove directories and snapshot manifests outside the retention
+    * window (post-compact garbage). Separate from [[compact]] so the
+    * old generation outlives the swap for readers that already resolved
+    * it — run vacuum when those are known drained (the deployment
+    * analog: object-store lifecycle rules on unreferenced prefixes).
+    * `retainVersions` keeps that many versions BEFORE the current one
+    * readable via [[readBandsAt]] — their manifests and every directory
+    * any retained version references survive; older snapshot manifests
+    * are dropped along with directories nothing retained names.
+    * Directories are immutable and shared across versions, so retention
+    * usually costs only the delta (a compacted-away generation, a
+    * materialized tombstone list). */
+  def vacuum(dir: String, retainVersions: Int = 0): Unit = {
+    val cur = readManifest(dir)
+    val retained = (cur.version - retainVersions).max(1L) to cur.version
+    val manifests = cur +: retained
+      .filter(_ != cur.version)
+      .flatMap(v => try Some(readManifestAt(dir, v))
+        catch { case _: java.io.IOException => None })
+    val live = manifests
+      .flatMap(m => m.segments ++ m.tombstones).toSet ++
+      retained.map(v => s"MANIFEST.v$v") + "meta" + "MANIFEST"
     def rec(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
       f.delete(): Unit
     }
     val kids = new java.io.File(dir).listFiles()
     if (kids != null)
-      kids.filterNot(f => live.contains(f.getName) ||
-        f.getName.startsWith("MANIFEST")).foreach(rec)
+      kids.filterNot(f => live.contains(f.getName)).foreach(rec)
   }
 
   private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
@@ -480,11 +519,60 @@ object DedupIndex {
     * [[ingestFold]]'s probe-row reuse path. Always writes a FRESH
     * segment directory; visibility comes from the caller's manifest
     * swap, never from files appearing in a listed directory. */
+  /** Point-probe pushdown: when the probe names at most `cap` distinct
+    * band keys (a small batch against a big index — the serving shape),
+    * attach a `bkey IN (…)` filter to the corpus scan. Semantically a
+    * no-op (the join is on bkey anyway — spec-pinned both branches),
+    * but the filter REACHES the parquet reader, and because
+    * [[writeBandRows]] sorts each prefix file by bkey, row-group
+    * min/max stats skip every group holding none of the probe's keys —
+    * IO proportional to the probe, not the index. Above the cap the
+    * plain prefix-pruned scan runs: parquet evaluates a pushed IN as a
+    * recursive or-chain, so a multi-thousand-value list overflows the
+    * task stack (measured at ~2000 values) long before the planning or
+    * per-row cost would bite — 512 keys (a ~64-doc probe at 8 bands)
+    * keeps an order-of-magnitude margin.
+    * Requires `spark.sql.parquet.pushdown.inFilterThreshold` above the
+    * key count (Engine.session raises it) — below it Spark degrades the
+    * pushed filter to a [min,max] range, which uniform hash keys render
+    * useless. The probe is already materialized (checkpoint), so the
+    * distinct-key collect is one batch-sized column read. */
+  private def withProbeKeys(
+      probe: DataFrame, cap: Int, index: DataFrame): DataFrame = {
+    if (cap <= 0) index
+    else {
+      val keys = probe.select(col("bkey")).distinct()
+        .limit(cap + 1).collect().map(_.getLong(0))
+      if (keys.nonEmpty && keys.length <= cap)
+        index.where(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
+      else index
+    }
+  }
+
   private def writeBandRows(rows: DataFrame, segDir: String): Unit = {
     rows
       // one writer per prefix directory: without this every task writes
       // into every partition dir — 256·tasks small files per build
       .repartition(col("bprefix"))
-      .write.partitionBy("bprefix").parquet(segDir)
+      // bkey-sorted within each prefix file: every parquet row group
+      // then covers a NARROW bkey range, so a point probe's pushed
+      // bkey IN-filter skips row groups by min/max stats — the
+      // point-lookup tier a small batch against a huge index needs
+      // (unsorted, each group's [min,max] spans the whole hash space
+      // and stats prune nothing). Small row groups bound the skipping
+      // granularity: at 100 TB the files are large and multi-group
+      // naturally; locally 1 MB blocks put ~10 groups in each ~9 MB
+      // prefix file. MEASURED honestly at 10⁶ (BENCH_LOCAL round-12):
+      // the pruning verifiably engages (row groups skipped, PushedFilters
+      // carries the IN) but END-TO-END probe time is unchanged — the
+      // whole 8M-row table scans in ~0.5 s from a warm page cache, so
+      // probe overheads dominate locally. The claim this layout buys is
+      // cold-IO proportionality at object-store scale, where a scan is
+      // bandwidth-bound, not a local win; build cost is unchanged
+      // (13.9 s vs 16.8 s unsorted at 10⁶ — the sort rides the
+      // existing per-prefix shuffle)
+      .sortWithinPartitions(col("bprefix"), col("bkey"))
+      .write.option("parquet.block.size", 1024 * 1024)
+      .partitionBy("bprefix").parquet(segDir)
   }
 }

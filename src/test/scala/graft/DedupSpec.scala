@@ -329,6 +329,40 @@ class DedupSpec extends SparkSpec {
     assert(got2 == Map(1L -> 1L, 2L -> 1L, 0L -> 0L, 10L -> 0L, 11L -> 0L))
   }
 
+  test("dedup-index time travel: every committed version reads back exactly; retention-aware vacuum") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("dix_tt").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val base = docs.filter($"doc_id" % 10 =!= 7)
+    val batch = docs.filter($"doc_id" % 10 === 7)
+    DedupIndex.build(base, "doc_id", "text", dir)            // v1
+    DedupIndex.append(batch, "doc_id", "text", dir)          // v2
+    DedupIndex.delete(base.filter($"doc_id" % 5 === 0)
+      .select($"doc_id"), "doc_id", dir)                     // v3
+    DedupIndex.compact(spark, dir)                           // v4
+    val all = ids(docs)
+    val deleted = ids(docs.filter($"doc_id" % 10 =!= 7 && $"doc_id" % 5 === 0))
+    // each snapshot is exactly the state at its commit
+    assert(ids(DedupIndex.readBandsAt(spark, dir, 1L)) == ids(base))
+    assert(ids(DedupIndex.readBandsAt(spark, dir, 2L)) == all)
+    assert(ids(DedupIndex.readBandsAt(spark, dir, 3L)) == all -- deleted)
+    assert(ids(DedupIndex.readBandsAt(spark, dir, 4L)) == all -- deleted)
+    // retention: keep one version before current — v3 stays readable
+    // (its segment dirs are shared with v4-era history and survive),
+    // v1/v2's snapshot manifests are dropped
+    DedupIndex.vacuum(dir, retainVersions = 1)
+    assert(ids(DedupIndex.readBandsAt(spark, dir, 3L)) == all -- deleted)
+    assert(ids(DedupIndex.readBands(spark, dir)) == all -- deleted)
+    intercept[java.io.IOException] { DedupIndex.readManifestAt(dir, 2L) }
+    // full vacuum: only the current generation survives
+    DedupIndex.vacuum(dir)
+    intercept[Exception] { DedupIndex.readBandsAt(spark, dir, 3L).collect() }
+    assert(ids(DedupIndex.readBands(spark, dir)) == all -- deleted)
+  }
+
   test("pairsWithNew: selfPairs(old) ∪ pairsWithNew(batch) ≡ selfPairs(union)") {
     import spark.implicits._
     import graft.operators.{Dedup, DedupIndex}
@@ -348,6 +382,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(oldPairs ++ delta == full,
       s"extra=${((oldPairs ++ delta) -- full).take(5)} missing=${(full -- (oldPairs ++ delta)).take(5)}")
+  }
+
+  test("point-probe bkey pushdown: identical results with and without the pushed IN filter") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val docs = Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("dix_pp").toString
+    DedupIndex.build(docs.filter($"doc_id" % 10 =!= 7), "doc_id", "text", dir)
+    val probe = docs.filter($"doc_id" % 10 === 7)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    // the filter is semantically a no-op (the join is on bkey anyway):
+    // survivors identical with the pushdown FORCED on (cap above the
+    // probe's key count) and capped off
+    val cap = 100000
+    assert(ids(DedupIndex.query(probe, "doc_id", "text", dir, keyPushdownCap = cap)) ==
+      ids(DedupIndex.query(probe, "doc_id", "text", dir, keyPushdownCap = 0)))
+    DedupIndex.append(probe, "doc_id", "text", dir)
+    def pairs(c: Int) =
+      DedupIndex.pairsWithNew(spark, dir, probe, "doc_id", "text",
+        keyPushdownCap = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withPush = pairs(cap)
+    assert(withPush.nonEmpty && withPush == pairs(0))
   }
 
   test("repetition signals: hand-computed fractions, short-doc zero convention") {

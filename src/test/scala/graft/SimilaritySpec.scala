@@ -442,6 +442,50 @@ class SimilaritySpec extends SparkSpec {
       "an emptied cell's partition directory must be dropped by compact")
   }
 
+  test("PQ index append: serve after append ≡ fixed-centroid+codebook rebuild; delete law holds on the PQ tier") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val base = corpus.filter(col("vec_id") % 10 =!= 0)
+    val batch = corpus.filter(col("vec_id") % 10 === 0)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_pq_app").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pq_reb").toString
+    Similarity.buildPqIndex(base, dir1, cellCap = Some(256)).count()
+    val appended = Similarity.appendToPqIndex(batch, dir1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(appended.values.sum == batch.count())
+    // metadata refresh covers the full corpus
+    assert(Similarity.indexCentroids(spark, dir1)
+      .agg(sum(col("n_vectors"))).head().getLong(0) == corpus.count())
+    // appended postings carry codes from the PERSISTED codebooks: the
+    // rebuild reuses them via codebooksFrom, and the serve paths agree
+    // row for row
+    Similarity.buildPqIndex(corpus, dir2,
+      centroidsFrom = Some(dir1), codebooksFrom = Some(dir1)).count()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(sorted(Similarity.pqTopKIndexed(corpus, corpus, dir1, 3))
+      .sameElements(sorted(Similarity.pqTopKIndexed(corpus, corpus, dir2, 3))))
+    // and the appended codes are BIT-identical to the rebuild's for the
+    // batch ids (same codebooks ⇒ same encode)
+    def codes(d: String) = Similarity.indexPostings(spark, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), hex(col("pqc")), col("rn"))
+      .collect().map(_.toSeq.toString).sorted.toSeq
+    assert(codes(dir1) == codes(dir2))
+    // deletion law on the PQ tier: deleteFromIvfIndex is
+    // posting-schema-agnostic (tombstone + centroid refresh), so the
+    // same post-delete ≡ fresh-build parity must hold here
+    val delIds = corpus.filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+    val removed = Similarity.deleteFromIvfIndex(delIds, dir1)
+      .collect().map(_.getLong(1)).sum
+    assert(removed == delIds.count())
+    val remaining = corpus.filter(col("vec_id") % 10 =!= 7)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_pq_delref").toString
+    Similarity.buildPqIndex(remaining, dir3,
+      centroidsFrom = Some(dir1), codebooksFrom = Some(dir1)).count()
+    assert(sorted(Similarity.pqTopKIndexed(remaining, remaining, dir1, 3))
+      .sameElements(sorted(Similarity.pqTopKIndexed(remaining, remaining, dir3, 3))))
+  }
+
   test("ANN manifest commits: mid-compact reader keeps its generation; vacuum reclaims only garbage") {
     val dir = java.nio.file.Files.createTempDirectory("graft_idx_man").toString
     Similarity.buildIvfIndex(emb.select(col("vec_id"), col("embedding")),
@@ -465,9 +509,12 @@ class SimilaritySpec extends SparkSpec {
     // generation (and the manifest) survive and the view is unchanged
     graft.operators.AnnStore.vacuum(dir)
     val left = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(left == Set("MANIFEST", man.cent, man.segments.head),
-      s"unexpected survivors: $left")
+    assert(left == Set("MANIFEST", s"MANIFEST.v${man.version}",
+      man.cent, man.segments.head), s"unexpected survivors: $left")
     assert(Similarity.indexPostings(spark, dir).count() == before)
+    // snapshot read: the current version reads back through its
+    // immutable versioned manifest even after the vacuum
+    assert(graft.operators.AnnStore.readAt(dir, man.version) == man)
   }
 
   test("IVF hot-cell guard: sharding is result-identical and bounds the join bucket") {
