@@ -438,6 +438,29 @@ object ScaleBench {
               spark, outD, batch, "doc_id", "text")).count()
         }
       }
+      // l60's quantile tier at 10⁶: ONE pass builds the per-(source,
+      // lang) log-bucket histograms over token counts; every subsequent
+      // rollup (here per-source p50/p95/p99) runs over the persisted
+      // bucket table alone — the build-once/ask-forever split the tier
+      // exists for. Build forces the bucket table with a count; the
+      // rollup is timed against the MATERIALIZED table (localCheckpoint
+      // — the honest repeat-query cost, no raw rescan)
+      if (wanted("quantile_build") || wanted("quantile_rollup")) {
+        val qdims = Seq("source", "lang")
+        // full-column read: the `docs` view above projects (doc_id,
+        // text) only, and the cells here are (source, lang)
+        lazy val buckets = graft.operators.QuantileRollup.buildSketchTable(
+          Tables(spark, ddir, "documents")
+            .withColumn("toks", size(split(col("text"), " ")).cast("double")),
+          qdims, "toks").localCheckpoint()
+        if (wanted("quantile_build"))
+          runs("quantile_build") = timed("quantile_build") { buckets.count() }
+        if (wanted("quantile_rollup"))
+          runs("quantile_rollup") = timed("quantile_rollup") {
+            graft.operators.QuantileRollup.quantiles(
+              buckets, Seq("source"), Seq(0.5, 0.95, 0.99)).count()
+          }
+      }
       if (wanted("decon_join")) runs("decon_join") = timed("decon_join") {
         graft.operators.Dedup.decontaminate(
           corpus, bench, "doc_id", "text", 8).count()
