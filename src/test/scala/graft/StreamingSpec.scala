@@ -461,19 +461,24 @@ class StreamingSpec extends SparkSpec {
 
     /** Drive the three batches through a file source with a real
       * checkpoint into a PERSISTED sketch table at `stateDir` —
-      * read-merge-overwrite per batch, the s12 maintenance loop as a
-      * durable sink. `crash` injects a failure AFTER batch 1's effects
-      * ran (state written, stream commit log not) and restarts with the
-      * state var pattern of a dead process: everything reloads from
-      * disk. Unlike s10's query+append, the fold needs NO commit
-      * marker: an HLL register is a max, so re-merging the redelivered
+      * read-merge-PUBLISH per batch through [[graft.operators
+      * .StateTable]] (fresh generation + pointer swap; a mid-publish
+      * reader keeps its generation, unlike the former in-place
+      * overwrite). `crash` injects a failure AFTER batch 1's effects
+      * ran (state committed, stream commit log not) and restarts with
+      * the state var pattern of a dead process: everything reloads from
+      * disk. Unlike s10's query+append, the fold needs NO batch stamp:
+      * an HLL register is a max, so re-merging the redelivered
       * batch's sketch into a state that already contains it leaves
-      * every register — and therefore every estimate — unchanged. */
+      * every register — and therefore every estimate — unchanged
+      * (publish is called WITHOUT a batchId, deliberately, to pin
+      * that idempotence). */
     def drive(tag: String, crash: Boolean): org.apache.spark.sql.DataFrame = {
       val root = Files.createTempDirectory(s"graft_s12_$tag")
       val src = root.resolve("src"); Files.createDirectories(src)
       val chk = root.resolve("chk").toString
       val stateDir = root.resolve("sketches").toString
+      import graft.operators.StateTable
       @volatile var poison = false
       val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
       def start() = spark.readStream.schema(schema)
@@ -485,16 +490,14 @@ class StreamingSpec extends SparkSpec {
             batch.withColumn("day", to_date($"day_s")).drop("day_s"),
             dims, "user_id")
           val merged =
-            if (new java.io.File(stateDir).exists())
-              SketchRollup.merge(spark.read.parquet(stateDir), bs, dims)
+            if (StateTable.exists(stateDir))
+              SketchRollup.merge(StateTable.read(spark, stateDir), bs, dims)
             else bs
-          // localCheckpoint severs the read of the path being overwritten
-          merged.localCheckpoint().coalesce(1)
-            .write.mode("overwrite").parquet(stateDir)
+          StateTable.publish(merged.coalesce(1), stateDir)
           if (poison) {
             poison = false
             throw new RuntimeException(
-              "injected crash: state written, stream commit log not")
+              "injected crash: state committed, stream commit log not")
           }
         }.start()
       def writeBatch(n: String, rows: Seq[(String, String, Long)]): Unit =
@@ -513,7 +516,7 @@ class StreamingSpec extends SparkSpec {
       try q2.processAllAvailable() finally q2.stop()
       if (crash) // batch 0 committed (never redelivered); batch 1 twice; 2 fresh
         assert(delivered.toList == List(0L, 1L, 1L, 2L), s"deliveries: $delivered")
-      spark.read.parquet(stateDir)
+      graft.operators.StateTable.read(spark, stateDir)
     }
 
     val recovered = drive("crash", crash = true)
@@ -557,19 +560,19 @@ class StreamingSpec extends SparkSpec {
     /** The s12 drive loop on the QUANTILE tier, with one structural
       * difference: bucket counts are SUMS, so re-merging a redelivered
       * batch would double-count it (HLL register maxima absorbed that
-      * for free). The sink therefore uses s10's per-batchId commit
-      * marker — state write + marker model the one atomic manifest
-      * commit a Delta/Iceberg sink (or AnnStore/DedupIndex's pointer
-      * swap) provides. */
+      * for free). The sink therefore publishes through
+      * [[graft.operators.StateTable]] WITH the batch stamp: the state
+      * write and the exactly-once marker are ONE atomic pointer swap —
+      * there is no window where the state is updated but the batch not
+      * recorded (the separate marker-file dance had exactly that
+      * window), which is the commit shape a Delta/Iceberg sink
+      * provides. */
     def drive(tag: String, crash: Boolean): org.apache.spark.sql.DataFrame = {
       val root = Files.createTempDirectory(s"graft_s13_$tag")
       val src = root.resolve("src"); Files.createDirectories(src)
       val chk = root.resolve("chk").toString
       val stateDir = root.resolve("buckets").toString
-      def applied(bid: Long) = Files.exists(root.resolve(s"applied_$bid"))
-      def mark(bid: Long): Unit = {
-        Files.createFile(root.resolve(s"applied_$bid")): Unit
-      }
+      import graft.operators.StateTable
       @volatile var poison = false
       val delivered = scala.collection.mutable.ArrayBuffer.empty[Long]
       def start() = spark.readStream.schema(schema)
@@ -577,18 +580,15 @@ class StreamingSpec extends SparkSpec {
         .writeStream.option("checkpointLocation", chk).outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
           delivered += bid
-          if (!applied(bid)) {
+          if (!StateTable.lastBatchId(stateDir).exists(_ >= bid)) {
             val bs = QuantileRollup.buildSketchTable(
               batch.withColumn("day", to_date($"day_s")).drop("day_s"),
               dims, "value")
             val merged =
-              if (new java.io.File(stateDir).exists())
-                QuantileRollup.merge(spark.read.parquet(stateDir), bs, dims)
+              if (StateTable.exists(stateDir))
+                QuantileRollup.merge(StateTable.read(spark, stateDir), bs, dims)
               else bs
-            // localCheckpoint severs the read of the path being overwritten
-            merged.localCheckpoint().coalesce(1)
-              .write.mode("overwrite").parquet(stateDir)
-            mark(bid)
+            StateTable.publish(merged.coalesce(1), stateDir, Some(bid))
           }
           if (poison) {
             poison = false
@@ -610,9 +610,9 @@ class StreamingSpec extends SparkSpec {
       writeBatch("b2.json", b2)
       val q2 = if (crash) start() else q1
       try q2.processAllAvailable() finally q2.stop()
-      if (crash) // batch 0 committed; batch 1 redelivered (marker skips it)
+      if (crash) // batch 0 committed; batch 1 redelivered (stamp skips it)
         assert(delivered.toList == List(0L, 1L, 1L, 2L), s"deliveries: $delivered")
-      spark.read.parquet(stateDir)
+      graft.operators.StateTable.read(spark, stateDir)
     }
 
     val recovered = drive("crash", crash = true)
@@ -625,8 +625,8 @@ class StreamingSpec extends SparkSpec {
     // over the union — merge-equals-whole held through the crash
     assert(rows(recovered) == rows(clean))
     assert(rows(recovered) == rows(sketchOf(b0 ++ b1 ++ b2)))
-    // the marker is load-bearing: re-merging the redelivered batch into
-    // the recovered state (what a markerless sink would have done)
+    // the stamp is load-bearing: re-merging the redelivered batch into
+    // the recovered state (what an unstamped sink would have done)
     // double-counts exactly batch 1's rows
     val total = recovered.agg(sum($"cnt")).head().getLong(0)
     assert(total == (b0 ++ b1 ++ b2).size.toLong)
