@@ -69,9 +69,12 @@ import org.apache.spark.sql.functions._
 object DedupIndex {
 
   /** The resolved state of an index: which segment directories are
-    * live and which tombstone directories apply. */
+    * live, which tombstone directories apply, and (when the last
+    * mutation was a stamped ingest append) the micro-batch id that
+    * produced it — the exactly-once stamp riding the commit itself. */
   final case class Manifest(
-      version: Long, segments: Seq[String], tombstones: Seq[String])
+      version: Long, segments: Seq[String], tombstones: Seq[String],
+      batchId: Option[Long] = None)
 
   private def manifestFile(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "MANIFEST")
@@ -79,9 +82,10 @@ object DedupIndex {
   private def parseManifest(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def at(i: Int): String = if (lines.length > i) lines(i).trim else ""
     Manifest(lines(0).trim.toLong,
-      if (lines.length > 1) list(lines(1)) else Nil,
-      if (lines.length > 2) list(lines(2)) else Nil)
+      list(at(1)), list(at(2)),
+      Option(at(3)).filter(v => v.nonEmpty && v != "-").map(_.toLong))
   }
 
   /** Resolve the current manifest. One small driver-side read — the
@@ -108,7 +112,8 @@ object DedupIndex {
     * where neither directory existed). */
   private def writeManifest(dir: String, m: Manifest): Unit = {
     val lines = java.util.Arrays.asList(
-      m.version.toString, m.segments.mkString(","), m.tombstones.mkString(","))
+      m.version.toString, m.segments.mkString(","), m.tombstones.mkString(","),
+      m.batchId.map(_.toString).getOrElse("-"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, s"MANIFEST.v${m.version}"), lines)
     val tmp = java.nio.file.Paths.get(
@@ -159,14 +164,15 @@ object DedupIndex {
       dir: String,
       shingleN: Int = 3,
       k: Int = 32,
-      bands: Int = 8): Unit = {
+      bands: Int = 8,
+      batchId: Option[Long] = None): Unit = {
     require(k % bands == 0, s"signature length k=$k must be a multiple of bands=$bands")
     val spark = docs.sparkSession
     import spark.implicits._
     Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     writeBands(docs, idCol, textCol, dir, shingleN, k, bands, "seg_1")
-    writeManifest(dir, Manifest(1L, Seq("seg_1"), Nil))
+    writeManifest(dir, Manifest(1L, Seq("seg_1"), Nil, batchId))
   }
 
   /** Append a new batch's band rows to an existing index (reads the
@@ -180,13 +186,27 @@ object DedupIndex {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      dir: String): Unit = {
+      dir: String,
+      batchId: Option[Long] = None): Unit = {
     val (k, bands, shingleN) = meta(docs, dir)
     val m = readManifest(dir)
     val seg = s"seg_${m.version + 1}"
     writeBands(docs, idCol, textCol, dir, shingleN, k, bands, seg)
-    writeManifest(dir, m.copy(version = m.version + 1, segments = m.segments :+ seg))
+    writeManifest(dir, m.copy(version = m.version + 1,
+      segments = m.segments :+ seg, batchId = batchId))
   }
+
+  /** The micro-batch stamp of the LAST mutation (None before the index
+    * exists, and after any unstamped mutation — a delete/compact must
+    * not masquerade as an ingest batch). The exactly-once predicate for
+    * a streaming ingest sink: skip a redelivered batch iff
+    * `lastBatchId(dir).exists(_ >= bid)` — the stamp rode the same
+    * atomic manifest swap that published the batch's effects, so there
+    * is no state-written-but-not-marked window (the separate
+    * marker-file shape had exactly that window). */
+  def lastBatchId(dir: String): Option[Long] =
+    if (!java.nio.file.Files.exists(manifestFile(dir))) None
+    else readManifest(dir).batchId
 
   /** Delete docs from the index — the takedown/opt-out maintenance op a
     * 100 TB corpus runs weekly. O(|ids|): writes ONE tombstone segment
@@ -202,7 +222,8 @@ object DedupIndex {
     ids.select(col(idCol).cast("long").as("doc_id")).distinct()
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$del")
     writeManifest(dir, m.copy(
-      version = m.version + 1, tombstones = m.tombstones :+ del))
+      version = m.version + 1, tombstones = m.tombstones :+ del,
+      batchId = None))
   }
 
   /** Survivors of `incoming` against the indexed corpus: drops every
@@ -297,8 +318,9 @@ object DedupIndex {
     require(batches.nonEmpty, "ingestFold needs at least one batch")
     batches.zipWithIndex.map { case (b, i) =>
       val kept =
-        if (i == 0) { build(b, idCol, textCol, dir, shingleN, k, bands); b }
-        else {
+        if (i == 0) {
+          build(b, idCol, textCol, dir, shingleN, k, bands, Some(0L)); b
+        } else {
           val (probe, surv) = surviveAgainst(b, idCol, textCol, dir, threshold)
           val s = graft.Checkpoints.rotate(s"dix_ingest_b$i", surv)
           val m = readManifest(dir)
@@ -309,8 +331,10 @@ object DedupIndex {
               .select(col("__qid").as("doc_id"), col("__qsig").as("sig"),
                 col("band"), col("bkey"), col("bprefix")),
             s"$dir/$seg")
-          writeManifest(dir,
-            m.copy(version = m.version + 1, segments = m.segments :+ seg))
+          // batch ordinal rides the swap — the fold's appends carry the
+          // same atomic exactly-once stamp the streaming sink checks
+          writeManifest(dir, m.copy(version = m.version + 1,
+            segments = m.segments :+ seg, batchId = Some(i.toLong)))
           s
         }
       kept.select(col(idCol), lit(i).as("ingest_batch"))

@@ -381,16 +381,14 @@ class StreamingSpec extends SparkSpec {
     // UNLIKE the upsert, query+append is NOT idempotent: re-querying a
     // batch against an index that already contains it would let
     // within-batch duplicates (12/13) suppress each other on the second
-    // pass. The standard fix is a per-batchId commit marker written
-    // after the batch's effects — a redelivered batch whose marker
-    // exists is skipped wholesale. (A real deployment makes
-    // append+marker one atomic manifest commit, Delta/Iceberg-style;
-    // the marker models that commit.)
-    def applied(bid: Long) = Files.exists(Paths.get(idxDir, "applied", s"batch_$bid"))
-    def mark(bid: Long): Unit = {
-      Files.createDirectories(Paths.get(idxDir, "applied"))
-      Files.createFile(Paths.get(idxDir, "applied", s"batch_$bid")): Unit
-    }
+    // pass. The exactly-once stamp is the batch id RIDING the index's
+    // own manifest swap (build/append(batchId = …)) — the batch's
+    // effects and the commit marker are ONE atomic event, the
+    // Delta/Iceberg commit shape; there is no state-written-but-
+    // unmarked window for a crash to land in, which the former separate
+    // marker file had.
+    def applied(bid: Long) =
+      graft.operators.DedupIndex.lastBatchId(idxDir).exists(_ >= bid)
     def start() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(src.toString)
       .writeStream.option("checkpointLocation", chk).outputMode("append")
@@ -398,17 +396,18 @@ class StreamingSpec extends SparkSpec {
         if (!applied(bid)) {
           val kept =
             if (bid == 0L) {
-              graft.operators.DedupIndex.build(batch, "doc_id", "text", idxDir)
+              graft.operators.DedupIndex.build(
+                batch, "doc_id", "text", idxDir, batchId = Some(bid))
               batch
             } else {
               val s = graft.operators.DedupIndex
                 .query(batch, "doc_id", "text", idxDir).localCheckpoint()
-              graft.operators.DedupIndex.append(s, "doc_id", "text", idxDir)
+              graft.operators.DedupIndex.append(
+                s, "doc_id", "text", idxDir, batchId = Some(bid))
               s
             }
           survivors = survivors.unionByName(
             kept.select($"doc_id", lit(bid).as("ingest_batch"))).localCheckpoint()
-          mark(bid)
         }
         if (poison) {
           poison = false
