@@ -34,10 +34,13 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // point-probe IN pushdown (DedupIndex.withProbeKeys): above this
       // threshold Spark degrades a pushed IN to a [min,max] range
-      // filter, which uniform 64-bit band keys render useless; the
-      // probe caps its key list at 4096, so give the real IN form
-      // headroom past that
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+      // filter, which uniform 64-bit band keys render useless. The
+      // probe's exact-IN form is hard-capped at DedupIndex.InKeyCap
+      // (512 — parquet's recursive or-chain stack-overflows near ~2000
+      // values, so the threshold must NOT be raised past that); bigger
+      // probes push coalesced BETWEEN ranges instead, which this
+      // threshold does not govern
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "600")
       // typed Aggregators (top-k, sketches) run as ObjectHashAggregate,
       // which silently degrades to SORT-BASED aggregation after 128
       // distinct keys per partition by default — a per-query-key top-k

@@ -54,12 +54,8 @@ object AnnStore {
       segments: Seq[String],
       tombstones: Seq[String])
 
-  private def manifestFile(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "MANIFEST")
-
   /** Does `dir` hold a committed index? (One pointer-file stat.) */
-  def exists(dir: String): Boolean =
-    java.nio.file.Files.exists(manifestFile(dir))
+  def exists(dir: String): Boolean = ManifestCommit.exists(dir)
 
   private def parse(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
@@ -73,8 +69,7 @@ object AnnStore {
   /** Resolve the current manifest — one small driver-side read; the
     * 100 TB analog is one GET of the pointer object. */
   def read(dir: String): Manifest =
-    parse(java.nio.file.Files
-      .readAllLines(manifestFile(dir)).toArray(Array.empty[String]))
+    parse(ManifestCommit.readPointer(dir))
 
   /** Resolve a PAST committed state (snapshot read / time travel) —
     * every publish also writes an immutable `MANIFEST.v<N>`, so any
@@ -82,27 +77,23 @@ object AnnStore {
     * reproducibility hook for pinning the index snapshot a serving or
     * eval run used. */
   def readAt(dir: String, version: Long): Manifest =
-    parse(java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(dir, s"MANIFEST.v$version"))
-      .toArray(Array.empty[String]))
+    parse(ManifestCommit.readVersioned(dir, version))
 
-  /** Publish a new index state: write the immutable versioned manifest,
-    * then temp write + ATOMIC_MOVE over `MANIFEST`. A reader resolves
-    * either the old pointer or the new one — never a mix. */
-  private[operators] def publish(dir: String, m: Manifest): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val lines = java.util.Arrays.asList(
-      m.version.toString, m.cent, m.codebooks.getOrElse("-"),
-      m.segments.mkString(","), m.tombstones.mkString(","))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, s"MANIFEST.v${m.version}"), lines)
-    val tmp = java.nio.file.Paths.get(
-      dir, s"MANIFEST.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp, lines)
-    java.nio.file.Files.move(tmp, manifestFile(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+  private def serialize(m: Manifest): Seq[String] = Seq(
+    m.version.toString, m.cent, m.codebooks.getOrElse("-"),
+    m.segments.mkString(","), m.tombstones.mkString(","))
+
+  /** Publish a new index state at exactly `m.version`: write the
+    * immutable versioned manifest (an atomic no-overwrite claim), then
+    * swap the pointer. A reader resolves either the old pointer or the
+    * new one — never a mix. Throws [[ManifestCommit.CommitConflict]]
+    * when another writer claimed the version first — the mutation was
+    * computed against a stale base; [[Similarity]]'s append/delete
+    * paths catch it and retry against the fresh base (their deltas
+    * commute — segment/tombstone lists union, centroid counts re-add),
+    * compact aborts (its segment list REPLACES, no merge exists). */
+  private[operators] def publish(dir: String, m: Manifest): Unit =
+    ManifestCommit.commit(dir, m.version, serialize(m))
 
   /** The live centroid table of the manifest's current generation. */
   def centroids(spark: SparkSession, dir: String): DataFrame =
@@ -137,14 +128,17 @@ object AnnStore {
       spark: SparkSession, dir: String, m: Manifest): DataFrame = {
     val segs = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
       .reduce(_.unionByName(_))
-    if (m.tombstones.isEmpty) segs
-    else {
-      val dead = m.tombstones.map(t => spark.read.parquet(s"$dir/$t"))
-        .reduce(_.unionByName(_))
-        .select(col("vec_id")).distinct()
-      segs.join(broadcast(dead), Seq("vec_id"), "left_anti")
-    }
+    tombstoned(spark, dir, m).fold(segs)(dead =>
+      segs.join(broadcast(dead), Seq("vec_id"), "left_anti"))
   }
+
+  /** The distinct tombstoned ids of a manifest — None when no delete is
+    * outstanding (so callers can skip the anti-join/guard entirely). */
+  private[operators] def tombstoned(
+      spark: SparkSession, dir: String, m: Manifest): Option[DataFrame] =
+    if (m.tombstones.isEmpty) None
+    else Some(m.tombstones.map(t => spark.read.parquet(s"$dir/$t"))
+      .reduce(_.unionByName(_)).select(col("vec_id")).distinct())
 
   /** Absolute paths of the live posting segments (footprint
     * accounting — ScaleBench's bytes-on-disk comparisons). */
@@ -161,22 +155,14 @@ object AnnStore {
     * and every directory any retained version references survive;
     * directories are immutable and shared across versions, so retention
     * usually costs only the delta. */
-  def vacuum(dir: String, retainVersions: Int = 0): Unit = {
-    val cur = read(dir)
-    val retained = (cur.version - retainVersions).max(1L) to cur.version
-    val manifests = cur +: retained
-      .filter(_ != cur.version)
-      .flatMap(v => try Some(readAt(dir, v))
-        catch { case _: java.io.IOException => None })
-    val live: Set[String] = manifests
-      .flatMap(m => m.segments ++ m.tombstones ++ m.codebooks.toSeq :+ m.cent)
-      .toSet ++ retained.map(v => s"MANIFEST.v$v") + "MANIFEST"
-    def rec(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
-      f.delete(): Unit
-    }
-    val kids = new java.io.File(dir).listFiles()
-    if (kids != null)
-      kids.filterNot(f => live.contains(f.getName)).foreach(rec)
-  }
+  def vacuum(
+      dir: String,
+      retainVersions: Int = 0,
+      minAgeMs: Long = ManifestCommit.DefaultVacuumMinAgeMs): Unit =
+    ManifestCommit.vacuum(dir,
+      lines => {
+        val m = parse(lines)
+        m.segments ++ m.tombstones ++ m.codebooks.toSeq :+ m.cent
+      },
+      Set.empty, retainVersions, minAgeMs)
 }

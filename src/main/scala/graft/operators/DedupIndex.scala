@@ -76,9 +76,6 @@ object DedupIndex {
       version: Long, segments: Seq[String], tombstones: Seq[String],
       batchId: Option[Long] = None)
 
-  private def manifestFile(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "MANIFEST")
-
   private def parseManifest(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -91,8 +88,7 @@ object DedupIndex {
   /** Resolve the current manifest. One small driver-side read — the
     * 100 TB analog is one GET of the pointer object. */
   def readManifest(dir: String): Manifest =
-    parseManifest(java.nio.file.Files
-      .readAllLines(manifestFile(dir)).toArray(Array.empty[String]))
+    parseManifest(ManifestCommit.readPointer(dir))
 
   /** Resolve a PAST committed state (snapshot read / time travel):
     * every publish also writes an immutable `MANIFEST.v<N>`, so any
@@ -101,27 +97,40 @@ object DedupIndex {
     * Throws if the version was never published or its manifest file was
     * vacuumed away. */
   def readManifestAt(dir: String, version: Long): Manifest =
-    parseManifest(java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(dir, s"MANIFEST.v$version"))
-      .toArray(Array.empty[String]))
+    parseManifest(ManifestCommit.readVersioned(dir, version))
 
-  /** Publish a new index state: write the immutable versioned manifest,
-    * then write the pointer to a temp name and ATOMIC_MOVE it over
-    * `MANIFEST`. A reader either resolves the old pointer or the new
-    * one — never a mix (the former bands/ rename pair had a window
-    * where neither directory existed). */
-  private def writeManifest(dir: String, m: Manifest): Unit = {
-    val lines = java.util.Arrays.asList(
-      m.version.toString, m.segments.mkString(","), m.tombstones.mkString(","),
-      m.batchId.map(_.toString).getOrElse("-"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, s"MANIFEST.v${m.version}"), lines)
-    val tmp = java.nio.file.Paths.get(
-      dir, s"MANIFEST.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp, lines)
-    java.nio.file.Files.move(tmp, manifestFile(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  private def serialize(m: Manifest): Seq[String] = Seq(
+    m.version.toString, m.segments.mkString(","), m.tombstones.mkString(","),
+    m.batchId.map(_.toString).getOrElse("-"))
+
+  /** Stamp = the highest ingest batch APPLIED to the index — monotone
+    * under the max, carried forward through unstamped mutations
+    * (delete, compact, a manual append): their effects never un-apply
+    * a batch, and clearing the stamp would let a redelivered batch
+    * through [[lastBatchId]]'s `exists(_ >= bid)` guard and re-append
+    * its band rows (query+append is explicitly non-idempotent). */
+  private def mergeStamp(base: Option[Long], supplied: Option[Long]): Option[Long] =
+    (base.toSeq ++ supplied.toSeq).reduceOption(_ max _)
+
+  /** Optimistic append-style commit: merge this mutation's delta into
+    * whatever base manifest is current at claim time (appends and
+    * deletes commute — segment/tombstone list unions), retrying via
+    * [[ManifestCommit.commitLoop]] when another writer claims the
+    * version first. Two interleaved appends both land, in either
+    * serialization. */
+  private def commitDelta(
+      dir: String,
+      newSegments: Seq[String],
+      newTombstones: Seq[String],
+      batchId: Option[Long]): Unit = {
+    ManifestCommit.commitLoop(dir) { (v, baseLines) =>
+      val m = parseManifest(baseLines.getOrElse(sys.error(
+        s"dedup index at $dir has no manifest — build it first")))
+      serialize(m.copy(version = v,
+        segments = m.segments ++ newSegments,
+        tombstones = m.tombstones ++ newTombstones,
+        batchId = mergeStamp(m.batchId, batchId)))
+    }: Unit
   }
 
   /** The live band table: union of the manifest's segments minus its
@@ -171,8 +180,13 @@ object DedupIndex {
     import spark.implicits._
     Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, "seg_1")
-    writeManifest(dir, Manifest(1L, Seq("seg_1"), Nil, batchId))
+    val v = ManifestCommit.currentVersion(dir) + 1
+    val seg = ManifestCommit.uniqueName("seg", v)
+    writeBands(docs, idCol, textCol, dir, shingleN, k, bands, seg)
+    // a build REPLACES the index wholesale — no merge with a concurrent
+    // writer is meaningful, so claim exactly one version (CommitConflict
+    // on a race; the fresh directories age out via vacuum)
+    ManifestCommit.commit(dir, v, serialize(Manifest(v, Seq(seg), Nil, batchId)))
   }
 
   /** Append a new batch's band rows to an existing index (reads the
@@ -189,23 +203,23 @@ object DedupIndex {
       dir: String,
       batchId: Option[Long] = None): Unit = {
     val (k, bands, shingleN) = meta(docs, dir)
-    val m = readManifest(dir)
-    val seg = s"seg_${m.version + 1}"
+    val seg = ManifestCommit.uniqueName("seg", readManifest(dir).version + 1)
     writeBands(docs, idCol, textCol, dir, shingleN, k, bands, seg)
-    writeManifest(dir, m.copy(version = m.version + 1,
-      segments = m.segments :+ seg, batchId = batchId))
+    commitDelta(dir, Seq(seg), Nil, batchId)
   }
 
-  /** The micro-batch stamp of the LAST mutation (None before the index
-    * exists, and after any unstamped mutation — a delete/compact must
-    * not masquerade as an ingest batch). The exactly-once predicate for
-    * a streaming ingest sink: skip a redelivered batch iff
-    * `lastBatchId(dir).exists(_ >= bid)` — the stamp rode the same
-    * atomic manifest swap that published the batch's effects, so there
-    * is no state-written-but-not-marked window (the separate
-    * marker-file shape had exactly that window). */
+  /** The highest ingest batch id any committed mutation has applied
+    * (None before the index exists or before any stamped ingest). The
+    * exactly-once predicate for a streaming ingest sink: skip a
+    * redelivered batch iff `lastBatchId(dir).exists(_ >= bid)` — the
+    * stamp rode the same atomic manifest swap that published the
+    * batch's effects, so there is no state-written-but-not-marked
+    * window (the separate marker-file shape had exactly that window).
+    * The stamp SURVIVES interleaved unstamped mutations — a weekly
+    * delete/compact between two micro-batches must not reopen the
+    * redelivery window (see [[mergeStamp]]). */
   def lastBatchId(dir: String): Option[Long] =
-    if (!java.nio.file.Files.exists(manifestFile(dir))) None
+    if (!ManifestCommit.exists(dir)) None
     else readManifest(dir).batchId
 
   /** Delete docs from the index — the takedown/opt-out maintenance op a
@@ -217,13 +231,13 @@ object DedupIndex {
     * gated by l57). Idempotent: re-deleting an id is a no-op by the
     * anti-join's semantics. */
   def delete(ids: DataFrame, idCol: String, dir: String): Unit = {
-    val m = readManifest(dir)
-    val del = s"del_${m.version + 1}"
+    val del = ManifestCommit.uniqueName("del", readManifest(dir).version + 1)
     ids.select(col(idCol).cast("long").as("doc_id")).distinct()
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/$del")
-    writeManifest(dir, m.copy(
-      version = m.version + 1, tombstones = m.tombstones :+ del,
-      batchId = None))
+    // batchId = None: the delete itself is no ingest batch, but the
+    // commit CARRIES the existing stamp forward (mergeStamp) — a
+    // redelivered micro-batch after a weekly delete must still skip
+    commitDelta(dir, Nil, Seq(del), None)
   }
 
   /** Survivors of `incoming` against the indexed corpus: drops every
@@ -236,7 +250,7 @@ object DedupIndex {
       textCol: String,
       dir: String,
       threshold: Double = 0.5,
-      keyPushdownCap: Int = 512): DataFrame =
+      keyPushdownCap: Int = 65536): DataFrame =
     surviveAgainst(incoming, idCol, textCol, dir, threshold, keyPushdownCap)._2
 
   /** The probe/survive core shared by [[query]] and [[ingestFold]]:
@@ -250,7 +264,7 @@ object DedupIndex {
       textCol: String,
       dir: String,
       threshold: Double,
-      keyPushdownCap: Int = 512): (DataFrame, DataFrame) = {
+      keyPushdownCap: Int = 65536): (DataFrame, DataFrame) = {
     val spark = incoming.sparkSession
     val (k, bands, shingleN) = meta(incoming, dir)
     val n = spark.sparkContext.defaultParallelism
@@ -323,8 +337,7 @@ object DedupIndex {
         } else {
           val (probe, surv) = surviveAgainst(b, idCol, textCol, dir, threshold)
           val s = graft.Checkpoints.rotate(s"dix_ingest_b$i", surv)
-          val m = readManifest(dir)
-          val seg = s"seg_${m.version + 1}"
+          val seg = ManifestCommit.uniqueName("seg", readManifest(dir).version + 1)
           writeBandRows(
             probe.join(s.select(col(idCol).as("__qid")), Seq("__qid"),
                 "left_semi")
@@ -333,8 +346,7 @@ object DedupIndex {
             s"$dir/$seg")
           // batch ordinal rides the swap — the fold's appends carry the
           // same atomic exactly-once stamp the streaming sink checks
-          writeManifest(dir, m.copy(version = m.version + 1,
-            segments = m.segments :+ seg, batchId = Some(i.toLong)))
+          commitDelta(dir, Seq(seg), Nil, Some(i.toLong))
           s
         }
       kept.select(col(idCol), lit(i).as("ingest_batch"))
@@ -421,7 +433,7 @@ object DedupIndex {
       idCol: String,
       textCol: String,
       threshold: Double = 0.5,
-      keyPushdownCap: Int = 512): DataFrame = {
+      keyPushdownCap: Int = 65536): DataFrame = {
     val (k, bands, shingleN) = meta(batch, dir)
     val n = spark.sparkContext.defaultParallelism
     // batch-sized probe, materialized once (prefix list + join probe —
@@ -471,11 +483,16 @@ object DedupIndex {
     * (spec-pinned), only the file layout changes. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val m = readManifest(dir)
-    val seg = s"seg_${m.version + 1}"
+    val seg = ManifestCommit.uniqueName("seg", m.version + 1)
     // one file per prefix, bkey-sorted with point-probe row groups —
     // the same layout the build writes (writeBandRows)
     writeBandRows(readBands(spark, dir, m), s"$dir/$seg")
-    writeManifest(dir, Manifest(m.version + 1, Seq(seg), Nil))
+    // a compact REPLACES the segment list, so a concurrent append's
+    // rows would be silently dropped by a blind merge: claim exactly
+    // the next version after the state we compacted (CommitConflict on
+    // a race — abort, the fresh segment ages out via vacuum)
+    ManifestCommit.commit(dir, m.version + 1,
+      serialize(Manifest(m.version + 1, Seq(seg), Nil, m.batchId)))
   }
 
   /** Remove directories and snapshot manifests outside the retention
@@ -490,24 +507,13 @@ object DedupIndex {
     * Directories are immutable and shared across versions, so retention
     * usually costs only the delta (a compacted-away generation, a
     * materialized tombstone list). */
-  def vacuum(dir: String, retainVersions: Int = 0): Unit = {
-    val cur = readManifest(dir)
-    val retained = (cur.version - retainVersions).max(1L) to cur.version
-    val manifests = cur +: retained
-      .filter(_ != cur.version)
-      .flatMap(v => try Some(readManifestAt(dir, v))
-        catch { case _: java.io.IOException => None })
-    val live = manifests
-      .flatMap(m => m.segments ++ m.tombstones).toSet ++
-      retained.map(v => s"MANIFEST.v$v") + "meta" + "MANIFEST"
-    def rec(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
-      f.delete(): Unit
-    }
-    val kids = new java.io.File(dir).listFiles()
-    if (kids != null)
-      kids.filterNot(f => live.contains(f.getName)).foreach(rec)
-  }
+  def vacuum(
+      dir: String,
+      retainVersions: Int = 0,
+      minAgeMs: Long = ManifestCommit.DefaultVacuumMinAgeMs): Unit =
+    ManifestCommit.vacuum(dir,
+      lines => { val m = parseManifest(lines); m.segments ++ m.tombstones },
+      Set("meta"), retainVersions, minAgeMs)
 
   private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
     val m = df.sparkSession.read.parquet(s"$dir/meta").collect()(0)
@@ -543,34 +549,85 @@ object DedupIndex {
     * [[ingestFold]]'s probe-row reuse path. Always writes a FRESH
     * segment directory; visibility comes from the caller's manifest
     * swap, never from files appearing in a listed directory. */
-  /** Point-probe pushdown: when the probe names at most `cap` distinct
-    * band keys (a small batch against a big index — the serving shape),
-    * attach a `bkey IN (…)` filter to the corpus scan. Semantically a
-    * no-op (the join is on bkey anyway — spec-pinned both branches),
-    * but the filter REACHES the parquet reader, and because
-    * [[writeBandRows]] sorts each prefix file by bkey, row-group
-    * min/max stats skip every group holding none of the probe's keys —
-    * IO proportional to the probe, not the index. Above the cap the
-    * plain prefix-pruned scan runs: parquet evaluates a pushed IN as a
-    * recursive or-chain, so a multi-thousand-value list overflows the
-    * task stack (measured at ~2000 values) long before the planning or
-    * per-row cost would bite — 512 keys (a ~64-doc probe at 8 bands)
-    * keeps an order-of-magnitude margin.
-    * Requires `spark.sql.parquet.pushdown.inFilterThreshold` above the
-    * key count (Engine.session raises it) — below it Spark degrades the
-    * pushed filter to a [min,max] range, which uniform hash keys render
-    * useless. The probe is already materialized (checkpoint), so the
-    * distinct-key collect is one batch-sized column read. */
+  /** Exact-IN size cap: parquet evaluates a pushed IN as a recursive
+    * or-chain, so a multi-thousand-value list overflows the task stack
+    * (measured at ~2000 values) — 512 keeps an order-of-magnitude
+    * margin. Probes past it switch to the RANGE form below instead of
+    * losing pushdown entirely. Requires `spark.sql.parquet.pushdown
+    * .inFilterThreshold` above 512 (Engine.session sets 600) — below it
+    * Spark degrades the pushed IN to one [min,max] range, which uniform
+    * hash keys render useless. */
+  private[graft] val InKeyCap = 512
+
+  /** Max coalesced ranges in the range-form pushdown: 256 ranges = ~512
+    * comparison leaves in the parquet or-chain, the same safe depth as
+    * the IN cap. */
+  private[graft] val MaxProbeRanges = 256
+
+  /** Point-probe pushdown — the serving shape's IO lever: when the
+    * probe names at most `cap` distinct band keys (a small batch
+    * against a big index), attach a band-key filter to the corpus scan.
+    * Semantically a no-op (the join is on bkey anyway — spec-pinned
+    * both branches), but the filter REACHES the parquet reader, and
+    * because [[writeBandRows]] sorts each prefix file by bkey,
+    * row-group min/max stats skip every group holding none of the
+    * probe's keys — IO proportional to the PROBE, not the corpus.
+    *
+    * Two forms, chosen by probe size so the pushdown scales past the
+    * or-chain stack bound instead of falling off a cliff at 512 keys
+    * (the former behavior — any probe past ~64 docs at 8 bands fell
+    * back to the full prefix-saturated scan):
+    *   - ≤ [[InKeyCap]] distinct keys: exact `bkey IN (…)` — row groups
+    *     holding none of the keys are skipped, no false-positive rows.
+    *   - ≤ `cap` keys: the sorted key list is coalesced into at most
+    *     [[MaxProbeRanges]] `bkey BETWEEN lo AND hi` ranges by cutting
+    *     at the largest gaps (the classic sorted-run coalescing). Band
+    *     keys are uniform 64-bit hashes, so the kept ranges cover a
+    *     ~|keys|/2⁶⁴ sliver of the key space and min/max pruning on the
+    *     bkey-sorted row groups stays batch-proportional; rows inside a
+    *     range that aren't probe keys pass the scan filter but drop in
+    *     the join (result-identical, spec-pinned). A 10³-doc probe at 8
+    *     bands (~8k keys) now pushes 256 ranges instead of scanning
+    *     every row group of its prefixes.
+    * Above `cap` the plain prefix-pruned scan runs — at that batch size
+    * the probe is no longer "small against the corpus" and a scan is
+    * the honest plan. The probe is already materialized (checkpoint),
+    * so the distinct-key collect is one batch-sized column read,
+    * `cap+1` rows max (8 B each — the 65536 default collects ≤ 512 KB). */
   private def withProbeKeys(
       probe: DataFrame, cap: Int, index: DataFrame): DataFrame = {
-    if (cap <= 0) index
+    if (cap <= 0) return index
+    val keys = probe.select(col("bkey")).distinct()
+      .limit(cap + 1).collect().map(_.getLong(0))
+    if (keys.isEmpty || keys.length > cap) index
+    else if (keys.length <= InKeyCap)
+      index.where(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
     else {
-      val keys = probe.select(col("bkey")).distinct()
-        .limit(cap + 1).collect().map(_.getLong(0))
-      if (keys.nonEmpty && keys.length <= cap)
-        index.where(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
-      else index
+      val pred = coalesceRanges(keys, MaxProbeRanges).map { case (lo, hi) =>
+        if (lo == hi) col("bkey") === lit(lo)
+        else col("bkey") >= lit(lo) && col("bkey") <= lit(hi)
+      }.reduce(_ || _)
+      index.where(pred)
     }
+  }
+
+  /** Coalesce a key set into at most `maxRanges` closed ranges covering
+    * exactly the keys' sorted runs: sort, find the `maxRanges-1`
+    * LARGEST gaps between consecutive keys, cut there. Gap magnitudes
+    * compare as unsigned (two keys can straddle more than Long.Max of
+    * the hash space). Driver-side over ≤ cap keys — microseconds. */
+  private[graft] def coalesceRanges(
+      keys: Array[Long], maxRanges: Int): Seq[(Long, Long)] = {
+    val sorted = keys.distinct.sorted
+    if (sorted.length <= maxRanges) return sorted.toSeq.map(k => (k, k))
+    val cuts = (0 until sorted.length - 1)
+      .sortBy(i => (sorted(i + 1) - sorted(i)) ^ Long.MinValue)
+      .takeRight(maxRanges - 1).sorted
+    val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var start = 0
+    cuts.foreach { c => res += ((sorted(start), sorted(c))); start = c + 1 }
+    res += ((sorted(start), sorted.last))
+    res.toSeq
   }
 
   private def writeBandRows(rows: DataFrame, segDir: String): Unit = {

@@ -890,6 +890,16 @@ object Similarity {
     emb.select(col(idCol), projUdf(col(embCol)).as("proj"))
   }
 
+  /** The live centroid table of a persisted index — resolves the
+    * [[AnnStore]] manifest once. */
+  def indexCentroids(spark: SparkSession, dir: String): DataFrame =
+    AnnStore.centroids(spark, dir)
+
+  /** The live posting view of a persisted index (manifest segments
+    * minus tombstones — [[AnnStore.postings]]). */
+  def indexPostings(spark: SparkSession, dir: String): DataFrame =
+    AnnStore.postings(spark, dir)
+
   /** Builds the PERSISTED IVF index tier (the "real deployment" this
     * file's ivfScoredPairs comment promises): centroids and cell
     * assignments are computed ONCE at ingest and materialized, so query
@@ -931,16 +941,6 @@ object Similarity {
     * corpora, where stride seeds sit wherever the id order put them.
     * Returns per-cell posting counts (cell, n_vectors) — deterministic
     * (stride centroids, first-max assignment). */
-  /** The live centroid table of a persisted index — resolves the
-    * [[AnnStore]] manifest once. */
-  def indexCentroids(spark: SparkSession, dir: String): DataFrame =
-    AnnStore.centroids(spark, dir)
-
-  /** The live posting view of a persisted index (manifest segments
-    * minus tombstones — [[AnnStore.postings]]). */
-  def indexPostings(spark: SparkSession, dir: String): DataFrame =
-    AnnStore.postings(spark, dir)
-
   def buildIvfIndex(
       corpus: DataFrame,
       dir: String,
@@ -951,6 +951,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
+    // fresh-build commit target: the next version over whatever (if
+    // anything) is committed at dir, all data in fresh unique dirs
+    val bv = ManifestCommit.currentVersion(dir) + 1
+    val segName = ManifestCommit.uniqueName("seg", bv)
+    val centName = ManifestCommit.uniqueName("cent", bv)
     val view = corpus.select(col("vec_id"), col("embedding"))
     val (centroids, cnorms) = centroidsFrom match {
       case Some(src) =>
@@ -1007,7 +1012,7 @@ object Similarity {
       // because the int8 codes are ~2/3 of the bytes and random codes
       // compress under nothing; the metadata columns are what shrink
       .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("cell").parquet(s"$dir/seg_1")
+      .partitionBy("cell").parquet(s"$dir/$segName")
 
     // the pack+assign staging table is fully consumed (counts collected,
     // postings written) — free its blocks before returning instead of
@@ -1022,11 +1027,13 @@ object Similarity {
       (i, c.toSeq, nm, ns, nv)
     }.toSeq
       .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-      .write.mode("overwrite").parquet(s"$dir/cent_1")
-    // fresh-build commit: everything above went into version-1
-    // directories; this swap is the moment the index EXISTS for readers
+      .write.mode("overwrite").parquet(s"$dir/$centName")
+    // fresh-build commit: everything above went into fresh directories;
+    // this swap is the moment the index EXISTS for readers. A build
+    // REPLACES the index wholesale — CommitConflict on a racing writer
+    // (no merge is meaningful), fresh dirs age out via vacuum.
     AnnStore.publish(dir,
-      AnnStore.Manifest(1L, "cent_1", None, Seq("seg_1"), Nil))
+      AnnStore.Manifest(bv, centName, None, Seq(segName), Nil))
 
     AnnStore.centroids(spark, dir)
       .filter(col("n_vectors") > 0)
@@ -1055,6 +1062,7 @@ object Similarity {
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
     val man = AnnStore.read(dir)
+    assertNotTombstoned(batch, dir, man, "appendToIvfIndex")
     val centRows = AnnStore.centroids(spark, dir, man)
       .orderBy(col("cell")).collect()
     val centroids = centRows.map(_.getSeq[Double](1).toArray)
@@ -1084,26 +1092,87 @@ object Similarity {
 
     if (appended.nonEmpty) {
       // one commit = one fresh segment + one refreshed centroid
-      // generation + one pointer swap (never an in-place write)
-      val seg = s"seg_${man.version + 1}"
-      val cent = s"cent_${man.version + 1}"
+      // generation + one pointer swap (never an in-place write). The
+      // segment is written ONCE (its content depends only on the fixed
+      // centroids/widths); the count-refreshed centroid generation and
+      // the manifest retry through commitWithCounts when a concurrent
+      // writer claims the version first — append deltas commute.
+      val seg = ManifestCommit.uniqueName("seg", man.version + 1)
       rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cell").parquet(s"$dir/$seg")
-
-      centRows.map { r =>
-        val cell = r.getInt(0)
-        (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
-          r.getLong(4) + appended.getOrElse(cell, 0L))
-      }.toSeq
-        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-        .write.mode("overwrite").parquet(s"$dir/$cent")
-      AnnStore.publish(dir, man.copy(version = man.version + 1,
-        cent = cent, segments = man.segments :+ seg))
+      commitWithCounts(spark, dir, man, seg = Some(seg),
+        tomb = None, delta = appended)
     }
 
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")
   }
+
+  /** The optimistic-concurrency commit shared by the ANN maintenance
+    * mutations whose deltas COMMUTE (append a segment / add a
+    * tombstone, plus a per-cell n_vectors count delta): write a fresh
+    * count-refreshed centroid generation against the base manifest and
+    * try to claim the next version; when another writer got there
+    * first ([[ManifestCommit.CommitConflict]]), re-read the committed
+    * base, re-derive the counts from IT (centroids and shard widths
+    * are FIXED across append/delete, so only the counts differ) and
+    * retry. Two interleaved appends — or an append racing a delete —
+    * both land, in either serialization, with counts that add up.
+    * `delta`: per-cell posting-count change (positive for appends,
+    * negative for deletes). */
+  private def commitWithCounts(
+      spark: SparkSession,
+      dir: String,
+      base0: AnnStore.Manifest,
+      seg: Option[String],
+      tomb: Option[String],
+      delta: Map[Int, Long]): Unit = {
+    import spark.implicits._
+    var base = base0
+    var committed = false
+    while (!committed) {
+      val cent = ManifestCommit.uniqueName("cent", base.version + 1)
+      AnnStore.centroids(spark, dir, base).orderBy(col("cell")).collect()
+        .map { r =>
+          val cell = r.getInt(0)
+          (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
+            r.getLong(4) + delta.getOrElse(cell, 0L))
+        }.toSeq
+        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+        .write.mode("overwrite").parquet(s"$dir/$cent")
+      try {
+        AnnStore.publish(dir, base.copy(version = base.version + 1,
+          cent = cent,
+          segments = base.segments ++ seg.toSeq,
+          tombstones = base.tombstones ++ tomb.toSeq))
+        committed = true
+      } catch {
+        case _: ManifestCommit.CommitConflict =>
+          base = AnnStore.read(dir)
+      }
+    }
+  }
+
+  /** Guard against re-ingesting a tombstoned id: until a compact
+    * materializes the deletes, the read path's anti-join would HIDE the
+    * re-appended row while the centroid counts grew — permanently
+    * diverging `sum(n_vectors)` from the live posting view (the
+    * integrity invariant and the top-k strategy-switch input). The
+    * "compact first" contract is now enforced, not just documented:
+    * one broadcast semi-join against the (small) tombstone set, skipped
+    * entirely when no delete is outstanding. */
+  private def assertNotTombstoned(
+      batch: DataFrame, dir: String, man: AnnStore.Manifest,
+      op: String): Unit =
+    AnnStore.tombstoned(batch.sparkSession, dir, man).foreach { dead =>
+      val clash = batch.select(col("vec_id"))
+        .join(broadcast(dead), Seq("vec_id"), "left_semi").count()
+      require(clash == 0,
+        s"$op: $clash batch id(s) are tombstoned in $dir — run " +
+          "compactIvfIndex first; re-ingesting a deleted id before the " +
+          "compact would stay hidden behind the tombstone anti-join " +
+          "while inflating the centroid counts")
+    }
 
   /** Deletes vectors from an EXISTING index — the takedown/opt-out
     * maintenance op, [[appendToIvfIndex]]'s inverse, O(|deleted ids|)
@@ -1142,20 +1211,14 @@ object Similarity {
       .groupBy(col("cell")).agg(count(lit(1)).as("n_removed"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (removed.nonEmpty) {
-      val tomb = s"del_${man.version + 1}"
-      val cent = s"cent_${man.version + 1}"
+      val tomb = ManifestCommit.uniqueName("del", man.version + 1)
       present.select(col("vec_id")).distinct()
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$tomb")
-      AnnStore.centroids(spark, dir, man).orderBy(col("cell")).collect()
-        .map { r =>
-          val cell = r.getInt(0)
-          (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
-            r.getLong(4) - removed.getOrElse(cell, 0L))
-        }.toSeq
-        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-        .write.mode("overwrite").parquet(s"$dir/$cent")
-      AnnStore.publish(dir, man.copy(version = man.version + 1,
-        cent = cent, tombstones = man.tombstones :+ tomb))
+      // tombstone + negative count delta commute with concurrent
+      // appends (appended ids are guarded disjoint from tombstones) —
+      // commitWithCounts retries on a lost claim with re-added counts
+      commitWithCounts(spark, dir, man, seg = None,
+        tomb = Some(tomb), delta = removed.map { case (c, n) => c -> -n })
     }
     removed.toSeq.sortBy(_._1).toDF("cell", "n_removed")
   }
@@ -1176,11 +1239,14 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
     val n = spark.sparkContext.defaultParallelism
     val man = AnnStore.read(dir)
-    val seg = s"seg_${man.version + 1}"
+    val seg = ManifestCommit.uniqueName("seg", man.version + 1)
     AnnStore.postings(spark, dir, man)
       .repartition(n, col("cell"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("cell").parquet(s"$dir/$seg")
+    // a compact REPLACES the segment list — a concurrent append's rows
+    // would be silently dropped by a merge, so a lost claim ABORTS
+    // (CommitConflict propagates; the fresh segment ages out via vacuum)
     AnnStore.publish(dir, man.copy(version = man.version + 1,
       segments = Seq(seg), tombstones = Nil))
   }
@@ -1304,6 +1370,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
+    // fresh-build commit target (same discipline as buildIvfIndex)
+    val bv = ManifestCommit.currentVersion(dir) + 1
+    val segName = ManifestCommit.uniqueName("seg", bv)
+    val centName = ManifestCommit.uniqueName("cent", bv)
+    val cbName = ManifestCommit.uniqueName("cb", bv)
     val view = corpus.select(col("vec_id"), col("embedding"))
     val (centroids, cnorms) = centroidsFrom match {
       case Some(src) =>
@@ -1368,7 +1439,7 @@ object Similarity {
         col("shard"), col("cell"))
       .repartition(n, col("cell"))
       .write.mode("overwrite").option("compression", "zstd")
-      .partitionBy("cell").parquet(s"$dir/seg_1")
+      .partitionBy("cell").parquet(s"$dir/$segName")
 
     rows.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
@@ -1382,16 +1453,16 @@ object Similarity {
         (sub, code, (0 until cb.dsub).map(j => cb.cw(sub, code, j)))
       }
     }.toDF("sub", "code", "cw")
-      .write.mode("overwrite").parquet(s"$dir/cb_1")
+      .write.mode("overwrite").parquet(s"$dir/$cbName")
 
     centroids.zip(cnorms).zipWithIndex.map { case ((c, nm), i) =>
       val (nv, ns) = cellMeta.getOrElse(i, (0L, 1))
       (i, c.toSeq, nm, ns, nv)
     }.toSeq
       .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-      .write.mode("overwrite").parquet(s"$dir/cent_1")
+      .write.mode("overwrite").parquet(s"$dir/$centName")
     AnnStore.publish(dir,
-      AnnStore.Manifest(1L, "cent_1", Some("cb_1"), Seq("seg_1"), Nil))
+      AnnStore.Manifest(bv, centName, Some(cbName), Seq(segName), Nil))
 
     AnnStore.centroids(spark, dir)
       .filter(col("n_vectors") > 0)
@@ -1415,6 +1486,7 @@ object Similarity {
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
     val man = AnnStore.read(dir)
+    assertNotTombstoned(batch, dir, man, "appendToPqIndex")
     val centRows = AnnStore.centroids(spark, dir, man)
       .orderBy(col("cell")).collect()
     val centroids = centRows.map(_.getSeq[Double](1).toArray)
@@ -1444,20 +1516,12 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     if (appended.nonEmpty) {
-      val seg = s"seg_${man.version + 1}"
-      val cent = s"cent_${man.version + 1}"
+      val seg = ManifestCommit.uniqueName("seg", man.version + 1)
       rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cell").parquet(s"$dir/$seg")
-      centRows.map { r =>
-        val cell = r.getInt(0)
-        (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
-          r.getLong(4) + appended.getOrElse(cell, 0L))
-      }.toSeq
-        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-        .write.mode("overwrite").parquet(s"$dir/$cent")
-      AnnStore.publish(dir, man.copy(version = man.version + 1,
-        cent = cent, segments = man.segments :+ seg))
+      commitWithCounts(spark, dir, man, seg = Some(seg),
+        tomb = None, delta = appended)
     }
 
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")

@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * incremental tiers' state (the s12 HLL sketch table, the s13 quantile
   * bucket table, any read-merge-publish fold): each publish writes the
   * new state into a FRESH generation directory and swaps one pointer
-  * file, so
+  * file (via [[ManifestCommit]] — the shared Hadoop-FileSystem commit
+  * module, so the store runs against `file://`/`hdfs://` URIs, not just
+  * local paths), so
   *
   *   - a reader mid-publish sees the old generation or the new one,
   *     never a half-written overwrite (the plain `mode("overwrite")`
@@ -15,11 +17,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - the EXACTLY-ONCE stamp rides the same swap: `publish` records
   *     the micro-batch id in the manifest, so "state updated" and
   *     "batch committed" are one atomic event — a redelivered batch is
-  *     skipped by reading the stamp back ([[lastBatchId]]), replacing
-  *     the separate marker-file dance (write state, then mark) whose
-  *     window between the two writes is exactly where a crash breaks
-  *     exactly-once for non-idempotent folds (count sums; HLL maxima
-  *     only tolerate it by accident of idempotence);
+  *     skipped by reading the stamp back ([[lastBatchId]]). The stamp
+  *     means "highest ingest batch APPLIED", not "was the last
+  *     mutation a batch": an unstamped publish (a manual fix-up, a
+  *     compaction) CARRIES the stamp forward, because the batches it
+  *     folded in are still applied — clearing it would let a
+  *     redelivered batch through the `exists(_ >= bid)` guard and
+  *     double-apply a non-idempotent fold (count sums corrupt; HLL
+  *     maxima only tolerate it by accident of idempotence);
   *   - snapshot reads and retention come for free, the same
   *     `MANIFEST.v<N>` + retention-vacuum scheme as [[DedupIndex]] and
   *     [[AnnStore]].
@@ -28,36 +33,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * whole-table generation instead of segment lists — right for state
   * that each fold REWRITES (merged sketch tables are cell-grained and
   * small); the index tiers keep their segmented form because their data
-  * is append-mostly and corpus-sized. Single-writer contract as
-  * everywhere: the swap is atomic for readers; concurrent writers need
-  * an external lock (object-store: conditional PUT of the pointer). */
+  * is append-mostly and corpus-sized. Because a publish REPLACES the
+  * state wholesale, a lost commit race cannot be list-merged: publish
+  * claims exactly one version and throws
+  * [[ManifestCommit.CommitConflict]] when another writer got there
+  * first — the caller re-reads and re-folds (`expectedVersion` makes
+  * the read-state→publish window explicit for callers that want to pin
+  * it). The streaming sinks are single-writer per checkpoint, so the
+  * conflict path never fires there. */
 object StateTable {
 
   final case class Manifest(version: Long, gen: String, batchId: Option[Long])
-
-  private def pointer(dir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(dir, "MANIFEST")
-
-  def exists(dir: String): Boolean =
-    java.nio.file.Files.exists(pointer(dir))
 
   private def parse(lines: Array[String]): Manifest =
     Manifest(lines(0).trim.toLong, lines(1).trim,
       Option(lines(2).trim).filter(s => s.nonEmpty && s != "-").map(_.toLong))
 
+  private def serialize(m: Manifest): Seq[String] = Seq(
+    m.version.toString, m.gen, m.batchId.map(_.toString).getOrElse("-"))
+
+  def exists(dir: String): Boolean = ManifestCommit.exists(dir)
+
   def readManifest(dir: String): Manifest =
-    parse(java.nio.file.Files.readAllLines(pointer(dir))
-      .toArray(Array.empty[String]))
+    parse(ManifestCommit.readPointer(dir))
 
   /** Snapshot manifest of a past publish (retention permitting). */
   def readManifestAt(dir: String, version: Long): Manifest =
-    parse(java.nio.file.Files
-      .readAllLines(java.nio.file.Paths.get(dir, s"MANIFEST.v$version"))
-      .toArray(Array.empty[String]))
+    parse(ManifestCommit.readVersioned(dir, version))
 
-  /** The batch id stamped by the latest publish — the exactly-once
-    * check: a foreachBatch sink skips a redelivered batch iff
-    * `lastBatchId(dir).exists(_ >= bid)` (batch ids are monotone). */
+  /** The highest batch id any committed publish has applied — the
+    * exactly-once check: a foreachBatch sink skips a redelivered batch
+    * iff `lastBatchId(dir).exists(_ >= bid)` (batch ids are monotone).
+    * Survives unstamped publishes in between (see the object doc). */
   def lastBatchId(dir: String): Option[Long] =
     if (!exists(dir)) None else readManifest(dir).batchId
 
@@ -71,47 +78,50 @@ object StateTable {
     spark.read.parquet(s"$dir/${readManifestAt(dir, version).gen}")
 
   /** Commit a new state: materialize `state` into a fresh generation
-    * directory, then swap the pointer (with the optional micro-batch
-    * stamp) in one atomic rename. Reading the CURRENT state while
-    * computing `state` is safe — the write targets a different
-    * directory, so no localCheckpoint fence is needed. Returns the new
-    * version. */
-  def publish(state: DataFrame, dir: String, batchId: Option[Long] = None): Long = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val v = if (exists(dir)) readManifest(dir).version + 1 else 1L
-    val gen = s"gen_$v"
+    * directory, then claim the next version and swap the pointer in one
+    * atomic rename. Reading the CURRENT state while computing `state`
+    * is safe — the write targets a different directory, so no
+    * localCheckpoint fence is needed. Returns the new version.
+    *
+    * `expectedVersion`: optimistic-concurrency pin — when set, the
+    * publish throws [[ManifestCommit.CommitConflict]] unless the store
+    * is still at that version, closing the read→fold→publish window
+    * against a concurrent writer (whole-state rewrites cannot be
+    * merged; the caller must re-read and re-fold). Unset, the publish
+    * still claims its version atomically — a concurrent publish makes
+    * one of the two writers throw rather than silently dropping the
+    * other's state. */
+  def publish(
+      state: DataFrame,
+      dir: String,
+      batchId: Option[Long] = None,
+      expectedVersion: Option[Long] = None): Long = {
+    val cur = if (exists(dir)) Some(readManifest(dir)) else None
+    val curV = cur.map(_.version).getOrElse(0L)
+    expectedVersion.foreach { ev =>
+      if (curV != ev)
+        throw new ManifestCommit.CommitConflict(
+          s"state table at $dir is at version $curV, expected $ev — " +
+            "re-read and re-fold")
+    }
+    val v = curV + 1
+    val gen = ManifestCommit.uniqueName("gen", v)
     state.write.mode("overwrite").parquet(s"$dir/$gen")
-    val lines = java.util.Arrays.asList(
-      v.toString, gen, batchId.map(_.toString).getOrElse("-"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, s"MANIFEST.v$v"), lines)
-    val tmp = java.nio.file.Paths.get(
-      dir, s"MANIFEST.tmp.${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.write(tmp, lines)
-    java.nio.file.Files.move(tmp, pointer(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // stamp = highest batch applied; carried through unstamped publishes
+    val stamp = (cur.flatMap(_.batchId).toSeq ++ batchId.toSeq)
+      .reduceOption(_ max _)
+    ManifestCommit.commit(dir, v, serialize(Manifest(v, gen, stamp)))
     v
   }
 
   /** Drop generations and snapshot manifests outside the retention
-    * window (same contract as the index tiers' vacuum: run when old
-    * readers are drained). */
-  def vacuum(dir: String, retainVersions: Int = 0): Unit = {
-    val cur = readManifest(dir)
-    val retained = (cur.version - retainVersions).max(1L) to cur.version
-    val live = retained.flatMap { v =>
-      val gens = if (v == cur.version) Seq(cur.gen)
-      else try Seq(readManifestAt(dir, v).gen)
-      catch { case _: java.io.IOException => Nil }
-      gens :+ s"MANIFEST.v$v"
-    }.toSet + "MANIFEST"
-    def rec(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
-      f.delete(): Unit
-    }
-    val kids = new java.io.File(dir).listFiles()
-    if (kids != null)
-      kids.filterNot(f => live.contains(f.getName)).foreach(rec)
-  }
+    * window. Unreferenced directories younger than `minAgeMs` survive —
+    * they may be a concurrent publish's generation, written ahead of
+    * its commit (the [[ManifestCommit.vacuum]] in-flight age guard). */
+  def vacuum(
+      dir: String,
+      retainVersions: Int = 0,
+      minAgeMs: Long = ManifestCommit.DefaultVacuumMinAgeMs): Unit =
+    ManifestCommit.vacuum(dir, lines => Seq(parse(lines).gen),
+      Set.empty, retainVersions, minAgeMs)
 }

@@ -1,0 +1,219 @@
+package graft
+
+import java.net.URI
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnStore, DedupIndex, ManifestCommit, Similarity, StateTable}
+
+/** A LocalFileSystem under a NON-DEFAULT scheme — the "non-default
+  * Hadoop FS config" the commit layer must run against: nothing in
+  * graft may assume `java.nio` local paths or even the `file` scheme;
+  * everything must flow through the FileSystem/FileContext plugin
+  * surface that hdfs:// and s3a:// enter by. */
+class GraftTestRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: URI = URI.create("graftfs:///")
+}
+class GraftTestFs extends org.apache.hadoop.fs.LocalFileSystem(new GraftTestRawFs()) {
+  override def getScheme: String = "graftfs"
+}
+/** FileContext-side twin (rename claims/swaps go through this). */
+class GraftTestAbstractFs(uri: URI, conf: Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new GraftTestFs(), conf, "graftfs", false)
+
+/** Laws of the shared Hadoop-FS manifest-commit module, plus the
+  * store-level concurrency behaviors built on it. */
+class ManifestCommitSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mc_$tag").toString
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  test("version claims are exclusive; the loser of an interleaved race merges and lands at the next version") {
+    val dir = "file:" + tmp("cas")
+    assert(!ManifestCommit.exists(dir))
+    assert(ManifestCommit.tryCommit(dir, 1L, Seq("1", "base")))
+    assert(!ManifestCommit.tryCommit(dir, 1L, Seq("1", "usurper")),
+      "a committed version must be unclaimable")
+    assert(ManifestCommit.readPointer(dir).toSeq == Seq("1", "base"))
+
+    // two writers interleaved: both read version 1. Writer A commits
+    // first; writer B (latched inside its make callback, so the
+    // interleaving is deterministic) loses the claim for version 2,
+    // re-reads A's committed manifest, and lands at 3 with BOTH deltas.
+    val aCommitted = new java.util.concurrent.CountDownLatch(1)
+    val bStarted = new java.util.concurrent.CountDownLatch(1)
+    val makeCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fB = Future {
+      ManifestCommit.commitLoop(dir) { (v, base) =>
+        makeCalls.incrementAndGet()
+        bStarted.countDown()
+        aCommitted.await()
+        val items = base.get(1).split(",").map(_.trim).filter(_.nonEmpty)
+        Seq(v.toString, (items :+ "segB").mkString(","))
+      }
+    }
+    bStarted.await()
+    assert(ManifestCommit.tryCommit(dir, 2L, Seq("2", "base,segA")))
+    aCommitted.countDown()
+    val vB = Await.result(fB, 60.seconds)
+    assert(vB == 3L, s"loser must land at the next version, got $vB")
+    assert(makeCalls.get() == 2, "loser must have retried exactly once")
+    assert(ManifestCommit.readPointer(dir).toSeq == Seq("3", "base,segA,segB"),
+      "both writers' deltas must survive")
+    // versioned history is immutable and complete
+    assert(ManifestCommit.readVersioned(dir, 2L).toSeq == Seq("2", "base,segA"))
+  }
+
+  test("pointer-lag recovery: a claim whose writer crashed before the pointer swap is walked over, never lost") {
+    val dir = "file:" + tmp("lag")
+    ManifestCommit.tryCommit(dir, 1L, Seq("1", "a"))
+    // fabricate the crash state: MANIFEST.v2 exists (fully written —
+    // claims rename complete files) but the pointer still names v1
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.v2")
+    val out = p.getFileSystem(hc).create(p, false)
+    out.write("2\na,ghost\n".getBytes("UTF-8")); out.close()
+    assert(ManifestCommit.readPointer(dir)(0) == "1")
+    // a commitLoop starting from the stale pointer walks v2 (claimed),
+    // reads the ghost's committed state, and commits v3 on top of it
+    val v = ManifestCommit.commitLoop(dir) { (vv, base) =>
+      Seq(vv.toString, base.get(1) + ",mine")
+    }
+    assert(v == 3L)
+    assert(ManifestCommit.readPointer(dir).toSeq == Seq("3", "a,ghost,mine"),
+      "the crashed writer's committed claim must be honored, not overwritten")
+  }
+
+  test("two interleaved DedupIndex appends both land; stamps ride as highest-applied") {
+    import spark.implicits._
+    val dir = "file:" + tmp("dix2w")
+    DedupIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir,
+      batchId = Some(0L))
+    val v0 = DedupIndex.readManifest(dir).version
+    // two appends racing from two threads (real concurrent Spark jobs);
+    // the optimistic commit loop serializes them in either order
+    val fa = Future(DedupIndex.append(
+      docs.filter($"doc_id" % 4 === 1), "doc_id", "text", dir, Some(1L)))
+    val fb = Future(DedupIndex.append(
+      docs.filter($"doc_id" % 4 === 2), "doc_id", "text", dir, Some(2L)))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val m = DedupIndex.readManifest(dir)
+    assert(m.version == v0 + 2 && m.segments.size == 3,
+      s"both appended segments must be live, got $m")
+    val ids = DedupIndex.readBands(spark, dir)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ % 4 == 1) && ids.exists(_ % 4 == 2),
+      "band rows of both appends must be readable")
+    assert(m.batchId.contains(2L), "stamp = max applied batch id")
+    // an interleaved DELETE carries the stamp (the ADVICE fix): a
+    // redelivery of batch 2 after the weekly delete must still skip
+    DedupIndex.delete(docs.filter($"doc_id" % 8 === 1).select($"doc_id"),
+      "doc_id", dir)
+    assert(DedupIndex.lastBatchId(dir).contains(2L),
+      "delete must not erase the exactly-once ingest stamp")
+    DedupIndex.compact(spark, dir)
+    assert(DedupIndex.lastBatchId(dir).contains(2L),
+      "compact must not erase the exactly-once ingest stamp")
+  }
+
+  test("vacuum age guard: an in-flight writer's unpublished segment survives; aged orphans and published garbage do not") {
+    import spark.implicits._
+    val dir = "file:" + tmp("dixvac")
+    DedupIndex.build(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir)
+    DedupIndex.compact(spark, dir) // makes the build segment published garbage
+    // a concurrent append's segment, written ahead of its commit:
+    // referenced by NO manifest, younger than the guard
+    docs.limit(5).select($"doc_id", $"text")
+      .write.parquet(s"$dir/seg_99_inflight")
+    val before = DedupIndex.readBands(spark, dir).count()
+    DedupIndex.vacuum(dir) // default age guard
+    assert(new java.io.File(dir.stripPrefix("file:") + "/seg_99_inflight").exists(),
+      "vacuum must not reclaim a young unreferenced directory (in-flight append)")
+    assert(DedupIndex.readBands(spark, dir).count() == before)
+    // the pre-compact segment WAS published (an old manifest references
+    // it) — reclaimed immediately regardless of age
+    val m = DedupIndex.readManifest(dir)
+    val left = new java.io.File(dir.stripPrefix("file:"))
+      .listFiles().map(_.getName).toSet
+    assert(left == Set("MANIFEST", s"MANIFEST.v${m.version}", "meta",
+      "seg_99_inflight") ++ m.segments, s"unexpected survivors: $left")
+    // past the age guard the orphan is reclaimable
+    DedupIndex.vacuum(dir, minAgeMs = 0L)
+    assert(!new java.io.File(dir.stripPrefix("file:") + "/seg_99_inflight").exists())
+  }
+
+  test("file:// URI round-trip: all three stores commit, read, snapshot and vacuum through the Hadoop API") {
+    import spark.implicits._
+    // StateTable
+    val st = "file:" + tmp("st")
+    StateTable.publish((1 to 3).map(i => (i, "a")).toDF("k", "v"), st, Some(0L))
+    StateTable.publish((1 to 5).map(i => (i, "b")).toDF("k", "v"), st, Some(1L))
+    assert(StateTable.read(spark, st).count() == 5)
+    assert(StateTable.readAt(spark, st, 1L).count() == 3)
+    assert(StateTable.lastBatchId(st).contains(1L))
+    StateTable.vacuum(st)
+    assert(StateTable.read(spark, st).count() == 5)
+    // DedupIndex (build→append→query→snapshot→compact→vacuum)
+    val dix = "file:" + tmp("dix")
+    DedupIndex.build(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dix)
+    val v1 = DedupIndex.readManifest(dix).version
+    DedupIndex.append(docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", dix)
+    assert(DedupIndex.readBandsAt(spark, dix, v1)
+      .select($"doc_id").distinct().collect().map(_.getLong(0))
+      .forall(_ % 2 == 0), "snapshot read must see the pre-append corpus")
+    val probe = docs.limit(20)
+    val q = DedupIndex.query(probe, "doc_id", "text", dix).count()
+    DedupIndex.compact(spark, dix)
+    DedupIndex.vacuum(dix, minAgeMs = 0L)
+    assert(DedupIndex.query(probe, "doc_id", "text", dix).count() == q)
+    // AnnStore (IVF build → postings → append → delete → compact → vacuum)
+    val emb = Tables(spark, sf, "embeddings")
+    val ann = "file:" + tmp("ann")
+    Similarity.buildIvfIndex(
+      emb.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding"), ann).count()
+    val n0 = Similarity.indexPostings(spark, ann).count()
+    Similarity.appendToIvfIndex(
+      emb.filter($"vec_id" % 2 =!= 0).select($"vec_id", $"embedding"), ann).count()
+    Similarity.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 10 === 0).select($"vec_id"), ann).count()
+    val live = Similarity.indexPostings(spark, ann).count()
+    assert(live == emb.count() - emb.filter($"vec_id" % 10 === 0).count())
+    assert(n0 > 0 && live > 0)
+    Similarity.compactIvfIndex(spark, ann)
+    AnnStore.vacuum(ann, minAgeMs = 0L)
+    assert(Similarity.indexPostings(spark, ann).count() == live)
+  }
+
+  test("non-default FS scheme: a DedupIndex lives end-to-end under graftfs:// (commit plane AND data plane)") {
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    hc.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[GraftTestAbstractFs].getName)
+    val dir = "graftfs:" + tmp("gfs")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    DedupIndex.build(corpus, "doc_id", "text", dir)
+    DedupIndex.append(docs.filter($"doc_id" % 4 === 1), "doc_id", "text", dir)
+    val refDir = tmp("gfs_ref")
+    DedupIndex.build(corpus.unionByName(docs.filter($"doc_id" % 4 === 1)),
+      "doc_id", "text", refDir)
+    val probe = docs.filter($"doc_id" % 4 === 3)
+    val got = DedupIndex.query(probe, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val want = DedupIndex.query(probe, "doc_id", "text", refDir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "graftfs-addressed index must answer like a local one")
+    DedupIndex.compact(spark, dir)
+    DedupIndex.vacuum(dir, minAgeMs = 0L)
+    assert(DedupIndex.query(probe, "doc_id", "text", dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == want)
+  }
+}

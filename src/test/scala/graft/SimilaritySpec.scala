@@ -503,7 +503,7 @@ class SimilaritySpec extends SparkSpec {
     // a NEW reader resolves the new pointer: exactly one segment, no
     // tombstone anti-join, same rows
     val man = graft.operators.AnnStore.read(dir)
-    assert(man.segments == Seq(s"seg_${man.version}") && man.tombstones.isEmpty)
+    assert(man.segments.size == 1 && man.tombstones.isEmpty, s"got $man")
     assert(Similarity.indexPostings(spark, dir).count() == before)
     // vacuum drops exactly the unreferenced directories; the live
     // generation (and the manifest) survive and the view is unchanged

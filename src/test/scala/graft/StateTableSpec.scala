@@ -37,10 +37,36 @@ class StateTableSpec extends SparkSpec {
     // the exactly-once predicate: a redelivered batch (id ≤ stamp) skips
     assert(StateTable.lastBatchId(dir).exists(_ >= 1L))
     assert(!StateTable.lastBatchId(dir).exists(_ >= 2L))
-    // an unstamped publish clears the stamp rather than inheriting a
-    // stale one (a non-batch mutation must not masquerade as a batch)
+    // the stamp means "highest batch APPLIED", so an unstamped publish
+    // (fix-up, compaction) CARRIES it: batches 0-1 are still folded
+    // into the state, and clearing the stamp would let a redelivery of
+    // batch 1 through the exists(_ >= bid) guard — double-applying a
+    // non-idempotent fold
     StateTable.publish(rows(3, "x"), dir)
-    assert(StateTable.lastBatchId(dir).isEmpty)
+    assert(StateTable.lastBatchId(dir).contains(1L),
+      "unstamped publish must carry the highest-applied stamp forward")
+    assert(StateTable.lastBatchId(dir).exists(_ >= 1L),
+      "batch 1 redelivered after the fix-up must still skip")
+    // a LOWER stamped batch id never regresses the stamp either
+    StateTable.publish(rows(4, "x"), dir, Some(0L))
+    assert(StateTable.lastBatchId(dir).contains(1L))
+  }
+
+  test("publish claims exactly one version: a stale expectedVersion (or a lost race) conflicts instead of dropping state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_cas").toString
+    assert(StateTable.publish(rows(2, "a"), dir, expectedVersion = Some(0L)) == 1L)
+    // writer computed its fold against version 0 but version 1 landed
+    // meanwhile: the publish must refuse (whole-state rewrites cannot
+    // be merged — the caller re-reads and re-folds)
+    intercept[graft.operators.ManifestCommit.CommitConflict] {
+      StateTable.publish(rows(9, "stale"), dir, expectedVersion = Some(0L))
+    }
+    assert(got(StateTable.read(spark, dir)) == want(2, "a"),
+      "conflicting publish must not replace committed state")
+    // re-read + re-fold at the current version succeeds
+    assert(StateTable.publish(rows(3, "b"), dir,
+      expectedVersion = Some(StateTable.readManifest(dir).version)) == 2L)
+    assert(got(StateTable.read(spark, dir)) == want(3, "b"))
   }
 
   test("mid-publish reader keeps its generation; computing the next state from the current one needs no fence") {
@@ -68,8 +94,24 @@ class StateTableSpec extends SparkSpec {
     intercept[java.io.IOException] { StateTable.readManifestAt(dir, 1L) }
     StateTable.vacuum(dir)
     val left = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(left == Set("MANIFEST", "MANIFEST.v3", "gen_3"),
+    assert(left == Set("MANIFEST", "MANIFEST.v3", StateTable.readManifest(dir).gen),
       s"unexpected survivors: $left")
     assert(got(StateTable.read(spark, dir)) == want(3, "v3"))
+  }
+
+  test("vacuum age guard: an unreferenced young directory (an in-flight publish) survives the default vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_age").toString
+    StateTable.publish(rows(2, "v1"), dir)
+    // simulate a concurrent writer's generation written AHEAD of its
+    // commit: a parquet directory no manifest references yet
+    rows(5, "inflight").write.parquet(s"$dir/gen_2_inflight")
+    StateTable.vacuum(dir) // default minAge — must NOT eat the in-flight dir
+    assert(new java.io.File(s"$dir/gen_2_inflight").exists(),
+      "vacuum reclaimed a young unreferenced directory (in-flight writer data)")
+    // past the age guard (forced to 0) the orphan is reclaimable garbage
+    StateTable.vacuum(dir, minAgeMs = 0L)
+    assert(!new java.io.File(s"$dir/gen_2_inflight").exists(),
+      "aged-out orphan must be reclaimed")
+    assert(got(StateTable.read(spark, dir)) == want(2, "v1"))
   }
 }
