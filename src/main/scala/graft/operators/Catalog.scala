@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Name → location registry for the persisted tiers — removes the
+  * raw-directory-string threading every index/state call site carried
+  * (the caller of a weekly job should say "docs-index", not transport
+  * an object-store path and a manually bookkept snapshot version).
+  *
+  * One row per registered name: `(name, kind, path, version)` where
+  * `kind` ∈ {dedup-index, ann-index, state-table} (advisory — reads
+  * type-check anyway) and `version` optionally PINS a snapshot: a
+  * resolve of a pinned name reads `readBandsAt`/`readAt` at that
+  * version, making reproducibility ("the exact corpus snapshot last
+  * month's training run consumed") a one-line lookup instead of manual
+  * version bookkeeping.
+  *
+  * The registry IS a [[StateTable]] — it gets the commit discipline it
+  * catalogs for free: atomic publishes (a half-written catalog is
+  * unreadable by construction), immutable versioned history (what did
+  * "docs-index" point at last week?), retention vacuum. Catalog-sized
+  * data (rows = registered names), so whole-generation rewrites per
+  * register are free; the publish claims one version, so two concurrent
+  * registers conflict loudly instead of silently dropping one.
+  */
+object Catalog {
+
+  /** Register (or re-point) `name`. `pinVersion` records a snapshot pin
+    * readers of the name will resolve to; None = live state. */
+  def register(
+      spark: SparkSession,
+      catalogDir: String,
+      name: String,
+      kind: String,
+      path: String,
+      pinVersion: Option[Long] = None): Unit = {
+    import spark.implicits._
+    val row = Seq((name, kind, path, pinVersion))
+      .toDF("name", "kind", "path", "version")
+    val next =
+      if (!StateTable.exists(catalogDir)) row
+      else StateTable.read(spark, catalogDir)
+        .filter(col("name") =!= name).unionByName(row)
+    StateTable.publish(next.coalesce(1), catalogDir): Unit
+  }
+
+  /** All registered names (name, kind, path, version). */
+  def list(spark: SparkSession, catalogDir: String): DataFrame =
+    StateTable.read(spark, catalogDir)
+
+  /** Resolved entry for `name`: (kind, path, pinned version). One
+    * catalog-sized read + a 1-row collect. */
+  def resolve(
+      spark: SparkSession, catalogDir: String, name: String):
+      (String, String, Option[Long]) = {
+    val rows = StateTable.read(spark, catalogDir)
+      .filter(col("name") === name)
+      .select(col("kind"), col("path"), col("version")).collect()
+    require(rows.nonEmpty, s"catalog at $catalogDir has no entry named '$name'")
+    val r = rows(0)
+    (r.getString(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))
+  }
+
+  /** The band table of a catalog-named dedup index — live, or the
+    * pinned snapshot if the entry carries one. */
+  def dedupIndexBands(
+      spark: SparkSession, catalogDir: String, name: String): DataFrame = {
+    val (_, path, pin) = resolve(spark, catalogDir, name)
+    pin.fold(DedupIndex.readBands(spark, path))(
+      v => DedupIndex.readBandsAt(spark, path, v))
+  }
+
+  /** The posting view of a catalog-named ANN index (live; snapshot pins
+    * resolve through [[AnnStore.readAt]]). */
+  def annPostings(
+      spark: SparkSession, catalogDir: String, name: String): DataFrame = {
+    val (_, path, pin) = resolve(spark, catalogDir, name)
+    pin.fold(AnnStore.postings(spark, path))(v =>
+      AnnStore.postings(spark, path, AnnStore.readAt(path, v)))
+  }
+
+  /** A catalog-named state table — live, or the pinned snapshot. */
+  def stateTable(
+      spark: SparkSession, catalogDir: String, name: String): DataFrame = {
+    val (_, path, pin) = resolve(spark, catalogDir, name)
+    pin.fold(StateTable.read(spark, path))(v => StateTable.readAt(spark, path, v))
+  }
+}

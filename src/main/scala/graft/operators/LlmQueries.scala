@@ -1667,6 +1667,49 @@ object LlmQueries {
             SELECT id, min(comp) AS comp FROM reach GROUP BY id
             ORDER BY id"""))
 
+  /** Snapshot-read fixture for l63, session-cached: build the band
+    * index over the EVEN half, remember that version, then mutate it
+    * twice (append the odd half, tombstone the %4 slice) — the state a
+    * deployment is in when a training run asks to re-read the exact
+    * corpus snapshot it consumed last week. Returns (dir, version). */
+  private def dedupIndexSnap(
+      s: org.apache.spark.sql.SparkSession, dir: String): (String, Long) = {
+    dedupIndexBuilt.computeIfAbsent("s:" + dir, _ => {
+      val out = annIndexRoot.resolve("dixs_" + Integer.toHexString(dir.hashCode)).toString
+      val docs = Tables(s, dir, "documents")
+      DedupIndex.build(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", out)
+      val v1 = DedupIndex.readManifest(out).version
+      DedupIndex.append(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", out)
+      DedupIndex.delete(docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id")), "doc_id", out)
+      s"$out|$v1"
+    }).split('|') match { case Array(a, b) => (a, b.toLong) }
+  }
+
+  /** L: SNAPSHOT READ (time travel) as a driver-gated value check — the
+    * reproducibility hook a training run needs: after an append AND a
+    * delete, [[DedupIndex.readBandsAt]] at the pre-mutation version
+    * must return exactly the pre-mutation corpus's band rows (every
+    * publish writes an immutable `MANIFEST.v<N>`; data directories are
+    * immutable and shared across versions). The declared form projects
+    * the snapshot's per-doc band-row counts — a deterministic function
+    * of WHICH docs the snapshot contains (8 band rows per non-null-text
+    * doc, the posexplode arity), so DuckDB can assert the doc set
+    * value-exactly: the even half only, neither the appended odds nor
+    * the tombstoned %4 slice's absence may leak in. Promotes the
+    * spec-pinned snapshot law (DedupIndexSpec, StateTableSpec) to the
+    * driver's hash gate. */
+  val l63SnapshotRead = Q(
+    "l63_snapshot_read",
+    (s, dir) => {
+      val (idx, v1) = dedupIndexSnap(s, dir)
+      DedupIndex.readBandsAt(s, idx, v1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(8 AS BIGINT) AS n_bands FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL ORDER BY doc_id"""))
+
   /** Post-delete ANN index pair for l58, session-cached: `_1` = the
     * full-corpus int8 index with the vec_id % 10 == 7 slice DELETED
     * ([[Similarity.deleteFromIvfIndex]] — touched cell partitions
@@ -1828,11 +1871,28 @@ object LlmQueries {
     * document). Piece counts are a pure function of (text, merges) and
     * training is deterministic, so the Python cross-oracle re-derives
     * every row. */
+  /** Bench-only trained-model cache: the l48 BENCH row times ENCODE
+    * against a model trained once per fixture dir (min-of-3 runs reuse
+    * it), so the row is finally legible as encode throughput — the 24
+    * training rounds that used to dominate it ~10× are l47's own bench
+    * row. The DECLARED l48 form still trains+encodes end-to-end (the
+    * cross-oracle re-derives the full composition). */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   val l48BpeEncode = Q(
     "l48_bpe_encode",
     (s, dir) => Bpe.bpeEncodeSelf(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
-    None)
+    None,
+    bench = Some((s, dir) => {
+      val merges = bpeMergesCache.computeIfAbsent(dir, _ =>
+        Bpe.bpeTrain(Tables(s, dir, "documents"), "text")
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq)
+      Bpe.bpeEncodeStats(Tables(s, dir, "documents"), "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }))
 
   /** L: frequent n-grams via the count-min prefilter
     * ([[TextAnalysis.frequentNgrams]]). The sketch estimate only
@@ -2153,5 +2213,5 @@ object LlmQueries {
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
     l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental,
-    l60QuantileRollup, l61JlPqPipeline, l62PqIndexAppend)
+    l60QuantileRollup, l61JlPqPipeline, l62PqIndexAppend, l63SnapshotRead)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,8 +43,36 @@ object MergeUpsert {
       base: DataFrame,
       changes: DataFrame,
       key: String,
-      versionCol: Option[String] = None): DataFrame = {
-    val cleaned = changes.filter(col(key).isNotNull)
+      versionCol: Option[String] = None): DataFrame =
+    merge(base, changes, key, versionCol, deleteWhen = None)
+
+  /** Full MERGE with a delete clause — the base-table takedown analog
+    * of the index tiers' tombstone deletes (l57/l58): `deleteWhen` is a
+    * predicate over the CHANGE row (a CDC tombstone flag, a GDPR
+    * opt-out marker), and
+    *   - WHEN MATCHED AND deleteWhen  THEN DELETE — the base row drops;
+    *   - WHEN MATCHED                 THEN UPDATE (change wins wholesale);
+    *   - WHEN NOT MATCHED AND NOT deleteWhen THEN INSERT;
+    *   - a delete-flagged change with no match does NOTHING (standard
+    *     MERGE: an unmatched row only triggers the INSERT clause).
+    * The flag is evaluated on `changes` BEFORE the join (pure function
+    * of the change row — it cannot reference base columns), so it rides
+    * the same single full-outer join as the upsert: no second join, no
+    * extra shuffle, and the keep-latest/uniqueness contract applies to
+    * delete rows exactly like updates (a versioned CDC delta whose
+    * newest row for a key is the tombstone deletes; an older tombstone
+    * superseded by a re-insert does not). */
+  def merge(
+      base: DataFrame,
+      changes: DataFrame,
+      key: String,
+      versionCol: Option[String] = None,
+      deleteWhen: Option[Column] = None): DataFrame = {
+    val cleaned0 = changes.filter(col(key).isNotNull)
+    // materialize the delete verdict as a change-row column so the
+    // downstream plan is identical with and without a delete clause
+    val cleaned = deleteWhen.fold(cleaned0.withColumn("__graft_del", lit(false)))(
+      p => cleaned0.withColumn("__graft_del", coalesce(p, lit(false))))
     // keep-latest: rank() (not row_number) so max-version TIES survive
     // into the uniqueness check below instead of being resolved by an
     // arbitrary, partitioning-dependent pick
@@ -75,6 +103,11 @@ object MergeUpsert {
       when(col("c." + key).isNotNull, col("c." + name))
         .otherwise(col("b." + name)).as(name)
     }
-    joined.select(merged.toSeq: _*)
+    joined
+      // the delete clause: any row whose change side is a tombstone
+      // leaves the output — matched (the deletion) and unmatched (an
+      // insert that must not fire) alike
+      .filter(!(col("c." + key).isNotNull && col("c.__graft_del")))
+      .select(merged.toSeq: _*)
   }
 }

@@ -82,6 +82,49 @@ object QuantileRollup {
       .groupBy((dims ++ Seq("sgn", "bucket")).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Paper-faithful bucket-cap collapse (Masson et al. §2.3, the
+    * collapsing store): per cell, keep at most `maxBuckets` buckets by
+    * merging the LOWEST-value buckets into the lowest RETAINED one —
+    * bounding per-cell memory under adversarial value ranges (the
+    * log_γ-spread growth the uncapped histogram trades away). The
+    * guarantee that survives, exactly as in the paper: any quantile
+    * whose rank lands ABOVE the collapsed mass reads back bit-identical
+    * to the uncollapsed sketch (collapse never touches retained
+    * buckets), so high quantiles keep the full α bound; a rank inside
+    * the collapsed mass answers the boundary bucket's estimate — only
+    * ever rounding low values UP to the lowest retained bucket, a
+    * one-sided, computable widening (QuantileRollupSpec pins both).
+    * Total count is preserved, so ranks never shift. Collapsed tables
+    * stay mergeable: bucket counts still just add ([[merge]]), though
+    * merging two DIFFERENTLY-collapsed cells widens to the coarser
+    * boundary — collapse once, at publish, after the fold. Cells
+    * already under the cap pass through untouched. */
+  def collapse(
+      sketches: DataFrame,
+      dims: Seq[String],
+      maxBuckets: Int): DataFrame = {
+    require(maxBuckets >= 2, s"maxBuckets must be at least 2, got $maxBuckets")
+    // descending value order: rank 1 = highest bucket; rows ranked past
+    // the cap are the lowest values — the collapse victims
+    val w = Window.partitionBy(dims.map(col): _*)
+      .orderBy(col("sgn").desc, (col("sgn") * col("bucket")).desc)
+    val ranked = sketches.withColumn("__rn", row_number().over(w))
+    // the merge target: the maxBuckets-th bucket from the top (absent
+    // for cells under the cap — the left join leaves those untouched)
+    val bound = ranked.filter(col("__rn") === maxBuckets)
+      .select((dims.map(col) :+ col("sgn").as("__bsgn")
+        :+ col("bucket").as("__bbucket")): _*)
+    ranked.join(bound, dims, "left")
+      .select((dims.map(col) ++ Seq(
+        when(col("__rn") >= maxBuckets, col("__bsgn"))
+          .otherwise(col("sgn")).as("sgn"),
+        when(col("__rn") >= maxBuckets, col("__bbucket"))
+          .otherwise(col("bucket")).as("bucket"),
+        col("cnt"))): _*)
+      .groupBy((dims ++ Seq("sgn", "bucket")).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Merge a (possibly persisted) bucket table down to `keep` grain and
     * estimate the given quantiles: one row per (cell, q) with the
     * α-guaranteed estimate. No raw data touched — the whole job is

@@ -162,6 +162,60 @@ object PlanPipeline {
             FROM orders b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
             ORDER BY o_orderkey"""))
 
+  /** M: MERGE with a DELETE clause — the base-table takedown the index
+    * tiers already have (l57 tombstones the dedup index, l58 the ANN
+    * index; this removes the rows from the CORPUS table itself, the op
+    * a warehouse runs weekly for CDC tombstones and opt-outs). One
+    * change set carries updates, inserts AND delete markers; matched
+    * deletes drop the base row, an unmatched delete is a no-op (the
+    * planted key -1 exercises that branch), everything else merges as
+    * m4. Same single full-outer join as m4 — the delete verdict rides
+    * the change row, no extra shuffle. */
+  val m7MergeDelete = Q(
+    "m7_merge_delete",
+    (s, dir) => {
+      import s.implicits._
+      val base = graft.Tables(s, dir, "orders")
+      val updates = base
+        .filter($"o_orderkey" % 10 === 0 && $"o_orderkey" % 9 =!= 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2)
+        .withColumn("__del", lit(false))
+      val inserts = base.filter($"o_orderkey" % 7 === 0)
+        .withColumn("o_orderkey", $"o_orderkey" + 10000000L)
+        .withColumn("__del", lit(false))
+      val deletes = base.filter($"o_orderkey" % 9 === 0)
+        .withColumn("__del", lit(true))
+      val ghost = deletes.limit(1).withColumn("o_orderkey", lit(-1L))
+      val merged = graft.operators.MergeUpsert.merge(
+        base, updates.unionByName(inserts).unionByName(deletes).unionByName(ghost),
+        "o_orderkey", deleteWhen = Some(col("__del")))
+      merged.select($"o_orderkey",
+        round($"o_totalprice", 2).as("o_totalprice"), $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH changes AS (
+              SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                     o_orderpriority, FALSE AS del
+              FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 9 <> 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority, FALSE
+              FROM orders WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_totalprice, o_orderpriority, TRUE
+              FROM orders WHERE o_orderkey % 9 = 0
+              UNION ALL
+              SELECT -1, o_totalprice, o_orderpriority, TRUE
+              FROM (SELECT o_totalprice, o_orderpriority FROM orders
+                    WHERE o_orderkey % 9 = 0 LIMIT 1) g)
+            SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   round(CASE WHEN c.o_orderkey IS NOT NULL
+                              THEN c.o_totalprice ELSE b.o_totalprice END, 2) AS o_totalprice,
+                   CASE WHEN c.o_orderkey IS NOT NULL
+                        THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+            FROM orders b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+            WHERE NOT (c.o_orderkey IS NOT NULL AND c.del)
+            ORDER BY o_orderkey"""))
+
   /** M: dynamic partition overwrite — the FILE-LEVEL incremental
     * refresh companion to m4's row-level merge. A 100 TB materialized
     * view partitioned on a refresh key never rewrites in full; a
@@ -228,5 +282,6 @@ object PlanPipeline {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_custkey, o_orderkey"""))
 
-  def all: Seq[Q] = Seq(m3Plans, m3Groups, m4MergeUpsert, m5DynamicOverwrite, m6Scd2)
+  def all: Seq[Q] =
+    Seq(m3Plans, m3Groups, m4MergeUpsert, m7MergeDelete, m5DynamicOverwrite, m6Scd2)
 }

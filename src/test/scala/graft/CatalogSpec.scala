@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Catalog, DedupIndex, StateTable}
+
+/** The name→location registry over the persisted tiers: registration,
+  * re-pointing, snapshot pins, and name-addressed reads. */
+class CatalogSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_cat_$tag").toString
+
+  test("register/resolve/list; re-register re-points; reads resolve by name; pins resolve snapshots") {
+    import spark.implicits._
+    val cat = tmp("reg")
+    val docs = Tables(spark, sf, "documents")
+
+    // a dedup index registered under a NAME — no path at the call sites
+    val idx = tmp("idx")
+    DedupIndex.build(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", idx)
+    val v1 = DedupIndex.readManifest(idx).version
+    Catalog.register(spark, cat, "docs-index", "dedup-index", idx)
+    assert(Catalog.resolve(spark, cat, "docs-index") == ("dedup-index", idx, None))
+    val liveDocs = Catalog.dedupIndexBands(spark, cat, "docs-index")
+      .select($"doc_id").distinct().count()
+
+    // a state table under another name
+    val st = tmp("st")
+    StateTable.publish(Seq((1, "a"), (2, "a")).toDF("k", "v"), st)
+    Catalog.register(spark, cat, "daily-state", "state-table", st)
+    assert(Catalog.stateTable(spark, cat, "daily-state").count() == 2)
+    assert(Catalog.list(spark, cat).count() == 2)
+
+    // the index grows; the LIVE name follows, a PINNED name does not —
+    // snapshot reproducibility as a one-line lookup
+    DedupIndex.append(docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", idx)
+    Catalog.register(spark, cat, "docs-index@train-run-7", "dedup-index", idx,
+      pinVersion = Some(v1))
+    val live = Catalog.dedupIndexBands(spark, cat, "docs-index")
+      .select($"doc_id").distinct().count()
+    val pinned = Catalog.dedupIndexBands(spark, cat, "docs-index@train-run-7")
+      .select($"doc_id").distinct().count()
+    assert(live > liveDocs, "live name must see the append")
+    assert(pinned == liveDocs, "pinned name must keep the snapshot")
+
+    // re-register re-points a name (one row per name, newest wins)
+    val idx2 = tmp("idx2")
+    DedupIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", idx2)
+    Catalog.register(spark, cat, "docs-index", "dedup-index", idx2)
+    assert(Catalog.resolve(spark, cat, "docs-index")._2 == idx2)
+    assert(Catalog.list(spark, cat).count() == 3)
+    // unknown names fail loudly
+    intercept[IllegalArgumentException] {
+      Catalog.resolve(spark, cat, "nope")
+    }
+    // the registry is itself a StateTable: its history is versioned —
+    // last week's catalog reads back exactly
+    val old = StateTable.readAt(spark, cat, 1L)
+    assert(old.count() == 1 &&
+      old.select($"path").collect()(0).getString(0) == idx)
+  }
+}

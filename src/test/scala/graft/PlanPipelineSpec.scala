@@ -86,6 +86,62 @@ class PlanPipelineSpec extends SparkSpec {
     assert(res.count() == 4 && res.filter($"id".isNull).count() == 0)
   }
 
+  test("merge delete clause: matched deletes drop, unmatched deletes no-op, updates/inserts unaffected, versioned tombstone wins") {
+    import spark.implicits._
+    import graft.operators.MergeUpsert.merge
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "v")
+    val changes = Seq(
+      (2L, "B", 99, false),  // matched update
+      (3L, "x", 0, true),    // matched delete
+      (4L, "d", 40, false),  // unmatched insert
+      (9L, "x", 0, true))    // unmatched delete — must NOT insert
+      .toDF("id", "name", "v", "del")
+    val got = merge(base, changes, "id", deleteWhen = Some($"del"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "B", 99), (4L, "d", 40)), s"got $got")
+    // deleteWhen = None degenerates to upsert exactly (the tombstone
+    // rows are just changes then — nothing drops: keys 2/3 update,
+    // keys 4/9 insert, 3 base + 2 inserts = 5 rows)
+    assert(merge(base, changes.drop("del"), "id").count() == 5)
+    // versioned CDC: per key only the NEWEST change applies — a final
+    // tombstone deletes even with older updates in the delta, and an
+    // older tombstone superseded by a re-insert does not
+    val cdc = Seq(
+      (1L, "a2", 11, false, 1L), (1L, "x", 0, true, 2L),   // ends deleted
+      (2L, "x", 0, true, 1L), (2L, "b2", 22, false, 2L))   // ends updated
+      .toDF("id", "name", "v", "del", "ver")
+    val got2 = merge(base, cdc, "id", versionCol = Some("ver"),
+      deleteWhen = Some($"del"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got2 == Seq((2L, "b2", 22), (3L, "c", 30)), s"got $got2")
+  }
+
+  test("merge delete + SCD2 interaction: a takedown removes the entity's whole history downstream") {
+    import spark.implicits._
+    // the weekly corpus-maintenance composition: CDC with tombstones
+    // merges into the change LOG, then SCD2 rebuilds validity intervals
+    // — a deleted entity must vanish from history entirely, everyone
+    // else's intervals must be untouched
+    val log = Seq(
+      (100L, 1L, "2024-01-01", 5.0), (100L, 2L, "2024-02-01", 6.0),
+      (200L, 3L, "2024-01-15", 7.0), (300L, 4L, "2024-03-01", 8.0))
+      .toDF("cust", "chg", "dt", "val")
+    val tombstones = Seq((1L, true), (2L, true))
+      .toDF("chg", "del") // cust 100's change rows are taken down
+      .join(log.select($"chg", $"cust", $"dt", $"val"), Seq("chg"))
+    val merged = graft.operators.MergeUpsert.merge(
+      log, tombstones.select($"cust", $"chg", $"dt", $"val", $"del"),
+      "chg", deleteWhen = Some($"del"))
+    val hist = graft.operators.Scd2.history(merged, "cust", "dt", "chg")
+    val byCust = hist.collect().groupBy(_.getAs[Long]("cust"))
+    assert(!byCust.contains(100L), "deleted entity must have no history")
+    assert(byCust(200L).length == 1 && byCust(300L).length == 1)
+    assert(byCust(200L).forall(_.getAs[Boolean]("is_current")))
+  }
+
   test("dynamic partition overwrite: untouched partitions' files survive byte-identical") {
     import spark.implicits._
     val orders = Tables(spark, sf, "orders")

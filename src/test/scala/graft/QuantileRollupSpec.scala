@@ -47,6 +47,50 @@ class QuantileRollupSpec extends SparkSpec {
     }
   }
 
+  test("bucket-cap collapse: memory bounded, counts preserved, high quantiles bit-identical, low ones only round UP") {
+    val cap = 24
+    val full = QuantileRollup.buildSketchTable(events, Seq("event_type"), "value")
+    val collapsed = QuantileRollup.collapse(full, Seq("event_type"), cap)
+    // the point of the cap: per-cell bucket count bounded under any
+    // value range — and the fixture must actually exceed it pre-collapse
+    val per = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"), sum(col("cnt")).as("tot"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (pf, pc) = (per(full), per(collapsed))
+    assert(pf.exists(_._2._1 > cap), "fixture must exceed the cap somewhere")
+    assert(pc.values.forall(_._1 <= cap), s"collapse must bound buckets: $pc")
+    // ranks never shift: total counts preserved per cell
+    assert(pf.view.mapValues(_._2).toMap == pc.view.mapValues(_._2).toMap)
+    // the surviving guarantee: every quantile above the collapsed mass
+    // reads back BIT-identical (collapse never touches retained
+    // buckets); anything inside the collapsed mass only rounds UP to
+    // the boundary bucket (one-sided widening)
+    val f = ests(QuantileRollup.quantiles(full, Seq("event_type"), qs))
+    val c = ests(QuantileRollup.quantiles(collapsed, Seq("event_type"), qs))
+    // collapsed mass fraction per cell = count in merged-away buckets
+    val collapsedMass = full.collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getInt(2)), r.getLong(3)))
+      .groupBy(_._1).map { case (k, rows) =>
+        // descending value order — the same (sgn, sgn·bucket) ordering
+        val sorted = rows.sortBy { case (_, (s, b), _) => (-s, -s.toLong * b) }
+        val total = rows.map(_._3).sum.toDouble
+        k -> sorted.drop(cap - 1).map(_._3).sum / total
+      }
+    var exactChecked = 0
+    for (((k, q), cv) <- c) {
+      val fv = f((k, q))
+      // rank = ceil(q·n) counts from the BOTTOM, where the collapsed
+      // victims sit: q strictly above the collapsed fraction lands in a
+      // retained bucket whose cumulative position collapse cannot move
+      if (q - collapsedMass(k) > 1e-12) {
+        assert(cv == fv, s"$k q=$q above collapsed mass: $cv != $fv")
+        exactChecked += 1
+      } else assert(cv >= fv - 1e-12,
+        s"$k q=$q inside collapsed mass must only round up: $cv < $fv")
+    }
+    assert(exactChecked > 0, "fixture must exercise the exact-preservation branch")
+  }
+
   test("merge fold order never changes the table; zero and negative values bucket correctly") {
     import spark.implicits._
     val dims = Seq("event_type", "day")
