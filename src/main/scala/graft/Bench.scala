@@ -103,7 +103,8 @@ object Bench {
     "l23_repetition",       // Gopher repetition signals (row-local + 1 shuffle)
     "l45_lm_logprob",       // corpus-trained bigram LM score (vocab aggs + model join)
     "l37_temperature_sample", // sqrt-temperature mixture quotas (distributed rank)
-    "l48_bpe_encode",       // BPE train (24 merge rounds) + row-local encode — subsumes l47
+    "l47_bpe_merges",       // BPE TRAINING (24 merge rounds) — its own row since r13
+    "l48_bpe_encode",       // BPE ENCODE against a warm trained model (train cost = l47's row)
     "l49_frequent_ngrams",  // count-min prefilter + exact heavy-hitter recount
     "l39_paragraph_dedup",  // paragraph dedup + doc reconstruction (2 shuffles)
     "l51_cdc_dedup",        // gear-hash CDC chunking + chunk-fp dedup ledger
@@ -135,6 +136,10 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
       // keep typed-Aggregator top-k hash-based (see Engine.session)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // point-probe pushdown (l42/l55/l57/l59): the exact-IN form needs
+      // the threshold above DedupIndex.InKeyCap or Spark degrades the
+      // pushed IN to one [min,max] range (see Engine.session)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "600")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -402,7 +407,13 @@ object Bench {
     println(s"""{"attempts":${allAttempts.map(_.json).mkString("[", ",", "]")}}""")
     val spreadJson =
       s"""{"query":"${official.spreadQuery}","ratio":${r3(official.spreadMax)}}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"steal_pct":${r3(official.stealPct)},"foreign_cpu_pct":${r3(official.foreignPct)},"spread_max":$spreadJson,"retried":${allAttempts.size > minAttempts},"suspect":$suspect,"errors":$errJson}""")
+    // rejection visibility (the r12 verdict's ask): `retried` only says
+    // extra attempts ran; `attempts_rejected` says how many attempts the
+    // contamination predicate REJECTED — a pass that survived a
+    // contaminated sibling now says so even when it finished within the
+    // two mandatory attempts
+    val rejected = allAttempts.count(_.contaminated)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","gauge":$gaugeJson,"load_avg":$loadJson,"steal_pct":${r3(official.stealPct)},"foreign_cpu_pct":${r3(official.foreignPct)},"spread_max":$spreadJson,"retried":${allAttempts.size > minAttempts},"attempts_rejected":$rejected,"suspect":$suspect,"errors":$errJson}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
