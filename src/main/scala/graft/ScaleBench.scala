@@ -555,6 +555,28 @@ object ScaleBench {
               pointProbe, "doc_id", "text", dixDir,
               keyPushdownCap = 0).count()
           }
+        // RANGE-form probe (r13): a ~10³-doc daily batch names ~8k
+        // distinct band keys — past the 512-key exact-IN bound, so the
+        // pushdown coalesces them into ≤256 bkey BETWEEN ranges (the
+        // regime that used to fall back to the full prefix scan);
+        // _nopush is the same probe with pushdown capped off. Same
+        // honest caveat as the point rows: a warm page cache serves
+        // the whole table locally, so the A/B documents
+        // overhead-neutrality while the executed plan carries the
+        // pushed range filters — the claim is cold-IO batch
+        // proportionality at object-store scale
+        lazy val batchProbe = docs.filter(pmod(col("doc_id"), lit(1000L)) === 3)
+        if (wanted("dix_query_batch"))
+          runs("dix_query_batch") = timed("dix_query_batch") {
+            graft.operators.DedupIndex.query(
+              batchProbe, "doc_id", "text", dixDir).count()
+          }
+        if (wanted("dix_query_batch_nopush"))
+          runs("dix_query_batch_nopush") = timed("dix_query_batch_nopush") {
+            graft.operators.DedupIndex.query(
+              batchProbe, "doc_id", "text", dixDir,
+              keyPushdownCap = 0).count()
+          }
         if (wanted("dix_append")) runs("dix_append") = timed("dix_append") {
           graft.operators.DedupIndex.append(batch1, "doc_id", "text", dixDir)
           0L

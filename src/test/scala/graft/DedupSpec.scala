@@ -414,6 +414,19 @@ class DedupSpec extends SparkSpec {
     val bigProbe = docs.filter($"doc_id" % 2 === 1)
     assert(ids(DedupIndex.query(bigProbe, "doc_id", "text", dir, keyPushdownCap = cap)) ==
       ids(DedupIndex.query(bigProbe, "doc_id", "text", dir, keyPushdownCap = 0)))
+    // and the range predicate actually REACHES the parquet scan as a
+    // PUSHED filter (GreaterThanOrEqual/LessThanOrEqual over bkey in
+    // the scan's PushedFilters metadata, not just a post-scan Filter) —
+    // widen the metadata render limit so the filter list isn't
+    // truncated before the first range appears
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+      val plan = DedupIndex.query(bigProbe, "doc_id", "text", dir, keyPushdownCap = cap)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(bkey"),
+        s"expected pushed bkey range filters in the scan:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
   }
 
   test("coalesceRanges: cuts at the largest gaps, covers every key, handles unsigned-overflow spans") {
