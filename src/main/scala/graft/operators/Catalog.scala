@@ -27,7 +27,13 @@ import org.apache.spark.sql.functions._
 object Catalog {
 
   /** Register (or re-point) `name`. `pinVersion` records a snapshot pin
-    * readers of the name will resolve to; None = live state. */
+    * readers of the name will resolve to; None = live state.
+    *
+    * A name-upsert COMMUTES with registrations of other names, so a
+    * lost commit race is retried against the fresh catalog state (the
+    * rebuilt generation re-reads it); two concurrent registers of the
+    * SAME name serialize in either order — last one wins, exactly the
+    * sequential semantics. */
   def register(
       spark: SparkSession,
       catalogDir: String,
@@ -36,13 +42,20 @@ object Catalog {
       path: String,
       pinVersion: Option[Long] = None): Unit = {
     import spark.implicits._
-    val row = Seq((name, kind, path, pinVersion))
-      .toDF("name", "kind", "path", "version")
-    val next =
-      if (!StateTable.exists(catalogDir)) row
-      else StateTable.read(spark, catalogDir)
-        .filter(col("name") =!= name).unionByName(row)
-    StateTable.publish(next.coalesce(1), catalogDir): Unit
+    var done = false
+    var guard = 0
+    while (!done && guard < 100) {
+      guard += 1
+      val row = Seq((name, kind, path, pinVersion))
+        .toDF("name", "kind", "path", "version")
+      val next =
+        if (!StateTable.exists(catalogDir)) row
+        else StateTable.read(spark, catalogDir)
+          .filter(col("name") =!= name).unionByName(row)
+      try { StateTable.publish(next.coalesce(1), catalogDir); done = true }
+      catch { case _: ManifestCommit.CommitConflict => () }
+    }
+    require(done, s"catalog register of '$name' failed to converge")
   }
 
   /** All registered names (name, kind, path, version). */

@@ -60,4 +60,21 @@ class CatalogSpec extends SparkSpec {
     assert(old.count() == 1 &&
       old.select($"path").collect()(0).getString(0) == idx)
   }
+
+  test("concurrent registers of different names both land (register retry-merges on a lost claim)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = tmp("race")
+    Catalog.register(spark, cat, "seed", "state-table", "/tmp/seed")
+    val fs = (1 to 4).map { i =>
+      Future(Catalog.register(spark, cat, s"name-$i", "state-table", s"/tmp/p$i"))
+    }
+    fs.foreach(Await.result(_, 5.minutes))
+    val names = Catalog.list(spark, cat)
+      .select(org.apache.spark.sql.functions.col("name"))
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("seed", "name-1", "name-2", "name-3", "name-4"),
+      s"every racing register must survive: $names")
+  }
 }

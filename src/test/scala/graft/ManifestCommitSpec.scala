@@ -124,6 +124,52 @@ class ManifestCommitSpec extends SparkSpec {
       "compact must not erase the exactly-once ingest stamp")
   }
 
+  test("two interleaved ANN appends both land; centroid counts stay posting-exact (commitWithCounts)") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val dir = "file:" + tmp("ann2w")
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 4 === 0), dir).count()
+    val fa = Future(Similarity.appendToIvfIndex(
+      emb.filter($"vec_id" % 4 === 1), dir).count())
+    val fb = Future(Similarity.appendToIvfIndex(
+      emb.filter($"vec_id" % 4 === 2), dir).count())
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val man = AnnStore.read(dir)
+    assert(man.segments.size == 3, s"both appended segments must be live: $man")
+    val posted = AnnStore.postings(spark, dir).count()
+    assert(posted == emb.filter($"vec_id" % 4 =!= 3).count())
+    // the integrity invariant the l29/l32/l62 gates check: whatever
+    // serialization the race took, the count-refreshed centroid
+    // generation must sum to the live posting view
+    val centSum = AnnStore.centroids(spark, dir)
+      .agg(sum($"n_vectors")).collect()(0).getLong(0)
+    assert(centSum == posted, s"centroid counts $centSum != postings $posted")
+  }
+
+  test("commitWithCounts retry: a deterministic lost claim re-derives the centroid generation against the new base") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val dir = "file:" + tmp("annlost")
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0), dir).count()
+    val man = AnnStore.read(dir)
+    // pose as a racing writer: claim the NEXT version with a manifest
+    // that re-commits the current state (valid, just version-bumped) —
+    // the append's first commit attempt must lose and retry on top
+    assert(ManifestCommit.tryCommit(dir, man.version + 1, Seq(
+      (man.version + 1).toString, man.cent, "-",
+      man.segments.mkString(","), man.tombstones.mkString(","))))
+    Similarity.appendToIvfIndex(emb.filter($"vec_id" % 2 =!= 0), dir).count()
+    val after = AnnStore.read(dir)
+    assert(after.version == man.version + 2,
+      s"append must land after the usurped version, got $after")
+    val posted = AnnStore.postings(spark, dir).count()
+    assert(posted == emb.count())
+    val centSum = AnnStore.centroids(spark, dir)
+      .agg(sum($"n_vectors")).collect()(0).getLong(0)
+    assert(centSum == posted,
+      "retried commit must re-derive counts against the winner's base")
+  }
+
   test("vacuum age guard: an in-flight writer's unpublished segment survives; aged orphans and published garbage do not") {
     import spark.implicits._
     val dir = "file:" + tmp("dixvac")
