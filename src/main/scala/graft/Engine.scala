@@ -34,12 +34,12 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // point-probe IN pushdown (DedupIndex.withProbeKeys): above this
       // threshold Spark degrades a pushed IN to a [min,max] range
-      // filter, which uniform 64-bit band keys render useless. The
-      // probe's exact-IN form is hard-capped at DedupIndex.InKeyCap
+      // filter, which uniform 64-bit band keys render useless. Every
+      // pushed IN is hard-capped at DedupIndex.InKeyCap per scan
       // (512 — parquet's recursive or-chain stack-overflows near ~2000
       // values, so the threshold must NOT be raised past that); bigger
-      // probes push coalesced BETWEEN ranges instead, which this
-      // threshold does not govern
+      // opt-in probes push ⌈K/512⌉ chunked INs over a scan union, each
+      // chunk under the same bound
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "600")
       // typed Aggregators (top-k, sketches) run as ObjectHashAggregate,
       // which silently degrades to SORT-BASED aggregation after 128

@@ -555,21 +555,24 @@ object ScaleBench {
               pointProbe, "doc_id", "text", dixDir,
               keyPushdownCap = 0).count()
           }
-        // RANGE-form probe (r13): a ~10³-doc daily batch names ~8k
-        // distinct band keys — past the 512-key exact-IN bound, so the
-        // pushdown coalesces them into ≤256 bkey BETWEEN ranges (the
-        // regime that used to fall back to the full prefix scan);
-        // _nopush is the same probe with pushdown capped off. Same
-        // honest caveat as the point rows: a warm page cache serves
-        // the whole table locally, so the A/B documents
-        // overhead-neutrality while the executed plan carries the
-        // pushed range filters — the claim is cold-IO batch
-        // proportionality at object-store scale
+        // CHUNKED-IN probe (r13): a ~10³-doc daily batch names ~8k
+        // distinct band keys — past the 512-key per-scan exact-IN
+        // bound, so the opt-in cap splits them into ⌈K/512⌉ contiguous
+        // sorted runs, each a pushed-IN scan, unioned (the only form
+        // whose group skipping survives UNIFORM hash keys — range
+        // coalescing provably covers ≈(K−R)/K of the key space and
+        // prunes nothing; measured 2-6× regressions before this
+        // design). _nopush is the same probe with pushdown capped off
+        // — the honest default for this size locally, where the warm
+        // page cache serves the whole table and the ⌈K/512⌉ metadata
+        // passes are pure overhead; the chunked row exists to price
+        // the opt-in cold-IO regime
         lazy val batchProbe = docs.filter(pmod(col("doc_id"), lit(1000L)) === 3)
         if (wanted("dix_query_batch"))
           runs("dix_query_batch") = timed("dix_query_batch") {
             graft.operators.DedupIndex.query(
-              batchProbe, "doc_id", "text", dixDir).count()
+              batchProbe, "doc_id", "text", dixDir,
+              keyPushdownCap = 65536).count()
           }
         if (wanted("dix_query_batch_nopush"))
           runs("dix_query_batch_nopush") = timed("dix_query_batch_nopush") {

@@ -250,7 +250,7 @@ object DedupIndex {
       textCol: String,
       dir: String,
       threshold: Double = 0.5,
-      keyPushdownCap: Int = 65536): DataFrame =
+      keyPushdownCap: Int = 512): DataFrame =
     surviveAgainst(incoming, idCol, textCol, dir, threshold, keyPushdownCap)._2
 
   /** The probe/survive core shared by [[query]] and [[ingestFold]]:
@@ -264,7 +264,7 @@ object DedupIndex {
       textCol: String,
       dir: String,
       threshold: Double,
-      keyPushdownCap: Int = 65536): (DataFrame, DataFrame) = {
+      keyPushdownCap: Int = 512): (DataFrame, DataFrame) = {
     val spark = incoming.sparkSession
     val (k, bands, shingleN) = meta(incoming, dir)
     val n = spark.sparkContext.defaultParallelism
@@ -433,7 +433,7 @@ object DedupIndex {
       idCol: String,
       textCol: String,
       threshold: Double = 0.5,
-      keyPushdownCap: Int = 65536): DataFrame = {
+      keyPushdownCap: Int = 512): DataFrame = {
     val (k, bands, shingleN) = meta(batch, dir)
     val n = spark.sparkContext.defaultParallelism
     // batch-sized probe, materialized once (prefix list + join probe —
@@ -549,20 +549,14 @@ object DedupIndex {
     * [[ingestFold]]'s probe-row reuse path. Always writes a FRESH
     * segment directory; visibility comes from the caller's manifest
     * swap, never from files appearing in a listed directory. */
-  /** Exact-IN size cap: parquet evaluates a pushed IN as a recursive
-    * or-chain, so a multi-thousand-value list overflows the task stack
-    * (measured at ~2000 values) — 512 keeps an order-of-magnitude
-    * margin. Probes past it switch to the RANGE form below instead of
-    * losing pushdown entirely. Requires `spark.sql.parquet.pushdown
+  /** Exact-IN size cap per scan: parquet evaluates a pushed IN as a
+    * recursive or-chain, so a multi-thousand-value list overflows the
+    * task stack (measured at ~2000 values) — 512 keeps an
+    * order-of-magnitude margin. Requires `spark.sql.parquet.pushdown
     * .inFilterThreshold` above 512 (Engine.session sets 600) — below it
     * Spark degrades the pushed IN to one [min,max] range, which uniform
     * hash keys render useless. */
   private[graft] val InKeyCap = 512
-
-  /** Max coalesced ranges in the range-form pushdown: 256 ranges = ~512
-    * comparison leaves in the parquet or-chain, the same safe depth as
-    * the IN cap. */
-  private[graft] val MaxProbeRanges = 256
 
   /** Point-probe pushdown — the serving shape's IO lever: when the
     * probe names at most `cap` distinct band keys (a small batch
@@ -573,27 +567,32 @@ object DedupIndex {
     * row-group min/max stats skip every group holding none of the
     * probe's keys — IO proportional to the PROBE, not the corpus.
     *
-    * Two forms, chosen by probe size so the pushdown scales past the
-    * or-chain stack bound instead of falling off a cliff at 512 keys
-    * (the former behavior — any probe past ~64 docs at 8 bands fell
-    * back to the full prefix-saturated scan):
-    *   - ≤ [[InKeyCap]] distinct keys: exact `bkey IN (…)` — row groups
-    *     holding none of the keys are skipped, no false-positive rows.
-    *   - ≤ `cap` keys: the sorted key list is coalesced into at most
-    *     [[MaxProbeRanges]] `bkey BETWEEN lo AND hi` ranges by cutting
-    *     at the largest gaps (the classic sorted-run coalescing). Band
-    *     keys are uniform 64-bit hashes, so the kept ranges cover a
-    *     ~|keys|/2⁶⁴ sliver of the key space and min/max pruning on the
-    *     bkey-sorted row groups stays batch-proportional; rows inside a
-    *     range that aren't probe keys pass the scan filter but drop in
-    *     the join (result-identical, spec-pinned). A 10³-doc probe at 8
-    *     bands (~8k keys) now pushes 256 ranges instead of scanning
-    *     every row group of its prefixes.
-    * Above `cap` the plain prefix-pruned scan runs — at that batch size
-    * the probe is no longer "small against the corpus" and a scan is
-    * the honest plan. The probe is already materialized (checkpoint),
-    * so the distinct-key collect is one batch-sized column read,
-    * `cap+1` rows max (8 B each — the 65536 default collects ≤ 512 KB). */
+    *   - ≤ [[InKeyCap]] distinct keys (the default cap): one exact
+    *     `bkey IN (…)` — row groups holding none of the keys skip, no
+    *     false-positive rows, negligible plan cost. The everyday
+    *     serving shape (≤64-doc probes at 8 bands).
+    *   - ≤ `cap` keys with an EXPLICIT cap > 512: CHUNKED exact-INs —
+    *     the sorted key list splits into ⌈K/512⌉ runs and the scan
+    *     becomes a union of per-run pushed-IN scans. This is the only
+    *     form that stays group-skipping-exact for UNIFORM hash keys:
+    *     coalescing K uniform keys into R ranges covers ≈ (K−R)/K of
+    *     the whole key space (the gaps removed are only the R largest
+    *     of K ≈ equal gaps), so range predicates prune NOTHING — a
+    *     measured dead end (BENCH_LOCAL round-13: the range form cost
+    *     2-6× on l42/l59 while skipping zero groups; a large InSet
+    *     also ships multi-MB task binaries that every task pays to
+    *     deserialize). Chunked INs keep every or-chain inside the
+    *     stack bound, each chunk covers a CONTIGUOUS key run (tight
+    *     per-scan min/max, sequential group touches), and total group
+    *     reads stay ≈ K at object-store geometry. The trade is ⌈K/512⌉
+    *     scan passes over the file METADATA — why this regime is
+    *     opt-in, not the default: locally the extra scheduling
+    *     dominates (warm cache, nothing to skip), and the honest
+    *     default for a mid-size probe is the plain prefix-pruned scan.
+    * Above `cap` (or > 512 at the default cap) the plain prefix-pruned
+    * scan runs. The probe is already materialized (checkpoint), so the
+    * distinct-key collect is one batch-sized column read, `cap+1` rows
+    * max (8 B each). */
   private def withProbeKeys(
       probe: DataFrame, cap: Int, index: DataFrame): DataFrame = {
     if (cap <= 0) return index
@@ -602,47 +601,10 @@ object DedupIndex {
     if (keys.isEmpty || keys.length > cap) index
     else if (keys.length <= InKeyCap)
       index.where(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
-    else {
-      val ranges = coalesceRanges(keys, MaxProbeRanges).map { case (lo, hi) =>
-        if (lo == hi) col("bkey") === lit(lo)
-        else col("bkey") >= lit(lo) && col("bkey") <= lit(hi)
-      }.reduce(_ || _)
-      // conjunction order is load-bearing: the InSet membership test
-      // (O(1)/row hash lookup; pushed to parquet only as a harmless
-      // [min,max] — above the IN threshold Spark degrades it) runs
-      // FIRST and short-circuits the 256-branch range chain, so the
-      // per-row cost on non-matching rows is one lookup, not 256
-      // comparisons (measured: ranges alone re-filtered 8M rows at
-      // ~3 µs/row — 30 s vs the 5.5 s plain scan at 10⁶). The RANGE
-      // disjunction is what parquet can evaluate against row-group
-      // min/max stats, so group skipping engages where it matters —
-      // object-store files with thousands of 1 MB groups per prefix,
-      // where ≤31 probe keys per prefix hit ≤31 groups of ~36k (the
-      // local fixture's ~10 groups/file can never prune: each group
-      // spans ~1/10 of the hash space and some range always lands in
-      // it — the honest BENCH_LOCAL caveat).
-      index.where(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*)
-        && ranges)
-    }
-  }
-
-  /** Coalesce a key set into at most `maxRanges` closed ranges covering
-    * exactly the keys' sorted runs: sort, find the `maxRanges-1`
-    * LARGEST gaps between consecutive keys, cut there. Gap magnitudes
-    * compare as unsigned (two keys can straddle more than Long.Max of
-    * the hash space). Driver-side over ≤ cap keys — microseconds. */
-  private[graft] def coalesceRanges(
-      keys: Array[Long], maxRanges: Int): Seq[(Long, Long)] = {
-    val sorted = keys.distinct.sorted
-    if (sorted.length <= maxRanges) return sorted.toSeq.map(k => (k, k))
-    val cuts = (0 until sorted.length - 1)
-      .sortBy(i => (sorted(i + 1) - sorted(i)) ^ Long.MinValue)
-      .takeRight(maxRanges - 1).sorted
-    val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    var start = 0
-    cuts.foreach { c => res += ((sorted(start), sorted(c))); start = c + 1 }
-    res += ((sorted(start), sorted.last))
-    res.toSeq
+    else
+      keys.sorted.grouped(InKeyCap).map(run =>
+        index.where(col("bkey").isin(run.map(java.lang.Long.valueOf).toSeq: _*)))
+        .reduce(_ unionByName _)
   }
 
   private def writeBandRows(rows: DataFrame, segDir: String): Unit = {

@@ -406,45 +406,27 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val withPush = pairs(cap)
     assert(withPush.nonEmpty && withPush == pairs(0))
-    // RANGE form: a probe naming more than InKeyCap distinct band keys
-    // (half the corpus × 8 bands ≫ 512) pushes coalesced BETWEEN
-    // ranges instead of falling back to the full prefix scan —
-    // result-identical to no pushdown (rows inside a range that are
-    // not probe keys drop in the join)
+    // CHUNKED-IN form: a probe naming more than InKeyCap distinct band
+    // keys (half the corpus × 8 bands ≫ 512) with an EXPLICIT cap
+    // splits into ⌈K/512⌉ per-run pushed-IN scans, unioned —
+    // result-identical to no pushdown (chunks partition the key set)
     val bigProbe = docs.filter($"doc_id" % 2 === 1)
     assert(ids(DedupIndex.query(bigProbe, "doc_id", "text", dir, keyPushdownCap = cap)) ==
       ids(DedupIndex.query(bigProbe, "doc_id", "text", dir, keyPushdownCap = 0)))
-    // and the range predicate actually REACHES the parquet scan as a
-    // PUSHED filter (GreaterThanOrEqual/LessThanOrEqual over bkey in
-    // the scan's PushedFilters metadata, not just a post-scan Filter) —
-    // widen the metadata render limit so the filter list isn't
-    // truncated before the first range appears
+    // and each chunk's IN actually REACHES the parquet scans as a
+    // PUSHED filter (In(bkey, …) in PushedFilters metadata, not just a
+    // post-scan Filter), across MULTIPLE union branches — widen the
+    // metadata render limit so the filter lists aren't truncated
     val prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
     try {
       spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
       val plan = DedupIndex.query(bigProbe, "doc_id", "text", dir, keyPushdownCap = cap)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("GreaterThanOrEqual(bkey"),
-        s"expected pushed bkey range filters in the scan:\n${plan.take(1500)}")
+      val pushedIns = "PushedFilters: \\[[^\\]]*In\\(bkey".r
+        .findAllIn(plan).size
+      assert(pushedIns >= 2,
+        s"expected ≥2 union branches with pushed bkey INs, got $pushedIns:\n${plan.take(1500)}")
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
-  }
-
-  test("coalesceRanges: cuts at the largest gaps, covers every key, handles unsigned-overflow spans") {
-    import graft.operators.DedupIndex
-    val r1 = DedupIndex.coalesceRanges(Array(1L, 2L, 3L, 100L, 101L, 5000L), 3)
-    assert(r1 == Seq((1L, 3L), (100L, 101L), (5000L, 5000L)), s"got $r1")
-    // fewer keys than ranges → exact singletons (degenerates to IN)
-    assert(DedupIndex.coalesceRanges(Array(7L, 3L, 3L), 8) == Seq((3L, 3L), (7L, 7L)))
-    // keys straddling more than Long.MaxValue of the hash space: the
-    // gap magnitudes must compare as unsigned or the cut lands wrong
-    val r2 = DedupIndex.coalesceRanges(
-      Array(Long.MinValue + 1, 0L, Long.MaxValue - 1), 2)
-    assert(r2 == Seq((Long.MinValue + 1, Long.MinValue + 1), (0L, Long.MaxValue - 1)),
-      s"got $r2")
-    // every key is covered by some range
-    val keys = Array(-9L, -2L, 4L, 5L, 6L, 40L, 41L, 900L)
-    val rs = DedupIndex.coalesceRanges(keys, 4)
-    assert(rs.size == 4 && keys.forall(k => rs.exists { case (lo, hi) => k >= lo && k <= hi }))
   }
 
   test("repetition signals: hand-computed fractions, short-doc zero convention") {
