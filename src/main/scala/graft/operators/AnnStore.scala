@@ -21,30 +21,34 @@ import org.apache.spark.sql.functions._
   *     the former layout's in-place `postings/` appends and
   *     dynamic-partition delete rewrites, which were atomic only per
   *     file and raced readers that listed partitions mid-mutation.
-  *   - `seg_<v>/cell=<c>/…` — posting segments, partitioned by cell:
+  *   - `seg_<v>_<hex>/cell=<c>/…` — posting segments, partitioned by cell:
   *     the partition-pruning layout is unchanged, it just lives under
   *     per-commit segment roots. A multi-segment read is ONE parquet
   *     relation over the segment roots (one scan node; pruning by
   *     `cell` applies per root).
-  *   - `cent_<v>/` — centroid-table generations (cell, centroid, cnorm,
+  *   - `cent_<v>_<hex>/` — centroid-table generations (cell, centroid, cnorm,
   *     nshards, n_vectors). Appends and deletes refresh the counts by
   *     writing a new generation, never by overwriting the live one
   *     under a reader.
-  *   - `cb_<v>/` — PQ codebook generations (immutable after build —
+  *   - `cb_<v>_<hex>/` — PQ codebook generations (immutable after build —
   *     appends reuse them bit-identically).
-  *   - `del_<v>/` — tombstones: one `vec_id` column, the ids a delete
+  *   - `del_<v>_<hex>/` — tombstones: one `vec_id` column, the ids a delete
   *     removed. Readers drop them with a broadcast anti-join (skipped
   *     entirely when no tombstones exist, keeping the fresh-index plan
   *     byte-identical to the pre-manifest one); [[Similarity
   *     .compactIvfIndex]] materializes them and clears the list.
   *
-  * Single-writer discipline (same contract as [[DedupIndex]]):
-  * mutations are serialized by the caller — the swap makes each
-  * mutation atomic for READERS; two concurrent writers need an external
-  * lock or a conditional-PUT loop around the pointer. A tombstoned id
-  * stays suppressed until a compact clears the tombstone list, so
-  * re-ingesting a previously deleted id requires a compact first —
-  * documented, spec-pinned. */
+  * Concurrency (round-13, same discipline as [[DedupIndex]]): append
+  * and delete deltas commute — [[Similarity]]'s maintenance paths
+  * retry a lost version claim by re-deriving the count-refreshed
+  * centroid generation against the winner's base (two interleaved
+  * appends both land with posting-exact counts, spec-pinned with real
+  * threads); compact and build throw
+  * [[ManifestCommit.CommitConflict]] on a race (their segment lists
+  * REPLACE — no merge exists). A tombstoned id stays suppressed until
+  * a compact clears the tombstone list, so re-ingesting a previously
+  * deleted id requires a compact first — ENFORCED by the appends'
+  * tombstone-intersection guard, not just documented. */
 object AnnStore {
 
   final case class Manifest(

@@ -11,20 +11,18 @@ import org.apache.spark.sql.functions._
   * covers the INCREMENTAL regime — |batch| ≪ |corpus|, the shape a
   * growing deployment pays daily.
   *
-  * Layout under `dir` (round-12: manifest-pointer commits):
+  * Layout under `dir` (commits via [[ManifestCommit]] — the shared
+  * Hadoop-FileSystem module, so the index runs against `file://`,
+  * `hdfs://`, or any registered scheme):
   *   - `MANIFEST` — one small text file naming the CURRENT state: a
   *     version number, the list of live band SEGMENT directories, and
   *     the list of live TOMBSTONE directories. Every mutation (build /
   *     append / delete / compact) writes its data into a FRESH
-  *     directory and then swaps the manifest in one atomic rename —
-  *     readers resolve the manifest once and see exactly one
-  *     generation, never a half-written mix. This is the object-store
-  *     commit shape (Iceberg/Delta-style pointer swap; on S3 the rename
-  *     becomes a conditional PUT of the manifest object) and it
-  *     replaces the former `bands/` directory-rename swap, which was
-  *     atomic only on a local/HDFS filesystem and raced readers that
-  *     listed files mid-swap.
-  *   - `seg_<version>/` — band segments: one row per (doc, band):
+  *     uniquely-named directory, CLAIMS the immutable `MANIFEST.v<N>`
+  *     (no-overwrite rename — the Delta-shaped put-if-absent) and then
+  *     swaps the pointer — readers resolve the manifest once and see
+  *     exactly one generation, never a half-written mix.
+  *   - `seg_<v>_<hex>/` — band segments: one row per (doc, band):
   *     `(band INT, bkey LONG, doc_id LONG, sig ARRAY<LONG>)`,
   *     PARTITIONED BY `bprefix = pmod(bkey, 256)`. The signature rides
   *     the band row (the l6 lesson: carry the comparison payload on the
@@ -32,7 +30,7 @@ import org.apache.spark.sql.functions._
   *     re-shuffle the corpus per query); the prefix directories give
   *     the serving path partition PRUNING — a small probe batch touches
   *     only the prefixes its own band keys name, not the whole table.
-  *   - `del_<version>/` — tombstone segments: one `doc_id` column.
+  *   - `del_<v>_<hex>/` — tombstone segments: one `doc_id` column.
   *     [[delete]] is O(|deleted ids|): it writes ids, not data, and
   *     readers drop tombstoned docs with a broadcast anti-join.
   *     [[compact]] materializes the deletions and clears the list.
@@ -40,11 +38,15 @@ import org.apache.spark.sql.functions._
   *     self-describing and query/append cannot silently mix
   *     parameterizations.
   *
-  * Single-writer discipline (documented contract): mutations are
-  * serialized by the caller — the manifest swap makes each mutation
-  * atomic for READERS, it does not arbitrate two concurrent writers
-  * (the deployment answer is the same as Delta's: an external lock or
-  * conditional-PUT loop around the pointer swap).
+  * Concurrency (round-13: OPTIMISTIC, no external lock needed for the
+  * mergeable mutations): append and delete commute — on a lost version
+  * claim they retry-merge against the winner's committed manifest
+  * ([[ManifestCommit.commitLoop]]; two interleaved appends both land,
+  * spec-pinned with real threads). Whole-state rewrites (build,
+  * compact) have no valid merge and throw
+  * [[ManifestCommit.CommitConflict]] on a race instead of silently
+  * dropping the other writer. Vacuum's in-flight age guard keeps a
+  * concurrent writer's not-yet-committed segment safe.
   *
   * Determinism: signatures are seeded splitmix64 minima over FNV
   * shingle hashes ([[graft.functions.MinHashSigExpr]]) and band keys
