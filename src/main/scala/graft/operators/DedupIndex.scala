@@ -602,7 +602,7 @@ object DedupIndex {
       .limit(cap + 1).collect().map(_.getLong(0))
     if (keys.isEmpty || keys.length > cap) index
     else if (keys.length <= InKeyCap)
-      index.where(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
+      index.where(col("bkey").isin(keys.map(java.lang.Long.valueOf).toSeq: _*))
     else
       keys.sorted.grouped(InKeyCap).map(run =>
         index.where(col("bkey").isin(run.map(java.lang.Long.valueOf).toSeq: _*)))

@@ -1710,6 +1710,35 @@ object LlmQueries {
     Some("""SELECT doc_id, CAST(8 AS BIGINT) AS n_bands FROM documents
             WHERE doc_id % 2 = 0 AND text IS NOT NULL ORDER BY doc_id"""))
 
+  /** L: snapshot read THROUGH THE CATALOG — l63's time-travel gate
+    * addressed by NAME instead of a raw path + hand-carried version:
+    * the mutated index registers twice in a [[Catalog]] (a live name
+    * and a PINNED `@v1` name carrying the pre-mutation version), and
+    * the query reads `Catalog.dedupIndexBands` by the pinned name.
+    * Must return exactly what l63's direct `readBandsAt` returns —
+    * same oracle — proving name → (path, version) resolution, pin
+    * semantics, and the registry's own StateTable commit end to end
+    * under the driver's hash gate ("reproduce last month's training
+    * corpus" as a one-line lookup). */
+  val l64CatalogSnapshotRead = Q(
+    "l64_catalog_snapshot_read",
+    (s, dir) => {
+      val (idx, v1) = dedupIndexSnap(s, dir)
+      val cat = dedupIndexBuilt.computeIfAbsent("cat:" + dir, _ => {
+        val c = annIndexRoot.resolve(
+          "cat_" + Integer.toHexString(dir.hashCode)).toString
+        Catalog.register(s, c, "docs-index", "dedup-index", idx)
+        Catalog.register(s, c, "docs-index@v1", "dedup-index", idx,
+          pinVersion = Some(v1))
+        c
+      })
+      Catalog.dedupIndexBands(s, cat, "docs-index@v1")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bands"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(8 AS BIGINT) AS n_bands FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL ORDER BY doc_id"""))
+
   /** Post-delete ANN index pair for l58, session-cached: `_1` = the
     * full-corpus int8 index with the vec_id % 10 == 7 slice DELETED
     * ([[Similarity.deleteFromIvfIndex]] — touched cell partitions
@@ -2213,5 +2242,6 @@ object LlmQueries {
     l50CdcChunks, l51CdcDedupStats, l52EpochMix, l53ContaminationAudit,
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
     l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental,
-    l60QuantileRollup, l61JlPqPipeline, l62PqIndexAppend, l63SnapshotRead)
+    l60QuantileRollup, l61JlPqPipeline, l62PqIndexAppend, l63SnapshotRead,
+    l64CatalogSnapshotRead)
 }
