@@ -633,6 +633,20 @@ object DedupIndex {
       // existing per-prefix shuffle)
       .sortWithinPartitions(col("bprefix"), col("bkey"))
       .write.option("parquet.block.size", 1024 * 1024)
+      // per-row-group BLOOM FILTER on bkey: pushed Eq predicates (the
+      // or-of-eq a ≤512-key IN translates to — and each chunk of the
+      // opt-in chunked form) consult it during row-group filtering, so
+      // membership skipping is EXACT even where min/max can't decide —
+      // a group whose [min,max] spans a probe key but holds none of
+      // them (hash collisions aside) skips anyway, and an UNSORTED
+      // legacy segment (pre-r12 layout, or a future layout change)
+      // gets point-probe skipping it otherwise structurally lacks.
+      // Sized for the ~31k distinct keys a 10⁶-corpus prefix file
+      // holds (~50 KB per ~9 MB file, <1% overhead; build-time delta
+      // measured nil — BENCH_LOCAL round-13); the footer presence is
+      // spec-pinned via the parquet metadata API
+      .option("parquet.bloom.filter.enabled#bkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#bkey", "131072")
       .partitionBy("bprefix").parquet(segDir)
   }
 }

@@ -237,6 +237,36 @@ class DedupIndexSpec extends SparkSpec {
       s"extra=${(fromIndex -- batch).take(5)} missing=${(batch -- fromIndex).take(5)}")
   }
 
+  test("band segments carry bkey bloom filters: footer offsets present, filter readable, members hit") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("dix_bloom").toString
+    DedupIndex.build(docs.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
+    val seg = DedupIndex.readManifest(dir).segments.head
+    val pfile = new java.io.File(s"$dir/$seg").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bprefix="))
+      .head.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pfile.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val bkeyChunks = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == "bkey")
+      assert(bkeyChunks.nonEmpty &&
+        bkeyChunks.forall(_.getBloomFilterOffset >= 0),
+        "every bkey column chunk must carry a bloom filter offset")
+      // the filter is readable and reports an INDEXED key as a member
+      // (the property pushed-Eq row-group filtering relies on)
+      val aKey = spark.read.parquet(pfile.getAbsolutePath)
+        .select($"bkey").head().getLong(0)
+      val bf = reader.readBloomFilter(bkeyChunks.head)
+      assert(bf != null && bf.findHash(bf.hash(aKey)),
+        "bloom filter must contain a key the chunk actually holds")
+    } finally reader.close()
+  }
+
   test("selfPairs edge inputs: exact twins pair, null-text and disjoint docs contribute nothing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dix_selfpairs_edge").toString
