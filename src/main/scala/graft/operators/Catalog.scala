@@ -46,14 +46,26 @@ object Catalog {
     var guard = 0
     while (!done && guard < 100) {
       guard += 1
+      // capture the version the new state derives from BEFORE building
+      // it, and PIN the publish to it: without the pin, a competitor
+      // committing between this read and the publish advances the
+      // version, so the claim at current+1 SUCCEEDS with stale contents
+      // and the competitor's row is silently lost (caught by the racing
+      // CatalogSpec — a lost update with no conflict thrown)
+      val base =
+        if (!StateTable.exists(catalogDir)) 0L
+        else StateTable.readManifest(catalogDir).version
       val row = Seq((name, kind, path, pinVersion))
         .toDF("name", "kind", "path", "version")
       val next =
-        if (!StateTable.exists(catalogDir)) row
+        if (base == 0L) row
         else StateTable.read(spark, catalogDir)
           .filter(col("name") =!= name).unionByName(row)
-      try { StateTable.publish(next.coalesce(1), catalogDir); done = true }
-      catch { case _: ManifestCommit.CommitConflict => () }
+      try {
+        StateTable.publish(next.coalesce(1), catalogDir,
+          expectedVersion = Some(base))
+        done = true
+      } catch { case _: ManifestCommit.CommitConflict => () }
     }
     require(done, s"catalog register of '$name' failed to converge")
   }

@@ -107,11 +107,24 @@ object ManifestCommit {
 
   private def pointer(base: Path): Path = new Path(base, "MANIFEST")
 
-  /** Does the store at `dir` have a committed state? One pointer stat. */
+  /** Does the store at `dir` have a committed state? One pointer stat,
+    * falling back to the versioned log (the pointer is a cache; a
+    * racing swap may leave it momentarily absent on schemes whose
+    * overwrite-rename is not one atomic operation). */
   def exists(dir: String): Boolean = {
     val (f, base) = fsFor(dir)
-    f.exists(pointer(base))
+    f.exists(pointer(base)) || latestVersionOnDisk(f, base).isDefined
   }
+
+  private def latestVersionOnDisk(f: FileSystem, base: Path): Option[Long] =
+    try {
+      val vPat = "MANIFEST\\.v(\\d+)".r
+      f.listStatus(base).iterator.flatMap(e =>
+        e.getPath.getName match {
+          case vPat(n) => Some(n.toLong)
+          case _ => None
+        }).reduceOption(_ max _)
+    } catch { case _: java.io.IOException => None }
 
   private def readLines(f: FileSystem, p: Path): Array[String] = {
     val in = f.open(p)
@@ -127,10 +140,21 @@ object ManifestCommit {
   }
 
   /** Current manifest lines (the pointer). One small driver-side read —
-    * the 100 TB analog is one GET of the pointer object. */
+    * the 100 TB analog is one GET of the pointer object. The pointer is
+    * a CACHE over the versioned log: if it is momentarily absent (a
+    * racing swap on a scheme whose overwrite-rename decomposes into
+    * delete+rename) the read self-heals from the highest `MANIFEST.v<N>`
+    * on disk — the committed truth. */
   def readPointer(dir: String): Array[String] = {
     val (f, base) = fsFor(dir)
-    readLines(f, pointer(base))
+    try readLines(f, pointer(base))
+    catch {
+      case e: java.io.FileNotFoundException =>
+        latestVersionOnDisk(f, base) match {
+          case Some(v) => readLines(f, new Path(base, s"MANIFEST.v$v"))
+          case None => throw e
+        }
+    }
   }
 
   /** The immutable manifest of a PAST version (snapshot read / time
@@ -172,13 +196,46 @@ object ManifestCommit {
       }
     if (claimed) {
       // pointer swap — skipped when a LATER commit already swapped (the
-      // versioned log is truth; the pointer must never regress)
-      val cur = try readPointer(dir)(0).trim.toLong
-      catch { case _: java.io.IOException => 0L }
-      if (cur < v) {
-        val ptmp = new Path(base, s"MANIFEST.tmp.${UUID.randomUUID()}")
-        writeLines(f, ptmp, lines)
-        fcFor(base).rename(ptmp, pointer(base), Options.Rename.OVERWRITE)
+      // versioned log is truth; the pointer must never regress). The
+      // swap itself retries under concurrent swappers: FileSystem
+      // .rename first (one atomic overwriting rename(2) on POSIX-backed
+      // schemes — no delete+rename gap a reader could fall into), the
+      // FileContext OVERWRITE form as the fallback for schemes whose
+      // FileSystem.rename refuses an existing destination (HDFS — its
+      // AbstractFileSystem implements atomic overwrite-rename). The
+      // local FileContext form is delete-then-rename underneath, which
+      // a RACING swap turns into FileAlreadyExists (observed in the
+      // 8-writer catalog spec) — caught here and resolved by
+      // re-reading the pointer: if a newer version's swap won, ours is
+      // obsolete anyway.
+      var done = false
+      var tries = 0
+      while (!done && tries < 50) {
+        tries += 1
+        // the RAW pointer file, deliberately NOT readPointer: its
+        // versioned-log fallback would resolve our own just-claimed
+        // manifest and conclude the swap already happened — leaving
+        // the pointer never written at all
+        val cur = try readLines(f, pointer(base))(0).trim.toLong
+        catch { case _: java.io.IOException => 0L }
+        if (cur >= v) done = true
+        else {
+          val ptmp = new Path(base, s"MANIFEST.tmp.${UUID.randomUUID()}")
+          writeLines(f, ptmp, lines)
+          done =
+            try {
+              if (f.rename(ptmp, pointer(base))) true
+              else {
+                fcFor(base).rename(ptmp, pointer(base), Options.Rename.OVERWRITE)
+                true
+              }
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                f.delete(ptmp, false); false // racing swap — re-check version
+              case _: java.io.FileNotFoundException =>
+                f.delete(ptmp, false); false // racing delete+rename gap
+            }
+        }
       }
     }
     claimed

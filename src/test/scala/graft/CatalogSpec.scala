@@ -67,14 +67,19 @@ class CatalogSpec extends SparkSpec {
     import scala.concurrent.ExecutionContext.Implicits.global
     val cat = tmp("race")
     Catalog.register(spark, cat, "seed", "state-table", "/tmp/seed")
-    val fs = (1 to 4).map { i =>
+    // 8 concurrent writers: this interleaving caught a REAL lost-update
+    // in the pre-expectedVersion register (a competitor committing
+    // between the state read and the publish advanced the version, so
+    // the stale publish claimed current+1 successfully and dropped the
+    // competitor's row with no conflict thrown)
+    val fs = (1 to 8).map { i =>
       Future(Catalog.register(spark, cat, s"name-$i", "state-table", s"/tmp/p$i"))
     }
     fs.foreach(Await.result(_, 5.minutes))
     val names = Catalog.list(spark, cat)
       .select(org.apache.spark.sql.functions.col("name"))
       .collect().map(_.getString(0)).toSet
-    assert(names == Set("seed", "name-1", "name-2", "name-3", "name-4"),
+    assert(names == (1 to 8).map(i => s"name-$i").toSet + "seed",
       s"every racing register must survive: $names")
   }
 }
