@@ -61,13 +61,22 @@ object AnnStore {
   /** Does `dir` hold a committed index? (One pointer-file stat.) */
   def exists(dir: String): Boolean = ManifestCommit.exists(dir)
 
+  /** Layout version tag, line 1 of every manifest (line 0 stays the
+    * commit version — the protocol-wide convention). A future layout
+    * change bumps the tag so old stores fail LOUDLY at parse instead of
+    * being misread silently. */
+  private[graft] val FormatTag = "graft-ann-index/1"
+
   private def parse(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def at(i: Int): String = if (lines.length > i) lines(i).trim else ""
-    Manifest(at(0).toLong, at(1),
-      Option(at(2)).filter(s => s.nonEmpty && s != "-"),
-      list(at(3)), list(at(4)))
+    require(at(1) == FormatTag,
+      s"unrecognized ann-index manifest format '${at(1)}' — this reader " +
+        s"understands $FormatTag (layout change?)")
+    Manifest(at(0).toLong, at(2),
+      Option(at(3)).filter(s => s.nonEmpty && s != "-"),
+      list(at(4)), list(at(5)))
   }
 
   /** Resolve the current manifest — one small driver-side read; the
@@ -84,7 +93,7 @@ object AnnStore {
     parse(ManifestCommit.readVersioned(dir, version))
 
   private def serialize(m: Manifest): Seq[String] = Seq(
-    m.version.toString, m.cent, m.codebooks.getOrElse("-"),
+    m.version.toString, FormatTag, m.cent, m.codebooks.getOrElse("-"),
     m.segments.mkString(","), m.tombstones.mkString(","))
 
   /** Publish a new index state at exactly `m.version`: write the

@@ -34,9 +34,15 @@ import org.apache.spark.sql.functions._
   *     [[delete]] is O(|deleted ids|): it writes ids, not data, and
   *     readers drop tombstoned docs with a broadcast anti-join.
   *     [[compact]] materializes the deletions and clears the list.
-  *   - `meta/` — one row `(k, bands, shingle_n)`, so the index is
-  *     self-describing and query/append cannot silently mix
-  *     parameterizations.
+  *   - `meta_<v>_<hex>/` — one row `(k, bands, shingle_n)`, so the
+  *     index is self-describing and query/append cannot silently mix
+  *     parameterizations. Referenced FROM the manifest like any other
+  *     generation (round-14): the former fixed `meta/` was overwritten
+  *     in place BEFORE the build's version claim, so a rebuild mutated
+  *     the live index's parameters under concurrent readers, and a
+  *     build that then lost its claim left meta describing constants
+  *     the still-live segments were not built with — queries would have
+  *     computed wrong band keys silently.
   *
   * Concurrency (round-13: OPTIMISTIC, no external lock needed for the
   * mergeable mutations): append and delete commute — on a lost version
@@ -70,21 +76,31 @@ import org.apache.spark.sql.functions._
   * exactly what a rebuild without it would produce. */
 object DedupIndex {
 
-  /** The resolved state of an index: which segment directories are
-    * live, which tombstone directories apply, and (when the last
-    * mutation was a stamped ingest append) the micro-batch id that
-    * produced it — the exactly-once stamp riding the commit itself. */
+  /** The resolved state of an index: the parameterization (meta)
+    * generation, which segment directories are live, which tombstone
+    * directories apply, and (when the last mutation was a stamped
+    * ingest append) the micro-batch id that produced it — the
+    * exactly-once stamp riding the commit itself. */
   final case class Manifest(
-      version: Long, segments: Seq[String], tombstones: Seq[String],
-      batchId: Option[Long] = None)
+      version: Long, meta: String, segments: Seq[String],
+      tombstones: Seq[String], batchId: Option[Long] = None)
+
+  /** Layout version tag, line 1 of every manifest (line 0 stays the
+    * commit version — the protocol-wide convention). A future layout
+    * change bumps the tag so old stores fail LOUDLY at parse instead of
+    * being misread silently. */
+  private[graft] val FormatTag = "graft-dedup-index/2"
 
   private def parseManifest(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def at(i: Int): String = if (lines.length > i) lines(i).trim else ""
-    Manifest(lines(0).trim.toLong,
-      list(at(1)), list(at(2)),
-      Option(at(3)).filter(v => v.nonEmpty && v != "-").map(_.toLong))
+    require(at(1) == FormatTag,
+      s"unrecognized dedup-index manifest format '${at(1)}' — this " +
+        s"reader understands $FormatTag (layout change?)")
+    Manifest(lines(0).trim.toLong, at(2),
+      list(at(3)), list(at(4)),
+      Option(at(5)).filter(v => v.nonEmpty && v != "-").map(_.toLong))
   }
 
   /** Resolve the current manifest. One small driver-side read — the
@@ -102,7 +118,8 @@ object DedupIndex {
     parseManifest(ManifestCommit.readVersioned(dir, version))
 
   private def serialize(m: Manifest): Seq[String] = Seq(
-    m.version.toString, m.segments.mkString(","), m.tombstones.mkString(","),
+    m.version.toString, FormatTag, m.meta,
+    m.segments.mkString(","), m.tombstones.mkString(","),
     m.batchId.map(_.toString).getOrElse("-"))
 
   /** Stamp = the highest ingest batch APPLIED to the index — monotone
@@ -180,15 +197,23 @@ object DedupIndex {
     require(k % bands == 0, s"signature length k=$k must be a multiple of bands=$bands")
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     val v = ManifestCommit.currentVersion(dir) + 1
+    // meta is a GENERATION like any segment — written fresh and
+    // referenced from the manifest, so a rebuild never mutates the live
+    // index's parameters in place, and a build that loses its claim
+    // leaves only an unreferenced directory for vacuum (the former fixed
+    // `meta/` was overwritten BEFORE the claim — concurrent readers saw
+    // constants the live segments were not built with)
+    val metaDir = ManifestCommit.uniqueName("meta", v)
+    Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$metaDir")
     val seg = ManifestCommit.uniqueName("seg", v)
     writeBands(docs, idCol, textCol, dir, shingleN, k, bands, seg)
     // a build REPLACES the index wholesale — no merge with a concurrent
     // writer is meaningful, so claim exactly one version (CommitConflict
     // on a race; the fresh directories age out via vacuum)
-    ManifestCommit.commit(dir, v, serialize(Manifest(v, Seq(seg), Nil, batchId)))
+    ManifestCommit.commit(dir, v,
+      serialize(Manifest(v, metaDir, Seq(seg), Nil, batchId)))
   }
 
   /** Append a new batch's band rows to an existing index (reads the
@@ -383,10 +408,11 @@ object DedupIndex {
       spark: SparkSession,
       dir: String,
       threshold: Double = 0.5): DataFrame = {
-    val k = spark.read.parquet(s"$dir/meta").collect()(0).getAs[Int]("k")
-    // resolve the manifest ONCE so both join sides scan the same
-    // generation (two readBands calls could straddle a compact)
-    val bandsT = readBands(spark, dir)
+    // resolve the manifest ONCE so the params and both join sides scan
+    // the same generation (two resolves could straddle a compact/build)
+    val m = readManifest(dir)
+    val k = spark.read.parquet(s"$dir/${m.meta}").collect()(0).getAs[Int]("k")
+    val bandsT = readBands(spark, dir, m)
     val a = bandsT.select(col("band"), col("bkey"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = bandsT.select(col("band"), col("bkey"),
@@ -492,9 +518,10 @@ object DedupIndex {
     // a compact REPLACES the segment list, so a concurrent append's
     // rows would be silently dropped by a blind merge: claim exactly
     // the next version after the state we compacted (CommitConflict on
-    // a race — abort, the fresh segment ages out via vacuum)
+    // a race — abort, the fresh segment ages out via vacuum). The meta
+    // generation carries over — compaction never reparameterizes.
     ManifestCommit.commit(dir, m.version + 1,
-      serialize(Manifest(m.version + 1, Seq(seg), Nil, m.batchId)))
+      serialize(Manifest(m.version + 1, m.meta, Seq(seg), Nil, m.batchId)))
   }
 
   /** Remove directories and snapshot manifests outside the retention
@@ -514,12 +541,15 @@ object DedupIndex {
       retainVersions: Int = 0,
       minAgeMs: Long = ManifestCommit.DefaultVacuumMinAgeMs): Unit =
     ManifestCommit.vacuum(dir,
-      lines => { val m = parseManifest(lines); m.segments ++ m.tombstones },
-      Set("meta"), retainVersions, minAgeMs)
+      lines => {
+        val m = parseManifest(lines); m.meta +: (m.segments ++ m.tombstones)
+      },
+      Set.empty, retainVersions, minAgeMs)
 
   private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
-    val m = df.sparkSession.read.parquet(s"$dir/meta").collect()(0)
-    (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))
+    val row = df.sparkSession.read
+      .parquet(s"$dir/${readManifest(dir).meta}").collect()(0)
+    (row.getAs[Int]("k"), row.getAs[Int]("bands"), row.getAs[Int]("shingle_n"))
   }
 
   private def writeBands(

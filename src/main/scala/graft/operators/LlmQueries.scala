@@ -1727,9 +1727,12 @@ object LlmQueries {
       val cat = dedupIndexBuilt.computeIfAbsent("cat:" + dir, _ => {
         val c = annIndexRoot.resolve(
           "cat_" + Integer.toHexString(dir.hashCode)).toString
-        Catalog.register(s, c, "docs-index", "dedup-index", idx)
-        Catalog.register(s, c, "docs-index@v1", "dedup-index", idx,
-          pinVersion = Some(v1))
+        // ONE commit for the deployment pair (live re-point + pinned
+        // snapshot name): a reader never sees the half-published state
+        // the former two-register sequence allowed
+        Catalog.registerAll(s, c, Seq(
+          ("docs-index", "dedup-index", idx, None),
+          ("docs-index@v1", "dedup-index", idx, Some(v1))))
         c
       })
       Catalog.dedupIndexBands(s, cat, "docs-index@v1")

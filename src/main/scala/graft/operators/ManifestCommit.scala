@@ -3,7 +3,7 @@ package graft.operators
 import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path, RawLocalFileSystem}
 import org.apache.spark.sql.SparkSession
 
 /** THE manifest-commit primitive shared by every persisted tier
@@ -21,26 +21,38 @@ import org.apache.spark.sql.SparkSession
   *      writers can never collide on a data path, whatever versions
   *      they end up committing as).
   *   2. `MANIFEST.v<N>` — the immutable versioned manifest — is CLAIMED
-  *      by writing the full manifest to a temp name and renaming it
-  *      onto the versioned name with overwrite FORBIDDEN
-  *      ([[Options.Rename.NONE]]). Exactly one writer can own a
-  *      version: the rename is atomic on HDFS (namenode) and local FS
-  *      (one rename syscall; the existence pre-check in
-  *      `AbstractFileSystem.renameInternal` closes the window to a
-  *      best-effort on concurrent local writers — same caveat Delta
-  *      documents); on S3A the put-if-absent needs the store's
-  *      conditional PUT (single-writer there, documented). Because the
-  *      claim renames a COMPLETE file, a version that exists is always
-  *      fully readable — the loser of a race reads `MANIFEST.v<N>` to
-  *      learn the winner's state and retries at N+1 with a merged
-  *      manifest ([[commitLoop]]).
+  *      by writing the full manifest to a temp name and atomically
+  *      publishing it onto the versioned name via the scheme's
+  *      [[CommitOwner]] (put-if-absent). Exactly one writer can own a
+  *      version, and the primitive is genuinely atomic per scheme:
+  *      HDFS-style schemes use a no-overwrite rename (atomic at the
+  *      namenode); LOCAL-backed schemes use hard-link creation —
+  *      `link(2)` fails `EEXIST` atomically in the kernel, closing the
+  *      check-then-rename TOCTOU `RawLocalFileSystem.rename` carries
+  *      (its `AbstractFileSystem.renameInternal` existence pre-check let
+  *      two racing writers both "own" a version — the round-13
+  *      lost-visible-update). Object stores without an atomic primitive
+  *      register their own owner (a conditional-PUT implementation)
+  *      via [[registerOwner]]; nothing silently falls back to a
+  *      non-atomic rename. Because the claim publishes a COMPLETE file,
+  *      a version that exists is always fully readable — the loser of a
+  *      race reads `MANIFEST.v<N>` to learn the winner's state and
+  *      retries at N+1 with a merged manifest ([[commitLoop]]).
   *   3. The `MANIFEST` pointer — the current-state cache — is swapped
-  *      by a rename WITH overwrite ([[Options.Rename.OVERWRITE]]).
-  *      The versioned log is the source of truth; the pointer swap is
-  *      skipped when it already names a newer version, so a stalled
-  *      early writer cannot regress a later commit (the remaining
-  *      read-then-rename window only ever shows a reader a slightly
-  *      stale — still fully committed — version).
+  *      by a rename WITH overwrite. The versioned log is the source of
+  *      truth; the swap always targets the NEWEST version on disk and
+  *      re-verifies after renaming, so a stalled early writer cannot
+  *      leave a regressed pointer in place (the round-13 race: an old
+  *      writer's swap clobbering a newer one's between its read and its
+  *      rename). Readers are regression-proof regardless:
+  *      [[readPointer]] takes max(pointer, latest-on-disk).
+  *
+  * In-process writers additionally serialize per store through a
+  * striped JVM lock around claim+swap (the Delta local-LogStore
+  * pattern) — cheap (metadata-file IO only; all Spark jobs writing
+  * data run OUTSIDE the lock), and it makes the pointer read-check-swap
+  * atomic within the JVM on every scheme. Cross-process safety comes
+  * from the atomic claim + the self-healing reads above.
   *
   * Write path detail: manifests are written through a PRIVATE
   * FileSystem instance with checksums disabled — on the local scheme
@@ -59,6 +71,10 @@ import org.apache.spark.sql.SparkSession
   *     guard; a vacuum racing a live append must not eat the segment
   *     the append is about to commit);
   *   - hidden (dot-prefixed) entries — never touched.
+  * Versions NEWER than the pointer the vacuum resolved (a claim landing
+  * mid-vacuum, or a lagging swap) are treated as LIVE — their manifests
+  * and every directory they reference survive unconditionally (a vacuum
+  * racing a commit must never destroy a fully committed version).
   */
 object ManifestCommit {
 
@@ -75,6 +91,95 @@ object ManifestCommit {
     * writer's orphans fall to the next vacuum after aging out. */
   val DefaultVacuumMinAgeMs: Long = 60L * 60 * 1000
 
+  // ------------------------------------------------------------------
+  // CommitOwner — the pluggable atomic put-if-absent, per scheme
+  // ------------------------------------------------------------------
+
+  /** The ONE primitive the protocol needs from a scheme: atomically
+    * publish the complete file at `tmp` onto `dst` iff `dst` does not
+    * exist. Returns true iff this call claimed `dst`; must NEVER
+    * overwrite an existing `dst`, and must delete `tmp` on either
+    * outcome. Implementations exist for HDFS-style schemes (atomic
+    * no-overwrite rename) and local-backed schemes (atomic hard-link
+    * creation); an object store plugs a conditional-PUT owner in via
+    * [[registerOwner]]. */
+  trait CommitOwner {
+    def putIfAbsent(f: FileSystem, base: Path, tmp: Path, dst: Path): Boolean
+    /** Short tag for diagnostics and specs. */
+    def name: String
+  }
+
+  /** HDFS-style claim: `FileContext.rename` with [[Options.Rename.NONE]]
+    * — atomic no-overwrite rename at the namenode. NOT safe on
+    * local-backed schemes (RawLocalFileSystem pre-checks existence —
+    * TOCTOU) — those resolve to [[LinkOwner]] instead. */
+  object RenameOwner extends CommitOwner {
+    val name = "rename-if-absent"
+    def putIfAbsent(f: FileSystem, base: Path, tmp: Path, dst: Path): Boolean =
+      try { fcFor(base).rename(tmp, dst); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+        case _: org.apache.hadoop.fs.PathExistsException =>
+          f.delete(tmp, false); false
+      }
+  }
+
+  /** POSIX-local claim: hard-link creation. `link(2)` is the kernel's
+    * put-if-absent — it fails `EEXIST` atomically, with no userspace
+    * check-then-act window at all. Used for any scheme whose FileSystem
+    * is local-disk-backed (the default `file` scheme and wrappers like
+    * the spec's `graftfs`), where the rename form is a documented
+    * TOCTOU. */
+  object LinkOwner extends CommitOwner {
+    val name = "hard-link"
+    def putIfAbsent(f: FileSystem, base: Path, tmp: Path, dst: Path): Boolean = {
+      val t = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val d = java.nio.file.Paths.get(dst.toUri.getPath)
+      try { java.nio.file.Files.createLink(d, t); f.delete(tmp, false); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    }
+  }
+
+  private val owners =
+    scala.collection.concurrent.TrieMap.empty[String, CommitOwner]
+
+  /** Plug a scheme-specific claim implementation (e.g. an S3
+    * conditional-PUT owner). Takes precedence over the built-in
+    * resolution. */
+  def registerOwner(scheme: String, owner: CommitOwner): Unit =
+    owners.put(scheme, owner): Unit
+
+  /** Is this FileSystem ultimately a RawLocalFileSystem? (LocalFileSystem
+    * and custom local-backed schemes wrap one in a ChecksumFileSystem.) */
+  private def isLocalBacked(f: FileSystem): Boolean = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+      c.getRawFileSystem.isInstanceOf[RawLocalFileSystem]
+    case _: RawLocalFileSystem => true
+    case _ => false
+  }
+
+  /** The claim owner for a store — registered owner first, then the
+    * hard-link owner for local-backed schemes, then the rename owner
+    * (atomic on HDFS-style schemes). Exposed for specs, which pin that
+    * local-backed schemes NEVER resolve to the TOCTOU rename form. */
+  private[graft] def ownerFor(dir: String): CommitOwner = {
+    val (f, base) = fsFor(dir)
+    owners.getOrElse(Option(base.toUri.getScheme).getOrElse("file"),
+      if (isLocalBacked(f)) LinkOwner else RenameOwner)
+  }
+
+  // ------------------------------------------------------------------
+  // Per-store in-JVM serialization (claim + pointer swap only)
+  // ------------------------------------------------------------------
+
+  private val stripes = Array.fill(64)(new Object)
+  private def stripeFor(base: Path): Object =
+    stripes((base.toString.hashCode & 0x7fffffff) % stripes.length)
+
   /** The Hadoop configuration in force: the active Spark session's, so
     * a store addressed under a non-default scheme or customized FS
     * config commits through exactly the filesystems the data plane
@@ -84,15 +189,19 @@ object ManifestCommit {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  // private per-scheme instances (never Spark's cached ones — we
-  // disable write checksums, see the scaladoc)
+  // private per-(scheme, authority, conf) instances — never Spark's
+  // cached ones (we disable write checksums, see the scaladoc). Keyed by
+  // the conf's identity too: a later session with different FS settings
+  // (credentials, endpoints, impl overrides) must not silently keep
+  // committing through an instance built from the old conf.
   private val fsCache = scala.collection.concurrent.TrieMap.empty[String, FileSystem]
 
   private[operators] def fsFor(dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     val conf = hadoopConf
     val uri = p.toUri
-    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}"
+    val key = s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}" +
+      s"#${System.identityHashCode(conf)}"
     val f = fsCache.getOrElseUpdate(key, {
       val inst = FileSystem.newInstance(p.getFileSystem(conf).getUri, conf)
       inst.setWriteChecksum(false)
@@ -139,21 +248,31 @@ object ManifestCommit {
     finally out.close()
   }
 
-  /** Current manifest lines (the pointer). One small driver-side read —
-    * the 100 TB analog is one GET of the pointer object. The pointer is
-    * a CACHE over the versioned log: if it is momentarily absent (a
-    * racing swap on a scheme whose overwrite-rename decomposes into
-    * delete+rename) the read self-heals from the highest `MANIFEST.v<N>`
-    * on disk — the committed truth. */
+  /** The raw pointer file's version, 0 when absent/unreadable. */
+  private def rawPointerVersion(f: FileSystem, base: Path): Long =
+    try readLines(f, pointer(base))(0).trim.toLong
+    catch { case _: java.io.IOException => 0L }
+
+  /** Current manifest lines. One small driver-side read plus one
+    * listing — the 100 TB analog is one GET of the pointer object and
+    * one LIST of the manifest prefix. The pointer is a CACHE over the
+    * versioned log and the read is REGRESSION-PROOF: it resolves
+    * max(pointer version, latest `MANIFEST.v<N>` on disk), so a pointer
+    * that a cross-process race left stale — or momentarily absent on a
+    * scheme whose overwrite-rename decomposes into delete+rename — is
+    * healed from the committed truth, never trusted over it. */
   def readPointer(dir: String): Array[String] = {
     val (f, base) = fsFor(dir)
-    try readLines(f, pointer(base))
-    catch {
-      case e: java.io.FileNotFoundException =>
-        latestVersionOnDisk(f, base) match {
-          case Some(v) => readLines(f, new Path(base, s"MANIFEST.v$v"))
-          case None => throw e
-        }
+    val ptr =
+      try Some(readLines(f, pointer(base)))
+      catch { case _: java.io.FileNotFoundException => None }
+    val ptrV = ptr.flatMap(l => l.headOption.flatMap(_.trim.toLongOption))
+    latestVersionOnDisk(f, base) match {
+      case Some(latest) if ptrV.forall(_ < latest) =>
+        readLines(f, new Path(base, s"MANIFEST.v$latest"))
+      case _ => ptr.getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"no MANIFEST (and no versioned manifest) at $dir"))
     }
   }
 
@@ -177,68 +296,78 @@ object ManifestCommit {
   def uniqueName(prefix: String, v: Long): String =
     s"${prefix}_${v}_${UUID.randomUUID().toString.take(8)}"
 
-  /** Try to commit `lines` as version `v`: claim `MANIFEST.v<v>` by
-    * temp-write + no-overwrite rename, then swap the pointer. Returns
+  /** Try to commit `lines` as version `v`: claim `MANIFEST.v<v>` via
+    * the scheme's atomic put-if-absent, then swap the pointer. Returns
     * false iff the version was already claimed by another writer (the
     * caller's base is stale — re-read and retry). */
   def tryCommit(dir: String, v: Long, lines: Seq[String]): Boolean = {
     val (f, base) = fsFor(dir)
     f.mkdirs(base)
     val versioned = new Path(base, s"MANIFEST.v$v")
-    if (f.exists(versioned)) return false
-    val tmp = new Path(base, s"MANIFEST.tmp.${UUID.randomUUID()}")
-    writeLines(f, tmp, lines)
-    val claimed =
-      try { fcFor(base).rename(tmp, versioned); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          f.delete(tmp, false); false
-      }
-    if (claimed) {
-      // pointer swap — skipped when a LATER commit already swapped (the
-      // versioned log is truth; the pointer must never regress). The
-      // swap itself retries under concurrent swappers: FileSystem
-      // .rename first (one atomic overwriting rename(2) on POSIX-backed
-      // schemes — no delete+rename gap a reader could fall into), the
-      // FileContext OVERWRITE form as the fallback for schemes whose
-      // FileSystem.rename refuses an existing destination (HDFS — its
-      // AbstractFileSystem implements atomic overwrite-rename). The
-      // local FileContext form is delete-then-rename underneath, which
-      // a RACING swap turns into FileAlreadyExists (observed in the
-      // 8-writer catalog spec) — caught here and resolved by
-      // re-reading the pointer: if a newer version's swap won, ours is
-      // obsolete anyway.
-      var done = false
-      var tries = 0
-      while (!done && tries < 50) {
-        tries += 1
-        // the RAW pointer file, deliberately NOT readPointer: its
-        // versioned-log fallback would resolve our own just-claimed
-        // manifest and conclude the swap already happened — leaving
-        // the pointer never written at all
-        val cur = try readLines(f, pointer(base))(0).trim.toLong
-        catch { case _: java.io.IOException => 0L }
-        if (cur >= v) done = true
-        else {
-          val ptmp = new Path(base, s"MANIFEST.tmp.${UUID.randomUUID()}")
-          writeLines(f, ptmp, lines)
-          done =
-            try {
-              if (f.rename(ptmp, pointer(base))) true
-              else {
-                fcFor(base).rename(ptmp, pointer(base), Options.Rename.OVERWRITE)
-                true
-              }
-            } catch {
-              case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-                f.delete(ptmp, false); false // racing swap — re-check version
-              case _: java.io.FileNotFoundException =>
-                f.delete(ptmp, false); false // racing delete+rename gap
-            }
+    if (f.exists(versioned)) return false // cheap fast-path, not the claim
+    val owner = ownerFor(dir)
+    // claim + swap under the store's JVM stripe: in-process writers
+    // serialize here (metadata-file IO only — data writes happen before
+    // this call), which makes the pointer read-check-swap atomic
+    // in-JVM; cross-process atomicity comes from the owner's claim and
+    // the self-healing reads.
+    stripeFor(base).synchronized {
+      val tmp = new Path(base, s"MANIFEST.tmp.${UUID.randomUUID()}")
+      writeLines(f, tmp, lines)
+      val claimed = owner.putIfAbsent(f, base, tmp, versioned)
+      if (claimed) swapPointerLocked(f, base, v, lines)
+      claimed
+    }
+  }
+
+  /** Pointer swap, called with the store stripe held. Always targets
+    * the NEWEST committed version on disk (≥ the caller's `v`) and
+    * re-verifies after each rename: a cross-process racing swap that
+    * clobbers ours with older content is detected and redone, so the
+    * pointer converges forward — it can lag transiently, never stick
+    * regressed (and [[readPointer]] heals even the transient lag). */
+  private def swapPointerLocked(
+      f: FileSystem, base: Path, v: Long, lines: Seq[String]): Unit = {
+    var target = v
+    var content = lines
+    var tries = 0
+    while (tries < 20) {
+      tries += 1
+      latestVersionOnDisk(f, base).foreach { latest =>
+        if (latest > target) {
+          target = latest
+          content = readLines(f, new Path(base, s"MANIFEST.v$latest")).toSeq
         }
       }
+      if (rawPointerVersion(f, base) >= target) return
+      val ptmp = new Path(base, s"MANIFEST.tmp.${UUID.randomUUID()}")
+      try {
+        writeLines(f, ptmp, content)
+        // FileSystem.rename first (one atomic overwriting rename(2) on
+        // POSIX-backed schemes); the FileContext OVERWRITE form for
+        // schemes whose FileSystem.rename refuses an existing
+        // destination (HDFS implements atomic overwrite-rename there).
+        if (!f.rename(ptmp, pointer(base)))
+          fcFor(base).rename(ptmp, pointer(base), Options.Rename.OVERWRITE)
+      } catch {
+        // racing cross-process swap (FileAlreadyExists from the local
+        // FileContext's delete+rename decomposition, or a FNF gap) —
+        // clean up and re-verify
+        case _: java.io.IOException => f.delete(ptmp, false): Unit
+      }
+      // post-swap re-verify: done only when the pointer names OUR
+      // target or newer (a racing swap may have replaced it — if with
+      // something newer, fine; if with something older, loop redoes it)
+      if (rawPointerVersion(f, base) >= target &&
+          latestVersionOnDisk(f, base).forall(_ <= rawPointerVersion(f, base)))
+        return
     }
-    claimed
+    // Readers self-heal via readPointer's max(pointer, latest-on-disk),
+    // so a non-converged swap degrades to a slower read, never a wrong
+    // one — but it still signals cross-process contention worth seeing.
+    System.err.println(
+      s"[graft] WARNING: pointer swap at $base did not converge after " +
+        s"$tries tries; readers self-heal from the versioned log")
   }
 
   /** Single-shot commit at exactly version `v`; throws
@@ -259,7 +388,7 @@ object ManifestCommit {
     * commit): `make(v, baseLines)` builds the manifest for version `v`
     * from the base state (None when the store is empty); on a lost
     * claim the loop reads the winner's committed `MANIFEST.v<N>` —
-    * complete by construction, the claim renames whole files — and
+    * complete by construction, the claim publishes whole files — and
     * retries against it. This is the conditional-PUT loop the
     * single-writer contract previously delegated to "an external lock";
     * two interleaved appends now both land, in either order. */
@@ -283,8 +412,9 @@ object ManifestCommit {
   /** Reclaim entries outside the retention window. `refsOf` maps a
     * store's manifest lines to the data-directory names it references;
     * `keepAlways` names store-level entries outside the manifest
-    * scheme (e.g. DedupIndex's `meta`). Retention keeps
-    * `retainVersions` versions BEFORE the current one readable. See the
+    * scheme. Retention keeps `retainVersions` versions BEFORE the
+    * current one readable. Versions NEWER than the resolved current one
+    * (a commit racing this vacuum) are live unconditionally. See the
     * object scaladoc for the three-way classification (published
     * garbage / in-flight age guard / hidden). */
   def vacuum(
@@ -294,7 +424,7 @@ object ManifestCommit {
       retainVersions: Int,
       minAgeMs: Long): Unit = {
     val (f, base) = fsFor(dir)
-    val cur = readPointer(dir)
+    val cur = readPointer(dir) // self-healing: ≥ any lagging pointer
     val curV = cur(0).trim.toLong
     val entries = f.listStatus(base)
     val vPat = "MANIFEST\\.v(\\d+)".r
@@ -307,10 +437,17 @@ object ManifestCommit {
       }
     }.toMap
     val retained = (curV - retainVersions).max(1L) to curV
+    // a version claimed between our readPointer and the listing above is
+    // NEWER than curV: fully committed, racing this vacuum — live, with
+    // everything it references (deleting it was the round-13 ADVICE bug:
+    // `published` caught its data dirs and reclaimed a committed version)
+    val newer = onDisk.filter { case (n, _) => n > curV }
     val retainedManifests =
-      retained.flatMap(v => if (v == curV) Some(cur) else onDisk.get(v))
+      retained.flatMap(v => if (v == curV) Some(cur) else onDisk.get(v)) ++
+        newer.values
     val live = retainedManifests.flatMap(refsOf).toSet ++
-      retained.map(v => s"MANIFEST.v$v") ++ keepAlways + "MANIFEST"
+      retained.map(v => s"MANIFEST.v$v") ++
+      newer.keys.map(v => s"MANIFEST.v$v") ++ keepAlways + "MANIFEST"
     // referenced by ANY manifest still on disk → was published → its
     // age is irrelevant, only liveness matters
     val published = onDisk.values.flatMap(refsOf).toSet ++ refsOf(cur)

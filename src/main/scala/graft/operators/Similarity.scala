@@ -1101,50 +1101,65 @@ object Similarity {
       rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cell").parquet(s"$dir/$seg")
-      commitWithCounts(spark, dir, man, seg = Some(seg),
-        tomb = None, delta = appended)
+      commitWithCounts(spark, dir, man, seg = Some(seg), delta = appended)
     }
 
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")
   }
 
-  /** The optimistic-concurrency commit shared by the ANN maintenance
-    * mutations whose deltas COMMUTE (append a segment / add a
-    * tombstone, plus a per-cell n_vectors count delta): write a fresh
-    * count-refreshed centroid generation against the base manifest and
-    * try to claim the next version; when another writer got there
-    * first ([[ManifestCommit.CommitConflict]]), re-read the committed
-    * base, re-derive the counts from IT (centroids and shard widths
-    * are FIXED across append/delete, so only the counts differ) and
-    * retry. Two interleaved appends — or an append racing a delete —
-    * both land, in either serialization, with counts that add up.
-    * `delta`: per-cell posting-count change (positive for appends,
-    * negative for deletes). */
+  /** Single-shot count-refreshed publish against an EXACT base: write a
+    * fresh centroid generation carrying `base + delta` counts and claim
+    * `base.version + 1`. Throws [[ManifestCommit.CommitConflict]] when
+    * another writer got there first — the caller decides how to retry,
+    * because the right retry differs by mutation (see below). */
+  private def publishWithCounts(
+      spark: SparkSession,
+      dir: String,
+      base: AnnStore.Manifest,
+      seg: Option[String],
+      tomb: Option[String],
+      delta: Map[Int, Long]): Unit = {
+    import spark.implicits._
+    val cent = ManifestCommit.uniqueName("cent", base.version + 1)
+    AnnStore.centroids(spark, dir, base).orderBy(col("cell")).collect()
+      .map { r =>
+        val cell = r.getInt(0)
+        (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
+          r.getLong(4) + delta.getOrElse(cell, 0L))
+      }.toSeq
+      .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
+      .write.mode("overwrite").parquet(s"$dir/$cent")
+    AnnStore.publish(dir, base.copy(version = base.version + 1,
+      cent = cent,
+      segments = base.segments ++ seg.toSeq,
+      tombstones = base.tombstones ++ tomb.toSeq))
+  }
+
+  /** The optimistic-concurrency commit for APPENDS (a fresh segment +
+    * a positive per-cell count delta): on a lost claim, re-read the
+    * winner's committed base, re-derive the counts from IT (centroids
+    * and shard widths are FIXED across append/delete, so only the
+    * counts differ) and retry with the SAME delta — an append's rows
+    * are new ids, disjoint by construction from anything a concurrent
+    * writer appended or tombstoned (a racing delete can only tombstone
+    * ids PRESENT in its base, which never includes our uncommitted
+    * segment), so the original delta stays exact against any winner.
+    * Two interleaved appends both land, in either serialization, with
+    * counts that add up. DELETES must NOT use this loop: re-applying a
+    * delete's original delta against a winner that tombstoned an
+    * overlapping id double-decrements — [[deleteFromIvfIndex]] owns its
+    * retry and recomputes both tombstone and delta against the winner. */
   private def commitWithCounts(
       spark: SparkSession,
       dir: String,
       base0: AnnStore.Manifest,
       seg: Option[String],
-      tomb: Option[String],
       delta: Map[Int, Long]): Unit = {
-    import spark.implicits._
     var base = base0
     var committed = false
     while (!committed) {
-      val cent = ManifestCommit.uniqueName("cent", base.version + 1)
-      AnnStore.centroids(spark, dir, base).orderBy(col("cell")).collect()
-        .map { r =>
-          val cell = r.getInt(0)
-          (cell, r.getSeq[Double](1), r.getDouble(2), r.getInt(3),
-            r.getLong(4) + delta.getOrElse(cell, 0L))
-        }.toSeq
-        .toDF("cell", "centroid", "cnorm", "nshards", "n_vectors")
-        .write.mode("overwrite").parquet(s"$dir/$cent")
       try {
-        AnnStore.publish(dir, base.copy(version = base.version + 1,
-          cent = cent,
-          segments = base.segments ++ seg.toSeq,
-          tombstones = base.tombstones ++ tomb.toSeq))
+        publishWithCounts(spark, dir, base, seg, tomb = None, delta)
         committed = true
       } catch {
         case _: ManifestCommit.CommitConflict =>
@@ -1199,26 +1214,46 @@ object Similarity {
     val spark = ids.sparkSession
     import spark.implicits._
     val del = ids.select(col("vec_id")).distinct()
-    val man = AnnStore.read(dir)
-    val posts = AnnStore.postings(spark, dir, man)
-    // ids actually present in the LIVE view (re-deleting is a no-op and
-    // an id never indexed must not poison a future re-ingest), pinned:
-    // the counts collect and the tombstone write both read it
-    val present = posts.join(broadcast(del), Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("cell")).localCheckpoint()
-    // touched cells + per-cell removed counts: nlist-bounded collect
-    val removed = present
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_removed"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (removed.nonEmpty) {
-      val tomb = ManifestCommit.uniqueName("del", man.version + 1)
-      present.select(col("vec_id")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$tomb")
-      // tombstone + negative count delta commute with concurrent
-      // appends (appended ids are guarded disjoint from tombstones) —
-      // commitWithCounts retries on a lost claim with re-added counts
-      commitWithCounts(spark, dir, man, seg = None,
-        tomb = Some(tomb), delta = removed.map { case (c, n) => c -> -n })
+    // The delete OWNS its commit retry, unlike the appends'
+    // commitWithCounts loop: a delete's tombstone AND count delta are
+    // functions of the base's LIVE view, so on a lost claim both must
+    // be recomputed against the winner — re-applying the original delta
+    // when the winner tombstoned an overlapping id would decrement the
+    // same posting twice (the read path dedups tombstones via distinct,
+    // so sum(n_vectors) would diverge from the live view permanently —
+    // the exact invariant the tombstone guard protects). Recomputing
+    // `present` against the winner's manifest makes overlapping ids
+    // contribute 0, whatever the serialization.
+    var man = AnnStore.read(dir)
+    var removed = Map.empty[Int, Long]
+    var committed = false
+    while (!committed) {
+      val posts = AnnStore.postings(spark, dir, man)
+      // ids actually present in THIS base's live view (re-deleting is a
+      // no-op and an id never indexed must not poison a future
+      // re-ingest), pinned: the counts collect and the tombstone write
+      // both read it
+      val present = posts.join(broadcast(del), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("cell")).localCheckpoint()
+      // touched cells + per-cell removed counts: nlist-bounded collect
+      removed = present
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_removed"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (removed.isEmpty) committed = true
+      else {
+        val tomb = ManifestCommit.uniqueName("del", man.version + 1)
+        present.select(col("vec_id")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/$tomb")
+        try {
+          publishWithCounts(spark, dir, man, seg = None, tomb = Some(tomb),
+            delta = removed.map { case (c, n) => c -> -n })
+          committed = true
+        } catch {
+          // lost the claim — re-derive everything against the winner
+          // (the orphan tombstone dir ages out via vacuum)
+          case _: ManifestCommit.CommitConflict => man = AnnStore.read(dir)
+        }
+      }
     }
     removed.toSeq.sortBy(_._1).toDF("cell", "n_removed")
   }
@@ -1520,8 +1555,7 @@ object Similarity {
       rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cell").parquet(s"$dir/$seg")
-      commitWithCounts(spark, dir, man, seg = Some(seg),
-        tomb = None, delta = appended)
+      commitWithCounts(spark, dir, man, seg = Some(seg), delta = appended)
     }
 
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")

@@ -45,12 +45,24 @@ object StateTable {
 
   final case class Manifest(version: Long, gen: String, batchId: Option[Long])
 
-  private def parse(lines: Array[String]): Manifest =
-    Manifest(lines(0).trim.toLong, lines(1).trim,
-      Option(lines(2).trim).filter(s => s.nonEmpty && s != "-").map(_.toLong))
+  /** Layout version tag, line 1 of every manifest (line 0 stays the
+    * commit version — the protocol-wide convention [[ManifestCommit]]
+    * readers depend on). A future layout change bumps the tag, so old
+    * stores fail LOUDLY at parse instead of being misread silently. */
+  private[graft] val FormatTag = "graft-state-table/1"
+
+  private def parse(lines: Array[String]): Manifest = {
+    require(lines.length > 1 && lines(1).trim == FormatTag,
+      s"unrecognized state-table manifest format " +
+        s"'${if (lines.length > 1) lines(1).trim else "<missing>"}' — " +
+        s"this reader understands $FormatTag (layout change?)")
+    Manifest(lines(0).trim.toLong, lines(2).trim,
+      Option(lines(3).trim).filter(s => s.nonEmpty && s != "-").map(_.toLong))
+  }
 
   private def serialize(m: Manifest): Seq[String] = Seq(
-    m.version.toString, m.gen, m.batchId.map(_.toString).getOrElse("-"))
+    m.version.toString, FormatTag, m.gen,
+    m.batchId.map(_.toString).getOrElse("-"))
 
   def exists(dir: String): Boolean = ManifestCommit.exists(dir)
 

@@ -481,8 +481,110 @@ object WindowBatchQueries {
             SELECT window_start, k, n, rank FROM r WHERE rank <= 3
             ORDER BY window_start, rank"""))
 
+  /** Fresh persisted-state directory per invocation for s14 (the s10
+    * ingestRoot discipline: the fold's publishes accumulate, so a
+    * re-run into the same store would read a stale, doubly-folded
+    * state — Bench runs each query three times). */
+  private val restartRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** S: EXACTLY-ONCE ACROSS A RESTART, driver-gated — s13's quantile
+    * maintenance driven through the persisted [[graft.operators
+    * .StateTable]] with the batch stamp riding each commit, and a
+    * simulated CRASH+RESTART with a REDELIVERED batch in the middle of
+    * the schedule. Nothing is held in memory between applies — every
+    * step re-reads `lastBatchId` and the state from the store, exactly
+    * what a restarted driver does from its checkpoint — so the
+    * redelivered batch 1 hits the `exists(_ >= bid)` guard cold and
+    * must be SKIPPED: quantile bucket counts are sums, NOT
+    * redelivery-idempotent (a double-apply corrupts them bit-exactly,
+    * unlike HLL register maxima). The declared output carries
+    * `restart_identical` — an in-plan bit-exact comparison (both-ways
+    * exceptAll) of the restarted store against the uninterrupted
+    * in-memory fold — plus l60's p50/p95 tolerance columns, so the
+    * DuckDB oracle hash-gates exactly-once the way l63 gated time
+    * travel: a broken stamp (double-apply OR a lost batch) flips the
+    * boolean and fails the gate. The crash-recovery drive previously
+    * lived only in StreamingSpec (the r13 verdict's stretch ask). */
+  val s14QuantileRestartReplay = Q(
+    "s14_quantile_restart_replay",
+    (s, dir) => {
+      import graft.operators.{QuantileRollup, StateTable}
+      val ev = Tables(s, dir, "events").withColumn("day", to_date(col("ts")))
+      val batches = (0 to 2).map(i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i))
+      val dims = Seq("event_type", "day")
+      val st = ingestRoot.resolve(
+        "qrestart_" + restartRuns.incrementAndGet()).toString
+      // one micro-batch application, STATELESS between calls: the skip
+      // predicate and the fold base both come from the persisted store
+      def apply(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+        if (!StateTable.lastBatchId(st).exists(_ >= bid)) {
+          val sketch = QuantileRollup.buildSketchTable(b, dims, "value")
+          val next =
+            if (!StateTable.exists(st)) sketch
+            else QuantileRollup.merge(StateTable.read(s, st), sketch, dims)
+          StateTable.publish(next, st, batchId = Some(bid)): Unit
+        }
+      apply(batches(0), 0L)
+      apply(batches(1), 1L)
+      // ---- simulated crash + restart: the new "driver" holds nothing;
+      // the checkpoint redelivers batch 1 — the stamp must skip it ----
+      apply(batches(1), 1L)
+      apply(batches(2), 2L)
+      val restarted = StateTable.read(s, st)
+      // the uninterrupted reference fold, computed in the same plan
+      val whole = batches.tail.foldLeft(
+        QuantileRollup.buildSketchTable(batches.head, dims, "value")) {
+        (acc, b) => QuantileRollup.merge(
+          acc, QuantileRollup.buildSketchTable(b, dims, "value"), dims)
+      }
+      // bit-exact state identity (bucket counts are exact integers and
+      // the fold law is bit-exact — QuantileRollupSpec): a double-applied
+      // or dropped batch cannot hide
+      val identical = restarted.exceptAll(whole).isEmpty &&
+        whole.exceptAll(restarted).isEmpty
+      val est = QuantileRollup
+        .quantiles(restarted, Seq("event_type"), Seq(0.5, 0.95))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("q") === 0.5, col("est"))).as("p50_est"),
+          max(when(col("q") === 0.95, col("est"))).as("p95_est"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wAll = Window.partitionBy(col("event_type"))
+      def rank(q: Double) =
+        greatest(lit(1L), ceil(lit(q) * col("n")).cast("long"))
+      val exact = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === rank(0.5), col("value"))).as("exact_p50"),
+          max(when(col("rn") === rank(0.95), col("value"))).as("exact_p95"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_p50"), col("exact_p95"),
+          (abs(col("p50_est") / col("exact_p50") - 1.0) <= 0.0105).as("p50_within_tol"),
+          (abs(col("p95_est") / col("exact_p95") - 1.0) <= 0.0105).as("p95_within_tol"),
+          lit(identical).as("restart_identical"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH r AS (SELECT event_type, value,
+                              row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY value) AS rn,
+                              count(*) OVER (PARTITION BY event_type) AS n
+                       FROM events)
+            SELECT event_type,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                            THEN value END) AS exact_p50,
+                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                            THEN value END) AS exact_p95,
+                   CAST(1 AS BOOLEAN) AS p50_within_tol,
+                   CAST(1 AS BOOLEAN) AS p95_within_tol,
+                   CAST(1 AS BOOLEAN) AS restart_identical
+            FROM r GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
     s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
     s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay, s11TrendingReplay,
-    s12SketchMaintainReplay, s13QuantileMaintainReplay)
+    s12SketchMaintainReplay, s13QuantileMaintainReplay,
+    s14QuantileRestartReplay)
 }

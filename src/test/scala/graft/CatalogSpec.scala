@@ -61,6 +61,47 @@ class CatalogSpec extends SparkSpec {
       old.select($"path").collect()(0).getString(0) == idx)
   }
 
+  test("registerAll: the live-name + pinned-name deployment pair publishes in ONE catalog commit") {
+    import spark.implicits._
+    val cat = tmp("pair")
+    val docs = Tables(spark, sf, "documents")
+    val idx = tmp("pairidx")
+    DedupIndex.build(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", idx)
+    val v1 = DedupIndex.readManifest(idx).version
+    Catalog.register(spark, cat, "seed", "state-table", "/tmp/seed")
+    val before = StateTable.readManifest(cat).version
+    // the former TWO-register deployment flow had a window where a
+    // reader saw the re-pointed live name without its pinned snapshot
+    // name — registerAll makes the pair one atomic generation: exactly
+    // one catalog version is claimed, and NO committed catalog state
+    // (current or versioned history) ever contains one of the pair
+    // without the other
+    Catalog.registerAll(spark, cat, Seq(
+      ("docs-index", "dedup-index", idx, None),
+      ("docs-index@run-1", "dedup-index", idx, Some(v1))))
+    val after = StateTable.readManifest(cat).version
+    assert(after == before + 1,
+      s"the pair must cost exactly one commit, got $before -> $after")
+    assert(Catalog.resolve(spark, cat, "docs-index") == ("dedup-index", idx, None))
+    assert(Catalog.resolve(spark, cat, "docs-index@run-1") ==
+      ("dedup-index", idx, Some(v1)))
+    // the versioned history has NO half-published state: every committed
+    // version contains either neither name or both
+    (1L to after).foreach { v =>
+      val names = StateTable.readAt(spark, cat, v)
+        .select($"name").collect().map(_.getString(0)).toSet
+      val got = names.intersect(Set("docs-index", "docs-index@run-1"))
+      assert(got.isEmpty || got.size == 2,
+        s"catalog v$v is half-published: $got")
+    }
+    // duplicate names in one batch fail loudly
+    intercept[IllegalArgumentException] {
+      Catalog.registerAll(spark, cat, Seq(
+        ("x", "state-table", "/tmp/a", None),
+        ("x", "state-table", "/tmp/b", None)))
+    }
+  }
+
   test("concurrent registers of different names both land (register retry-merges on a lost claim)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

@@ -81,9 +81,14 @@ class ManifestCommitSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.v2")
     val out = p.getFileSystem(hc).create(p, false)
     out.write("2\na,ghost\n".getBytes("UTF-8")); out.close()
-    assert(ManifestCommit.readPointer(dir)(0) == "1")
-    // a commitLoop starting from the stale pointer walks v2 (claimed),
-    // reads the ghost's committed state, and commits v3 on top of it
+    // round-14: readPointer SELF-HEALS — it resolves max(pointer,
+    // latest-on-disk), so the lagging (or regressed) pointer is never
+    // trusted over the committed log; the crashed writer's v2 is
+    // immediately the current state
+    assert(ManifestCommit.readPointer(dir).toSeq == Seq("2", "a,ghost"),
+      "a reader must resolve the committed log past a lagging pointer")
+    // a commitLoop starting from the healed state walks onto v2 and
+    // commits v3 on top of it
     val v = ManifestCommit.commitLoop(dir) { (vv, base) =>
       Seq(vv.toString, base.get(1) + ",mine")
     }
@@ -156,7 +161,7 @@ class ManifestCommitSpec extends SparkSpec {
     // that re-commits the current state (valid, just version-bumped) —
     // the append's first commit attempt must lose and retry on top
     assert(ManifestCommit.tryCommit(dir, man.version + 1, Seq(
-      (man.version + 1).toString, man.cent, "-",
+      (man.version + 1).toString, AnnStore.FormatTag, man.cent, "-",
       man.segments.mkString(","), man.tombstones.mkString(","))))
     Similarity.appendToIvfIndex(emb.filter($"vec_id" % 2 =!= 0), dir).count()
     val after = AnnStore.read(dir)
@@ -189,7 +194,7 @@ class ManifestCommitSpec extends SparkSpec {
     val m = DedupIndex.readManifest(dir)
     val left = new java.io.File(dir.stripPrefix("file:"))
       .listFiles().map(_.getName).toSet
-    assert(left == Set("MANIFEST", s"MANIFEST.v${m.version}", "meta",
+    assert(left == Set("MANIFEST", s"MANIFEST.v${m.version}", m.meta,
       "seg_99_inflight") ++ m.segments, s"unexpected survivors: $left")
     // past the age guard the orphan is reclaimable
     DedupIndex.vacuum(dir, minAgeMs = 0L)
@@ -236,6 +241,143 @@ class ManifestCommitSpec extends SparkSpec {
     Similarity.compactIvfIndex(spark, ann)
     AnnStore.vacuum(ann, minAgeMs = 0L)
     assert(Similarity.indexPostings(spark, ann).count() == live)
+  }
+
+  test("claim owners: local-backed schemes resolve to the atomic hard-link owner, never the TOCTOU rename") {
+    // RawLocalFileSystem.rename pre-checks existence (check-then-act) —
+    // the round-13 lost-visible-update let two racing writers both "own"
+    // a version. The claim path must use link(2)'s kernel-atomic EEXIST
+    // on every local-backed scheme, including custom wrappers like the
+    // graftfs spec scheme; a silent fallback to plain rename would
+    // reintroduce the race invisibly.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    hc.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[GraftTestAbstractFs].getName)
+    assert(ManifestCommit.ownerFor("file:" + tmp("own")).name == "hard-link")
+    assert(ManifestCommit.ownerFor("graftfs:" + tmp("own2")).name == "hard-link")
+  }
+
+  test("version claim is atomic under many racing writers: exactly one winner per version, winner's content on disk") {
+    // 8 writers × 25 rounds hammering the SAME version number. The
+    // pre-fix TOCTOU double-claim let writer A pass the existence check,
+    // writer B claim, then A's rename overwrite B's manifest — two
+    // "successes", one surviving content. With the hard-link claim the
+    // kernel serializes: one true per version, and the committed file
+    // must carry the winner's own payload.
+    val dir = "file:" + tmp("hammer")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      (1 to 25).foreach { v =>
+        val wins = (1 to 8).map { w =>
+          Future(ManifestCommit.tryCommit(dir, v.toLong,
+            Seq(v.toString, s"writer-$w")))(ec)
+        }.map(Await.result(_, 60.seconds))
+        assert(wins.count(identity) == 1,
+          s"version $v: expected exactly one winner, got ${wins.count(identity)}")
+        val winner = wins.indexOf(true) + 1
+        assert(ManifestCommit.readVersioned(dir, v.toLong).toSeq ==
+          Seq(v.toString, s"writer-$winner"),
+          s"version $v must hold the winning writer's content")
+      }
+      assert(ManifestCommit.readPointer(dir)(0) == "25")
+    } finally pool.shutdown()
+  }
+
+  test("regressed pointer self-heal: a pointer clobbered back to an older version is never trusted over the log") {
+    // fabricate the round-13 race's END STATE: MANIFEST.v2 committed,
+    // pointer file regressed to v1's content (an old writer's swap
+    // landed after a newer one's). Readers must resolve v2; the next
+    // commit must land at v3 and repair the pointer file itself.
+    val dir = "file:" + tmp("regress")
+    ManifestCommit.tryCommit(dir, 1L, Seq("1", "old"))
+    ManifestCommit.tryCommit(dir, 2L, Seq("2", "old,newer"))
+    val f = new java.io.File(dir.stripPrefix("file:") + "/MANIFEST")
+    val w = new java.io.FileWriter(f); w.write("1\nold\n"); w.close()
+    assert(ManifestCommit.readPointer(dir).toSeq == Seq("2", "old,newer"),
+      "reader must take max(pointer, latest-on-disk)")
+    assert(ManifestCommit.currentVersion(dir) == 2L)
+    val v = ManifestCommit.commitLoop(dir) { (vv, base) =>
+      Seq(vv.toString, base.get(1) + ",mine")
+    }
+    assert(v == 3L, "the next commit must build on the committed v2, not the regressed pointer")
+    assert(scala.io.Source.fromFile(f).getLines().next() == "3",
+      "the commit's swap must repair the pointer file")
+  }
+
+  test("vacuum never destroys a committed version newer than the pointer it found") {
+    // the round-13 ADVICE bug: a committed MANIFEST.v(N+1) whose pointer
+    // swap lagged (or regressed) matched startsWith("MANIFEST.v") outside
+    // the retained range AND its data dirs landed in `published` — vacuum
+    // deleted a fully committed version with no age guard. Fabricate
+    // exactly that state and vacuum: v3 and its data must survive.
+    val dir = "file:" + tmp("vacnew")
+    val local = dir.stripPrefix("file:")
+    ManifestCommit.tryCommit(dir, 1L, Seq("1", "d1"))
+    ManifestCommit.tryCommit(dir, 2L, Seq("2", "d2"))
+    new java.io.File(local, "d2").mkdirs()
+    // committed v3 (complete versioned manifest + its young data dir)
+    // whose pointer swap hasn't landed; pointer regressed to v2
+    val w3 = new java.io.FileWriter(new java.io.File(local, "MANIFEST.v3"))
+    w3.write("3\nd3\n"); w3.close()
+    new java.io.File(local, "d3").mkdirs()
+    val wp = new java.io.FileWriter(new java.io.File(local, "MANIFEST"))
+    wp.write("2\nd2\n"); wp.close()
+    ManifestCommit.vacuum(dir, lines => lines.drop(1).toSeq,
+      Set.empty, retainVersions = 0, minAgeMs = 0L)
+    val left = new java.io.File(local).listFiles().map(_.getName).toSet
+    assert(left.contains("MANIFEST.v3") && left.contains("d3"),
+      s"a committed version newer than the pointer must survive vacuum: $left")
+    assert(ManifestCommit.readPointer(dir).toSeq == Seq("3", "d3"),
+      "the newest committed version stays readable after the vacuum")
+  }
+
+  test("manifest format tags: an unknown layout fails loudly at parse, never misreads") {
+    val st = "file:" + tmp("fmt")
+    import spark.implicits._
+    StateTable.publish(Seq((1, "a")).toDF("k", "v"), st)
+    // corrupt the format line (simulating a future-layout store read by
+    // this binary) — the parse must throw, not misinterpret fields
+    val local = st.stripPrefix("file:")
+    val v = ManifestCommit.currentVersion(st)
+    val lines = ManifestCommit.readPointer(st)
+    val forged = lines.updated(1, "graft-state-table/999")
+    for (name <- Seq("MANIFEST", s"MANIFEST.v$v")) {
+      val w = new java.io.FileWriter(new java.io.File(local, name))
+      w.write(forged.mkString("", "\n", "\n")); w.close()
+    }
+    val e = intercept[IllegalArgumentException] {
+      StateTable.readManifest(st)
+    }
+    assert(e.getMessage.contains("graft-state-table/999"),
+      s"error must name the unknown format: ${e.getMessage}")
+  }
+
+  test("concurrent overlapping ANN deletes: counts stay posting-exact (no double-decrement)") {
+    import spark.implicits._
+    // two racing deleteFromIvfIndex calls with OVERLAPPING id sets — the
+    // round-13 ADVICE hole: the loser re-applying its ORIGINAL delta
+    // against the winner's base double-decremented ids both deleted
+    // (reads dedup tombstones via distinct, so sum(n_vectors) diverged
+    // permanently). The retry now recomputes present/delta against the
+    // winner, so overlapping ids contribute 0 in whichever serialization.
+    val emb = Tables(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val dir = "file:" + tmp("dd")
+    Similarity.buildIvfIndex(emb, dir).count()
+    val a = emb.filter($"vec_id" % 10 === 0).select($"vec_id")   // overlap:
+    val b = emb.filter($"vec_id" % 5 === 0).select($"vec_id")    // %10==0 ⊂ %5==0
+    val fa = Future(Similarity.deleteFromIvfIndex(a, dir).count())
+    val fb = Future(Similarity.deleteFromIvfIndex(b, dir).count())
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val posted = AnnStore.postings(spark, dir).count()
+    assert(posted == emb.filter($"vec_id" % 5 =!= 0).count(),
+      "both deletes' ids must be gone from the live view")
+    val centSum = AnnStore.centroids(spark, dir)
+      .agg(sum($"n_vectors")).collect()(0).getLong(0)
+    assert(centSum == posted,
+      s"overlapping racing deletes must not double-decrement: " +
+        s"counts $centSum vs postings $posted")
   }
 
   test("non-default FS scheme: a DedupIndex lives end-to-end under graftfs:// (commit plane AND data plane)") {
