@@ -92,6 +92,29 @@ object Catalog {
   def list(spark: SparkSession, catalogDir: String): DataFrame =
     StateTable.read(spark, catalogDir)
 
+  /** The registration HISTORY of `name` — "what did docs-index point at
+    * last week": one row per retained catalog version in which the name
+    * appears, `(catalog_version, kind, path, pinned_version)`, oldest
+    * first. Versions outside the catalog's vacuum retention are skipped
+    * (their manifests are gone by design). Cost: one catalog-sized read
+    * per RETAINED version — the registry is rows-=-names small and
+    * retention bounds the loop, so this is a driver-side metadata walk,
+    * never a data-plane scan. */
+  def history(
+      spark: SparkSession, catalogDir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val cur = StateTable.readManifest(catalogDir).version
+    (1L to cur).flatMap { v =>
+      try {
+        StateTable.readAt(spark, catalogDir, v)
+          .filter(col("name") === name)
+          .select(col("kind"), col("path"), col("version")).collect()
+          .headOption.map(r => (v, r.getString(0), r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      } catch { case _: java.io.FileNotFoundException => None }
+    }.toDF("catalog_version", "kind", "path", "pinned_version")
+  }
+
   /** Resolved entry for `name`: (kind, path, pinned version). One
     * catalog-sized read + a 1-row collect. */
   def resolve(

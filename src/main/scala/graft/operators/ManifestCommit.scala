@@ -463,5 +463,13 @@ object ManifestCommit {
         else now - e.getModificationTime > minAgeMs
       if (drop) f.delete(e.getPath, true): Unit
     }
+    // repair a lagging/regressed pointer while we're here: vacuum may
+    // have just deleted the version the stale pointer file names (reads
+    // self-heal through the versioned log, but the pointer should name
+    // a live version again without waiting for the next commit)
+    if (rawPointerVersion(f, base) < curV)
+      stripeFor(base).synchronized {
+        swapPointerLocked(f, base, curV, cur.toSeq)
+      }
   }
 }

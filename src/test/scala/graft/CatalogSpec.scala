@@ -59,6 +59,13 @@ class CatalogSpec extends SparkSpec {
     val old = StateTable.readAt(spark, cat, 1L)
     assert(old.count() == 1 &&
       old.select($"path").collect()(0).getString(0) == idx)
+    // Catalog.history answers "what did this name point at over time"
+    // directly: oldest first, one row per retained version holding it
+    val hist = Catalog.history(spark, cat, "docs-index")
+      .select($"catalog_version", $"path").collect()
+    assert(hist.map(_.getString(1)).toSeq.distinct == Seq(idx, idx2),
+      s"history must show the re-point $idx -> $idx2: ${hist.toSeq}")
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted)
   }
 
   test("registerAll: the live-name + pinned-name deployment pair publishes in ONE catalog commit") {

@@ -331,6 +331,11 @@ class ManifestCommitSpec extends SparkSpec {
       s"a committed version newer than the pointer must survive vacuum: $left")
     assert(ManifestCommit.readPointer(dir).toSeq == Seq("3", "d3"),
       "the newest committed version stays readable after the vacuum")
+    // and the vacuum REPAIRS the stale pointer file itself (it may have
+    // just deleted the version the pointer named)
+    assert(scala.io.Source.fromFile(
+      new java.io.File(local, "MANIFEST")).getLines().next() == "3",
+      "vacuum must re-point the lagging pointer at the live version")
   }
 
   test("manifest format tags: an unknown layout fails loudly at parse, never misreads") {
