@@ -515,13 +515,39 @@ object DedupIndex {
     // one file per prefix, bkey-sorted with point-probe row groups —
     // the same layout the build writes (writeBandRows)
     writeBandRows(readBands(spark, dir, m), s"$dir/$seg")
-    // a compact REPLACES the segment list, so a concurrent append's
-    // rows would be silently dropped by a blind merge: claim exactly
-    // the next version after the state we compacted (CommitConflict on
-    // a race — abort, the fresh segment ages out via vacuum). The meta
-    // generation carries over — compaction never reparameterizes.
-    ManifestCommit.commit(dir, m.version + 1,
-      serialize(Manifest(m.version + 1, m.meta, Seq(seg), Nil, m.batchId)))
+    // A compact's segment list REPLACES the state it read — but its
+    // delta still COMMUTES with the mergeable mutations (round-14;
+    // maintenance must not block ingest): an append's segment or a
+    // delete's tombstone committed while we were rewriting applies ON
+    // TOP of the compacted generation, because the compacted segment
+    // materializes exactly the base's rows-minus-tombstones and later
+    // tombstones anti-join it like any other segment. The merged
+    // manifest is the sequentially-consistent "compact at its read
+    // point, then the winner's deltas": compacted segment + the
+    // winner's NEW segments, the winner's NEW tombstones only (the
+    // base's are materialized). Only a concurrent whole-state rewrite
+    // (build/compact — the winner's lists no longer contain our base's)
+    // has no merge and still aborts with CommitConflict.
+    var base = m
+    var done = false
+    while (!done) {
+      try {
+        ManifestCommit.commit(dir, base.version + 1, serialize(Manifest(
+          base.version + 1, base.meta,
+          seg +: base.segments.filterNot(m.segments.contains),
+          base.tombstones.filterNot(m.tombstones.contains),
+          base.batchId)))
+        done = true
+      } catch {
+        case e: ManifestCommit.CommitConflict =>
+          val w = readManifest(dir)
+          val mergeable = w.meta == m.meta &&
+            m.segments.forall(w.segments.contains) &&
+            m.tombstones.forall(w.tombstones.contains)
+          if (!mergeable) throw e
+          base = w
+      }
+    }
   }
 
   /** Remove directories and snapshot manifests outside the retention

@@ -1279,11 +1279,35 @@ object Similarity {
       .repartition(n, col("cell"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("cell").parquet(s"$dir/$seg")
-    // a compact REPLACES the segment list — a concurrent append's rows
-    // would be silently dropped by a merge, so a lost claim ABORTS
-    // (CommitConflict propagates; the fresh segment ages out via vacuum)
-    AnnStore.publish(dir, man.copy(version = man.version + 1,
-      segments = Seq(seg), tombstones = Nil))
+    // A compact's segment list REPLACES the state it read — but its
+    // delta still COMMUTES with the mergeable mutations (round-14;
+    // maintenance must not block ingest): an append's segment or a
+    // delete's tombstone committed while we were rewriting applies ON
+    // TOP of the compacted generation (the compacted segment holds
+    // exactly the base's live rows; later tombstones anti-join it like
+    // any other segment, and the WINNER's centroid generation already
+    // carries the count delta its mutation applied). Merged manifest =
+    // compacted segment + the winner's NEW segments, the winner's NEW
+    // tombstones only, the winner's centroid generation. A concurrent
+    // whole-state rewrite (build/compact) has no merge — still aborts.
+    var base = man
+    var done = false
+    while (!done) {
+      try {
+        AnnStore.publish(dir, base.copy(version = base.version + 1,
+          segments = seg +: base.segments.filterNot(man.segments.contains),
+          tombstones = base.tombstones.filterNot(man.tombstones.contains)))
+        done = true
+      } catch {
+        case e: ManifestCommit.CommitConflict =>
+          val w = AnnStore.read(dir)
+          val mergeable = w.codebooks == man.codebooks &&
+            man.segments.forall(w.segments.contains) &&
+            man.tombstones.forall(w.tombstones.contains)
+          if (!mergeable) throw e
+          base = w
+      }
+    }
   }
 
   /** IVF top-k answered FROM the persisted index: probe cells come from

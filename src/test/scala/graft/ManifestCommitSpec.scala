@@ -385,6 +385,57 @@ class ManifestCommitSpec extends SparkSpec {
         s"counts $centSum vs postings $posted")
   }
 
+  test("compact merges racing appends/deletes instead of aborting: maintenance never blocks ingest") {
+    import spark.implicits._
+    // round-14: a compact's delta commutes with the mergeable mutations
+    // — the winner's new segment/tombstone applies ON TOP of the
+    // compacted generation (serialization: compact at its read point,
+    // then the winner). Whichever way the race lands, the read must be
+    // row-identical to a fresh build over the final corpus.
+    val dir = "file:" + tmp("cmpmerge")
+    DedupIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+    DedupIndex.append(docs.filter($"doc_id" % 4 === 1), "doc_id", "text", dir)
+    val fa = Future(DedupIndex.compact(spark, dir))
+    val fb = Future(DedupIndex.append(
+      docs.filter($"doc_id" % 4 === 2), "doc_id", "text", dir))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val refDir = tmp("cmpref")
+    DedupIndex.build(docs.filter($"doc_id" % 4 =!= 3), "doc_id", "text", refDir)
+    def rows(d: String) = DedupIndex.readBands(spark, d)
+      .select($"doc_id", $"band", $"bkey").collect()
+      .map(_.toSeq).toSet
+    assert(rows(dir) == rows(refDir),
+      "compact racing append must preserve BOTH effects (band rows ≡ fresh build over the union)")
+    // now compact racing a DELETE: the winner's tombstone must keep
+    // applying to the compacted segment
+    val del = docs.filter($"doc_id" % 8 === 1).select($"doc_id")
+    val fc = Future(DedupIndex.compact(spark, dir))
+    val fd = Future(DedupIndex.delete(del, "doc_id", dir))
+    Await.result(fc, 5.minutes); Await.result(fd, 5.minutes)
+    val refDir2 = tmp("cmpref2")
+    DedupIndex.build(docs.filter($"doc_id" % 4 =!= 3)
+      .filter($"doc_id" % 8 =!= 1), "doc_id", "text", refDir2)
+    assert(rows(dir) == rows(refDir2),
+      "compact racing delete must keep the tombstone applied to the compacted rows")
+  }
+
+  test("ANN compact merges a racing append: postings complete, centroid counts posting-exact") {
+    import spark.implicits._
+    val emb = Tables(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val dir = "file:" + tmp("anncmp")
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0), dir).count()
+    val fa = Future(Similarity.compactIvfIndex(spark, dir))
+    val fb = Future(Similarity.appendToIvfIndex(
+      emb.filter($"vec_id" % 2 =!= 0), dir).count())
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val posted = AnnStore.postings(spark, dir).count()
+    assert(posted == emb.count(),
+      "compact racing append must keep the appended postings live")
+    val centSum = AnnStore.centroids(spark, dir)
+      .agg(sum($"n_vectors")).collect()(0).getLong(0)
+    assert(centSum == posted, s"counts $centSum must match postings $posted")
+  }
+
   test("non-default FS scheme: a DedupIndex lives end-to-end under graftfs:// (commit plane AND data plane)") {
     import spark.implicits._
     val hc = spark.sparkContext.hadoopConfiguration
