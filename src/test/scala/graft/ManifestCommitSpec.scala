@@ -258,6 +258,50 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.ownerFor("graftfs:" + tmp("own2")).name == "hard-link")
   }
 
+  test("registerOwner: a scheme's registered claim owner handles EVERY claim (the conditional-PUT seam is real)") {
+    // the object-store path: a store without atomic no-overwrite rename
+    // registers its own put-if-absent (a conditional PUT). Pin that a
+    // registered owner takes precedence over the built-in resolution
+    // AND that every claim of a full store lifecycle routes through it
+    // — zero silent fallbacks to the rename path.
+    val claims = new java.util.concurrent.atomic.AtomicInteger(0)
+    val countingOwner = new ManifestCommit.CommitOwner {
+      val name = "test-conditional-put"
+      def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          base: org.apache.hadoop.fs.Path,
+          tmp: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = {
+        claims.incrementAndGet()
+        // emulate a store's conditional PUT with the kernel primitive
+        ManifestCommit.LinkOwner.putIfAbsent(f, base, tmp, dst)
+      }
+    }
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    hc.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[GraftTestAbstractFs].getName)
+    ManifestCommit.registerOwner("graftfs", countingOwner)
+    try {
+      assert(ManifestCommit.ownerFor("graftfs:" + tmp("own3")).name ==
+        "test-conditional-put", "registered owner must take precedence")
+      import spark.implicits._
+      val dir = "graftfs:" + tmp("ownlife")
+      DedupIndex.build(docs.filter($"doc_id" % 4 === 0), "doc_id", "text", dir)
+      DedupIndex.append(docs.filter($"doc_id" % 4 === 1), "doc_id", "text", dir)
+      DedupIndex.delete(docs.filter($"doc_id" % 8 === 0).select($"doc_id"),
+        "doc_id", dir)
+      DedupIndex.compact(spark, dir)
+      val v = DedupIndex.readManifest(dir).version
+      assert(v == 4L, s"four mutations = four committed versions, got $v")
+      assert(claims.get() >= 4,
+        s"every version claim must route through the registered owner " +
+          s"(got ${claims.get()} for 4 commits)")
+    } finally {
+      // restore the default resolution for the other graftfs specs
+      ManifestCommit.registerOwner("graftfs", ManifestCommit.LinkOwner)
+    }
+  }
+
   test("version claim is atomic under many racing writers: exactly one winner per version, winner's content on disk") {
     // 8 writers × 25 rounds hammering the SAME version number. The
     // pre-fix TOCTOU double-claim let writer A pass the existence check,
