@@ -51,12 +51,20 @@ import org.apache.spark.sql.functions._
   * tombstone-intersection guard, not just documented. */
 object AnnStore {
 
+  /** `batchId` (round-14): the exactly-once ingest stamp the other two
+    * persisted tiers already carry — the highest ingest batch APPLIED,
+    * riding the same atomic manifest swap as the batch's effects, so a
+    * streaming embedding sink skips a redelivered batch via
+    * [[lastBatchId]] with no state-written-but-not-marked window.
+    * Monotone under max; carried forward through unstamped mutations
+    * (delete, compact) — their effects never un-apply a batch. */
   final case class Manifest(
       version: Long,
       cent: String,
       codebooks: Option[String],
       segments: Seq[String],
-      tombstones: Seq[String])
+      tombstones: Seq[String],
+      batchId: Option[Long] = None)
 
   /** Does `dir` hold a committed index? (One pointer-file stat.) */
   def exists(dir: String): Boolean = ManifestCommit.exists(dir)
@@ -76,7 +84,8 @@ object AnnStore {
         s"understands $FormatTag (layout change?)")
     Manifest(at(0).toLong, at(2),
       Option(at(3)).filter(s => s.nonEmpty && s != "-"),
-      list(at(4)), list(at(5)))
+      list(at(4)), list(at(5)),
+      Option(at(6)).filter(s => s.nonEmpty && s != "-").map(_.toLong))
   }
 
   /** Resolve the current manifest — one small driver-side read; the
@@ -94,7 +103,16 @@ object AnnStore {
 
   private def serialize(m: Manifest): Seq[String] = Seq(
     m.version.toString, FormatTag, m.cent, m.codebooks.getOrElse("-"),
-    m.segments.mkString(","), m.tombstones.mkString(","))
+    m.segments.mkString(","), m.tombstones.mkString(","),
+    m.batchId.map(_.toString).getOrElse("-"))
+
+  /** The highest ingest batch id any committed mutation applied — the
+    * exactly-once predicate for a streaming embedding-ingest sink: skip
+    * a redelivered batch iff `lastBatchId(dir).exists(_ >= bid)` (batch
+    * ids are monotone). Survives interleaved unstamped mutations
+    * (delete, compact) — see [[Manifest.batchId]]. */
+  def lastBatchId(dir: String): Option[Long] =
+    if (!exists(dir)) None else read(dir).batchId
 
   /** Publish a new index state at exactly `m.version`: write the
     * immutable versioned manifest (an atomic no-overwrite claim), then

@@ -1056,8 +1056,14 @@ object Similarity {
     * skew bound — rebuild (or re-cap) to restore it, exactly like
     * re-bucketing a table. The centroid table's n_vectors is refreshed
     * (nlist driver-side rows), keeping the read path scan-free.
+    * `batchId`: optional exactly-once ingest stamp — rides the manifest
+    * swap ([[AnnStore.lastBatchId]]), so a streaming embedding sink
+    * skips a redelivered batch with no state-written-but-not-marked
+    * window (the DedupIndex/StateTable discipline, round-14).
     * Returns per-cell APPENDED counts (cell, n_appended). */
-  def appendToIvfIndex(batch: DataFrame, dir: String): DataFrame = {
+  def appendToIvfIndex(
+      batch: DataFrame, dir: String,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
@@ -1101,7 +1107,8 @@ object Similarity {
       rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cell").parquet(s"$dir/$seg")
-      commitWithCounts(spark, dir, man, seg = Some(seg), delta = appended)
+      commitWithCounts(spark, dir, man, seg = Some(seg), delta = appended,
+        batchId = batchId)
     }
 
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")
@@ -1118,7 +1125,8 @@ object Similarity {
       base: AnnStore.Manifest,
       seg: Option[String],
       tomb: Option[String],
-      delta: Map[Int, Long]): Unit = {
+      delta: Map[Int, Long],
+      batchId: Option[Long] = None): Unit = {
     import spark.implicits._
     val cent = ManifestCommit.uniqueName("cent", base.version + 1)
     AnnStore.centroids(spark, dir, base).orderBy(col("cell")).collect()
@@ -1132,7 +1140,10 @@ object Similarity {
     AnnStore.publish(dir, base.copy(version = base.version + 1,
       cent = cent,
       segments = base.segments ++ seg.toSeq,
-      tombstones = base.tombstones ++ tomb.toSeq))
+      tombstones = base.tombstones ++ tomb.toSeq,
+      // stamp = highest batch APPLIED, carried through unstamped
+      // mutations (the DedupIndex/StateTable exactly-once discipline)
+      batchId = (base.batchId.toSeq ++ batchId.toSeq).reduceOption(_ max _)))
   }
 
   /** The optimistic-concurrency commit for APPENDS (a fresh segment +
@@ -1154,12 +1165,13 @@ object Similarity {
       dir: String,
       base0: AnnStore.Manifest,
       seg: Option[String],
-      delta: Map[Int, Long]): Unit = {
+      delta: Map[Int, Long],
+      batchId: Option[Long] = None): Unit = {
     var base = base0
     var committed = false
     while (!committed) {
       try {
-        publishWithCounts(spark, dir, base, seg, tomb = None, delta)
+        publishWithCounts(spark, dir, base, seg, tomb = None, delta, batchId)
         committed = true
       } catch {
         case _: ManifestCommit.CommitConflict =>
@@ -1540,7 +1552,9 @@ object Similarity {
     * corpus at the same centroids and codebooks (`centroidsFrom` +
     * `codebooksFrom` — SimilaritySpec pins it, l62 gates the integrity
     * invariant per run). Returns per-cell appended counts. */
-  def appendToPqIndex(batch: DataFrame, dir: String): DataFrame = {
+  def appendToPqIndex(
+      batch: DataFrame, dir: String,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val sc = spark.sparkContext
     val n = sc.defaultParallelism
@@ -1579,7 +1593,8 @@ object Similarity {
       rows.repartition(math.min(n, math.max(1, appended.size)), col("cell"))
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("cell").parquet(s"$dir/$seg")
-      commitWithCounts(spark, dir, man, seg = Some(seg), delta = appended)
+      commitWithCounts(spark, dir, man, seg = Some(seg), delta = appended,
+        batchId = batchId)
     }
 
     appended.toSeq.sortBy(_._1).toDF("cell", "n_appended")

@@ -463,6 +463,42 @@ class ManifestCommitSpec extends SparkSpec {
       "compact racing delete must keep the tombstone applied to the compacted rows")
   }
 
+  test("ANN ingest stamp: exactly-once appends; redelivery skipped; delete/compact carry the stamp") {
+    import spark.implicits._
+    // round-14: the ANN tier gets the exactly-once ingest discipline the
+    // dedup index and state tables already carry — the batch stamp rides
+    // the SAME manifest swap as the batch's postings, so a streaming
+    // embedding sink has no state-written-but-not-marked window.
+    val emb = Tables(spark, sf, "embeddings").select($"vec_id", $"embedding")
+    val dir = "file:" + tmp("annstamp")
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 4 === 0), dir).count()
+    assert(AnnStore.lastBatchId(dir).isEmpty, "a fresh build is unstamped")
+    def ingest(b: org.apache.spark.sql.DataFrame, bid: Long): Boolean =
+      if (AnnStore.lastBatchId(dir).exists(_ >= bid)) false
+      else { Similarity.appendToIvfIndex(b, dir, batchId = Some(bid)).count(); true }
+    assert(ingest(emb.filter($"vec_id" % 4 === 1), 1L))
+    assert(ingest(emb.filter($"vec_id" % 4 === 2), 2L))
+    assert(AnnStore.lastBatchId(dir).contains(2L), "stamp = max applied batch")
+    assert(!ingest(emb.filter($"vec_id" % 4 === 2), 2L),
+      "a redelivered batch must be skipped by the stamp predicate")
+    val expected = emb.filter($"vec_id" % 4 =!= 3).count()
+    assert(AnnStore.postings(spark, dir).count() == expected,
+      "the redelivery must not have double-appended")
+    // unstamped mutations CARRY the stamp — a weekly delete/compact
+    // between micro-batches must not reopen the redelivery window
+    Similarity.deleteFromIvfIndex(
+      emb.filter($"vec_id" % 8 === 1).select($"vec_id"), dir).count()
+    assert(AnnStore.lastBatchId(dir).contains(2L),
+      "delete must not erase the exactly-once stamp")
+    Similarity.compactIvfIndex(spark, dir)
+    assert(AnnStore.lastBatchId(dir).contains(2L),
+      "compact must not erase the exactly-once stamp")
+    val posted = AnnStore.postings(spark, dir).count()
+    val centSum = AnnStore.centroids(spark, dir)
+      .agg(sum($"n_vectors")).collect()(0).getLong(0)
+    assert(centSum == posted, "counts stay posting-exact through the flow")
+  }
+
   test("ANN compact merges a racing append: postings complete, centroid counts posting-exact") {
     import spark.implicits._
     val emb = Tables(spark, sf, "embeddings").select($"vec_id", $"embedding")
