@@ -582,9 +582,57 @@ object WindowBatchQueries {
                    CAST(1 AS BOOLEAN) AS restart_identical
             FROM r GROUP BY event_type ORDER BY event_type"""))
 
+  /** S/L: EXACTLY-ONCE ANN INGEST, driver-gated — the embedding tier's
+    * s10: a vector corpus streams in as stamped micro-batch appends
+    * ([[graft.operators.Similarity.appendToIvfIndex]] with `batchId`
+    * riding the manifest swap, round-14), a restart REDELIVERS a batch,
+    * and the [[graft.operators.AnnStore.lastBatchId]] predicate must
+    * skip it — a double-append would both duplicate postings and
+    * double-count the centroid totals. Nothing is held in memory
+    * between applies (the skip predicate reads the persisted manifest —
+    * a restarted driver's cold path). Declared output: the live posting
+    * count (value-exact against DuckDB counting the ingested slices)
+    * plus the redelivery-skipped and counts-match(integrity invariant:
+    * sum(n_vectors) == postings) booleans — a broken stamp flips a
+    * boolean OR shifts the count and fails the hash gate. */
+  val s15AnnIngestReplay = Q(
+    "s15_ann_ingest_replay",
+    (s, dir) => {
+      import s.implicits._
+      import graft.operators.{AnnStore, Similarity}
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val idx = ingestRoot.resolve(
+        "annri_" + restartRuns.incrementAndGet()).toString
+      // batch 0 seeds the index (a build, unstamped); batches 1 and 2
+      // are stamped ingest appends
+      Similarity.buildIvfIndex(
+        emb.filter(pmod(col("vec_id"), lit(4)) === 0), idx).count()
+      def ingest(b: org.apache.spark.sql.DataFrame, bid: Long): Boolean =
+        if (AnnStore.lastBatchId(idx).exists(_ >= bid)) false
+        else {
+          Similarity.appendToIvfIndex(b, idx, batchId = Some(bid)).count()
+          true
+        }
+      ingest(emb.filter(pmod(col("vec_id"), lit(4)) === 1), 1L): Unit
+      ingest(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 2L): Unit
+      // ---- simulated restart: the checkpoint redelivers batch 2; the
+      // persisted stamp must skip it ----
+      val skipped = !ingest(emb.filter(pmod(col("vec_id"), lit(4)) === 2), 2L)
+      val posted = AnnStore.postings(s, idx).count()
+      val centSum = AnnStore.centroids(s, idx)
+        .agg(sum(col("n_vectors"))).collect()(0).getLong(0)
+      Seq((posted, skipped, centSum == posted))
+        .toDF("n_postings", "redelivery_skipped", "counts_match")
+    },
+    Some("""SELECT count(*) AS n_postings,
+                   CAST(1 AS BOOLEAN) AS redelivery_skipped,
+                   CAST(1 AS BOOLEAN) AS counts_match
+            FROM embeddings WHERE vec_id % 4 <> 3"""))
+
   def all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session,
     s4DedupReplay, s5LateDropReplay, s6CounterReplay, s7IntervalJoinReplay,
     s8EnrichReplay, s9UpsertReplay, s10IngestDedupReplay, s11TrendingReplay,
     s12SketchMaintainReplay, s13QuantileMaintainReplay,
-    s14QuantileRestartReplay)
+    s14QuantileRestartReplay, s15AnnIngestReplay)
 }
