@@ -72,20 +72,28 @@ object AnnStore {
   /** Layout version tag, line 1 of every manifest (line 0 stays the
     * commit version — the protocol-wide convention). A future layout
     * change bumps the tag so old stores fail LOUDLY at parse instead of
-    * being misread silently. */
+    * being misread silently. Stores written before tagging shipped (no
+    * tag line; fields one position earlier, no batch stamp) are still
+    * readable — a centroid-generation name can never collide with the
+    * `graft-ann-index/` prefix, so the legacy layout is unambiguous; a
+    * DIFFERENT tag under the prefix is the only loud-fail case. */
   private[graft] val FormatTag = "graft-ann-index/1"
+  private val TagPrefix = "graft-ann-index/"
 
   private def parse(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def at(i: Int): String = if (lines.length > i) lines(i).trim else ""
-    require(at(1) == FormatTag,
-      s"unrecognized ann-index manifest format '${at(1)}' — this reader " +
-        s"understands $FormatTag (layout change?)")
-    Manifest(at(0).toLong, at(2),
-      Option(at(3)).filter(s => s.nonEmpty && s != "-"),
-      list(at(4)), list(at(5)),
-      Option(at(6)).filter(s => s.nonEmpty && s != "-").map(_.toLong))
+    def opt(s: String): Option[String] = Option(s).filter(x => x.nonEmpty && x != "-")
+    if (at(1) == FormatTag)
+      Manifest(at(0).toLong, at(2), opt(at(3)), list(at(4)), list(at(5)),
+        opt(at(6)).map(_.toLong))
+    else if (at(1).startsWith(TagPrefix))
+      throw new IllegalArgumentException(
+        s"unrecognized ann-index manifest format '${at(1)}' — this reader " +
+          s"understands $FormatTag (layout change?)")
+    else // pre-tag legacy layout: version, cent, codebooks, segments, tombstones
+      Manifest(at(0).toLong, at(1), opt(at(2)), list(at(3)), list(at(4)), None)
   }
 
   /** Resolve the current manifest — one small driver-side read; the

@@ -97,14 +97,16 @@ object Catalog {
     * appears, `(catalog_version, kind, path, pinned_version)`, oldest
     * first. Versions outside the catalog's vacuum retention are skipped
     * (their manifests are gone by design). Cost: one catalog-sized read
-    * per RETAINED version — the registry is rows-=-names small and
-    * retention bounds the loop, so this is a driver-side metadata walk,
-    * never a data-plane scan. */
+    * per RETAINED version — the retained set is enumerated by ONE
+    * prefix-scoped listing of `MANIFEST.v*` (never `1..current`, which
+    * walked every version EVER committed with one failed manifest open
+    * each — O(total commits) and unbounded for a long-lived catalog;
+    * round-14 ADVICE), so this is a driver-side metadata walk bounded by
+    * retention, never a data-plane scan. */
   def history(
       spark: SparkSession, catalogDir: String, name: String): DataFrame = {
     import spark.implicits._
-    val cur = StateTable.readManifest(catalogDir).version
-    (1L to cur).flatMap { v =>
+    ManifestCommit.retainedVersions(catalogDir).flatMap { v =>
       try {
         StateTable.readAt(spark, catalogDir, v)
           .filter(col("name") === name)

@@ -88,19 +88,31 @@ object DedupIndex {
   /** Layout version tag, line 1 of every manifest (line 0 stays the
     * commit version — the protocol-wide convention). A future layout
     * change bumps the tag so old stores fail LOUDLY at parse instead of
-    * being misread silently. */
+    * being misread silently. Stores written before tagging shipped
+    * (layout /1: no tag line, fields one position earlier, meta in the
+    * fixed `meta/` directory instead of a manifest-referenced
+    * generation) are still READABLE — a segment-list line can never
+    * collide with the `graft-dedup-index/` prefix, so the legacy layout
+    * is unambiguous; a DIFFERENT tag under the prefix (a future layout)
+    * is the only loud-fail case. The first post-upgrade MUTATION
+    * re-serializes in the current layout. */
   private[graft] val FormatTag = "graft-dedup-index/2"
+  private val TagPrefix = "graft-dedup-index/"
 
   private def parseManifest(lines: Array[String]): Manifest = {
     def list(s: String): Seq[String] =
       s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def at(i: Int): String = if (lines.length > i) lines(i).trim else ""
-    require(at(1) == FormatTag,
-      s"unrecognized dedup-index manifest format '${at(1)}' — this " +
-        s"reader understands $FormatTag (layout change?)")
-    Manifest(lines(0).trim.toLong, at(2),
-      list(at(3)), list(at(4)),
-      Option(at(5)).filter(v => v.nonEmpty && v != "-").map(_.toLong))
+    def opt(s: String): Option[Long] =
+      Option(s).filter(v => v.nonEmpty && v != "-").map(_.toLong)
+    if (at(1) == FormatTag)
+      Manifest(lines(0).trim.toLong, at(2), list(at(3)), list(at(4)), opt(at(5)))
+    else if (at(1).startsWith(TagPrefix))
+      throw new IllegalArgumentException(
+        s"unrecognized dedup-index manifest format '${at(1)}' — this " +
+          s"reader understands $FormatTag (layout change?)")
+    else // legacy /1: version, segments, tombstones, batchId; meta/ fixed dir
+      Manifest(lines(0).trim.toLong, "meta", list(at(1)), list(at(2)), opt(at(3)))
   }
 
   /** Resolve the current manifest. One small driver-side read — the

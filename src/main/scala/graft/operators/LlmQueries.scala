@@ -787,45 +787,53 @@ object LlmQueries {
     * including the recursive-CTE closure, so the final aggregate
     * hash-matches only if every stage — including which SURVIVOR each
     * component kept — agreed. */
-  val l28PipelineNearDup = Q(
-    "l28_pretrain_neardup",
-    (s, dir) => {
-      val all = Tables(s, dir, "documents")
-      val bench = all.filter(col("doc_id") % 50 === 0)
-      val corpus = all.filter(col("doc_id") % 50 =!= 0)
-      // materialize the exact-dedup output ONCE: six downstream branches
-      // (pair stage, anti-join, quality gates, repetition signals,
-      // decontamination, final agg) would each re-run the whole-text
-      // groupBy otherwise — measured as most of the query's cost
-      val reps = Checkpoints.rotate("l28.reps",
-        Dedup.exact(corpus, "text", "doc_id")
-          .join(corpus.select(col("doc_id"), col("source")), "doc_id"))
-      // component collapse: drop every doc whose component label is a
-      // smaller id (the survivor is the component min — deterministic).
-      // reps is exact-deduped by construction, so the pair stage skips
-      // its internal canonicalization tier (preDeduped)
-      val dropped = Dedup.connectedComponents(
-          Dedup.ngramJaccard(reps, "doc_id", "text", preDeduped = true),
-          "id_a", "id_b")
-        .filter(col("comp") =!= col("id"))
-        .select(col("id").as("doc_id"))
-      val survivors = reps.join(dropped, Seq("doc_id"), "left_anti")
-      val gated = survivors
-        .filter(length(col("text")) >= 100 && size(split(col("text"), " ")) >= 20)
-        .join(TextAnalysis.repetitionSignals(survivors, "doc_id", "text")
-          .select(col("doc_id"), col("dup_2gram_frac")), "doc_id")
-        .filter(col("dup_2gram_frac") <= 0.3)
-      val clean = Dedup.decontaminate(gated, bench, "doc_id", "text", shingleN = 8)
-      val nibble = substring(md5(col("text")), 1, 1)
-      clean
-        .withColumn("split",
-          when(nibble <= "b", "train").when(nibble <= "d", "val").otherwise("test"))
-        .groupBy(col("split"), col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
-        .orderBy(col("split"), col("source"))
-    },
-    Some("""WITH RECURSIVE
+  /** The l28 chain over an arbitrary documents relation — shared by l28
+    * (direct fixture table) and l65 (the same corpus resolved through a
+    * PINNED catalog name). `ckKey` keys the materialized exact-dedup
+    * checkpoint so distinct call sites never rotate each other's
+    * still-live generation. */
+  private def pretrainNearDupPipeline(all: DataFrame, ckKey: String): DataFrame = {
+    val bench = all.filter(col("doc_id") % 50 === 0)
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    // materialize the exact-dedup output ONCE: six downstream branches
+    // (pair stage, anti-join, quality gates, repetition signals,
+    // decontamination, final agg) would each re-run the whole-text
+    // groupBy otherwise — measured as most of the query's cost
+    val reps = Checkpoints.rotate(ckKey,
+      Dedup.exact(corpus, "text", "doc_id")
+        .join(corpus.select(col("doc_id"), col("source")), "doc_id"))
+    // component collapse: drop every doc whose component label is a
+    // smaller id (the survivor is the component min — deterministic).
+    // reps is exact-deduped by construction, so the pair stage skips
+    // its internal canonicalization tier (preDeduped)
+    val dropped = Dedup.connectedComponents(
+        Dedup.ngramJaccard(reps, "doc_id", "text", preDeduped = true),
+        "id_a", "id_b")
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+    val survivors = reps.join(dropped, Seq("doc_id"), "left_anti")
+    val gated = survivors
+      .filter(length(col("text")) >= 100 && size(split(col("text"), " ")) >= 20)
+      .join(TextAnalysis.repetitionSignals(survivors, "doc_id", "text")
+        .select(col("doc_id"), col("dup_2gram_frac")), "doc_id")
+      .filter(col("dup_2gram_frac") <= 0.3)
+    val clean = Dedup.decontaminate(gated, bench, "doc_id", "text", shingleN = 8)
+    val nibble = substring(md5(col("text")), 1, 1)
+    clean
+      .withColumn("split",
+        when(nibble <= "b", "train").when(nibble <= "d", "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  /** The DuckDB replay of [[pretrainNearDupPipeline]], shared by l28 and
+    * l65 (which appends constant invariant columns to the final
+    * aggregate — the pinned-rerun and live-mutation booleans its Spark
+    * side computes in-plan). */
+  private def pretrainNearDupOracleSql(extraCols: String): String =
+    s"""WITH RECURSIVE
                  corpus AS (SELECT * FROM documents WHERE doc_id % 50 != 0),
                  reps AS (SELECT min(doc_id) AS doc_id, text FROM corpus GROUP BY text),
                  reps_src AS (SELECT r.doc_id, r.text, c.source
@@ -892,9 +900,15 @@ object LlmQueries {
                         ELSE 'test' END AS split,
                    source,
                    count(*) AS n_docs,
-                   CAST(sum(len(t)) AS BIGINT) AS n_tokens
+                   CAST(sum(len(t)) AS BIGINT) AS n_tokens$extraCols
             FROM clean
-            GROUP BY 1, 2 ORDER BY split, source"""))
+            GROUP BY 1, 2 ORDER BY split, source"""
+
+  val l28PipelineNearDup = Q(
+    "l28_pretrain_neardup",
+    (s, dir) =>
+      pretrainNearDupPipeline(Tables(s, dir, "documents"), "l28.reps"),
+    Some(pretrainNearDupOracleSql("")))
 
   /** One session-fixed root for every persisted-index artifact the
     * declared queries create, deleted recursively on JVM exit — repeated
@@ -1742,6 +1756,85 @@ object LlmQueries {
     Some("""SELECT doc_id, CAST(8 AS BIGINT) AS n_bands FROM documents
             WHERE doc_id % 2 = 0 AND text IS NOT NULL ORDER BY doc_id"""))
 
+  private val l65Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** L: CATALOG-RESOLVED REPRODUCIBLE PIPELINE — "rerun last week's job
+    * byte-identical", end to end through the catalog (the round-14
+    * verdict's ask #5; l64 proved the read side, this proves the whole
+    * composed flow). The corpus is published into a [[StateTable]] and
+    * registered under a live name AND a pinned `@v1` name in ONE
+    * [[Catalog.registerAll]] commit (the atomic deployment pair). The
+    * l28 pretraining pipeline runs with its corpus input resolved by
+    * the PINNED name; the result is materialized; then the LIVE corpus
+    * is mutated (a junk tranche published as v2 — rows that WOULD
+    * change every pipeline stage if they leaked in); the pipeline
+    * re-runs through a FRESH resolve of the same pinned name. Declared
+    * output: the second run's aggregate plus `rerun_identical` (an
+    * in-plan both-ways exceptAll of the two runs — bit-exact, so a pin
+    * that silently resolved the live state cannot hide) and
+    * `live_mutated` (the live name really does see the mutation — the
+    * control that makes the identity non-vacuous). The oracle replays
+    * the pipeline over the fixture table: hash-equality holds only if
+    * the pinned resolve returned exactly the v1 corpus both times. */
+  val l65CatalogPinnedPipeline = Q(
+    "l65_catalog_pinned_pipeline",
+    (s, dir) => {
+      val n = l65Runs.incrementAndGet()
+      val all = Tables(s, dir, "documents")
+      // fresh store+catalog per invocation (the s14 ingestRoot
+      // discipline: publishes accumulate; a re-run must not fold onto a
+      // previous invocation's mutated live state)
+      val store = annIndexRoot.resolve(s"l65corp_$n").toString
+      val cat = annIndexRoot.resolve(s"l65cat_$n").toString
+      val v1 = StateTable.publish(all, store)
+      Catalog.registerAll(s, cat, Seq(
+        ("pretrain-corpus", "state-table", store, None),
+        ("pretrain-corpus@v1", "state-table", store, Some(v1))))
+      // run 1, resolved through the PIN and materialized BEFORE the
+      // live mutation (localCheckpoint — the "last week" run completed)
+      val r1 = pretrainNearDupPipeline(
+        Catalog.stateTable(s, cat, "pretrain-corpus@v1"), "l65.reps")
+        .localCheckpoint()
+      // mutate the LIVE corpus: a junk tranche that would alter exact
+      // dedup (duplicate texts), the near-dup components, the quality
+      // gates, and the split counts if a resolve leaked to live
+      val junk = all.select((col("doc_id") + 10000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      StateTable.publish(
+        StateTable.read(s, store).unionByName(junk), store)
+      // run 2: a FRESH pinned resolve, after the mutation (checkpointed
+      // — three consumers below: two exceptAll sides and the output)
+      val pinned2 = Catalog.stateTable(s, cat, "pretrain-corpus@v1")
+      val r2 = pretrainNearDupPipeline(pinned2, "l65.reps").localCheckpoint()
+      val identical = r2.exceptAll(r1).isEmpty && r1.exceptAll(r2).isEmpty
+      val liveMutated = Catalog.stateTable(s, cat, "pretrain-corpus")
+        .count() > pinned2.count()
+      r2.withColumn("rerun_identical", lit(identical))
+        .withColumn("live_mutated", lit(liveMutated))
+        .orderBy(col("split"), col("source"))
+    },
+    Some(pretrainNearDupOracleSql(""",
+                   CAST(1 AS BOOLEAN) AS rerun_identical,
+                   CAST(1 AS BOOLEAN) AS live_mutated""")),
+    // Bench times the PRODUCTION shape — one catalog-resolved pinned
+    // pipeline pass over a session-cached store (the rerun comparison is
+    // the gate's invariant harness, not the operator)
+    bench = Some((s, dir) => {
+      val cat = dedupIndexBuilt.computeIfAbsent("l65b:" + dir, _ => {
+        val all = Tables(s, dir, "documents")
+        val store = annIndexRoot.resolve(
+          "l65bs_" + Integer.toHexString(dir.hashCode)).toString
+        val c = annIndexRoot.resolve(
+          "l65bc_" + Integer.toHexString(dir.hashCode)).toString
+        val v1 = StateTable.publish(all, store)
+        Catalog.registerAll(s, c, Seq(
+          ("pretrain-corpus@v1", "state-table", store, Some(v1))))
+        c
+      })
+      pretrainNearDupPipeline(
+        Catalog.stateTable(s, cat, "pretrain-corpus@v1"), "l65.reps")
+    }))
+
   /** Post-delete ANN index pair for l58, session-cached: `_1` = the
     * full-corpus int8 index with the vec_id % 10 == 7 slice DELETED
     * ([[Similarity.deleteFromIvfIndex]] — touched cell partitions
@@ -2246,5 +2339,5 @@ object LlmQueries {
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
     l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental,
     l60QuantileRollup, l61JlPqPipeline, l62PqIndexAppend, l63SnapshotRead,
-    l64CatalogSnapshotRead)
+    l64CatalogSnapshotRead, l65CatalogPinnedPipeline)
 }

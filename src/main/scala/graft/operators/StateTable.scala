@@ -48,16 +48,29 @@ object StateTable {
   /** Layout version tag, line 1 of every manifest (line 0 stays the
     * commit version — the protocol-wide convention [[ManifestCommit]]
     * readers depend on). A future layout change bumps the tag, so old
-    * stores fail LOUDLY at parse instead of being misread silently. */
+    * stores fail LOUDLY at parse instead of being misread silently.
+    * Stores written before tagging shipped (no tag line; fields one
+    * position earlier) are still readable: a generation name can never
+    * collide with the `graft-state-table/` prefix, so the legacy layout
+    * is unambiguous — a DIFFERENT tag under the prefix (a future
+    * layout) is the only loud-fail case. */
   private[graft] val FormatTag = "graft-state-table/1"
+  private val TagPrefix = "graft-state-table/"
 
   private def parse(lines: Array[String]): Manifest = {
-    require(lines.length > 1 && lines(1).trim == FormatTag,
-      s"unrecognized state-table manifest format " +
-        s"'${if (lines.length > 1) lines(1).trim else "<missing>"}' — " +
-        s"this reader understands $FormatTag (layout change?)")
-    Manifest(lines(0).trim.toLong, lines(2).trim,
-      Option(lines(3).trim).filter(s => s.nonEmpty && s != "-").map(_.toLong))
+    def opt(s: String): Option[Long] =
+      Option(s.trim).filter(x => x.nonEmpty && x != "-").map(_.toLong)
+    val tag = if (lines.length > 1) lines(1).trim else ""
+    if (tag == FormatTag)
+      Manifest(lines(0).trim.toLong, lines(2).trim,
+        if (lines.length > 3) opt(lines(3)) else None)
+    else if (tag.startsWith(TagPrefix))
+      throw new IllegalArgumentException(
+        s"unrecognized state-table manifest format '$tag' — this reader " +
+          s"understands $FormatTag (layout change?)")
+    else // pre-tag legacy layout: version, gen, batchId
+      Manifest(lines(0).trim.toLong, lines(1).trim,
+        if (lines.length > 2) opt(lines(2)) else None)
   }
 
   private def serialize(m: Manifest): Seq[String] = Seq(

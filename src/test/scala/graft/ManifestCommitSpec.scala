@@ -27,6 +27,24 @@ class GraftTestAbstractFs(uri: URI, conf: Configuration)
   extends org.apache.hadoop.fs.DelegateToFileSystem(
     uri, new GraftTestFs(), conf, "graftfs", false)
 
+/** A TRANSLATING local-backed wrapper (chroot-style): FS operations land
+  * under a shifted OS prefix while `toUri.getPath` still names the
+  * unshifted path — the scheme shape the hard-link owner must REFUSE
+  * (its link(2) would claim at the wrong OS location while reads go
+  * through the FS's mapping; round-14 ADVICE). */
+object ChrootFsRoot {
+  lazy val prefix: String =
+    java.nio.file.Files.createTempDirectory("graft_chroot").toString
+}
+class ChrootRawFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: URI = URI.create("chrootfs:///")
+  override def pathToFile(path: org.apache.hadoop.fs.Path): java.io.File =
+    new java.io.File(ChrootFsRoot.prefix + super.pathToFile(path).getPath)
+}
+class ChrootFs extends org.apache.hadoop.fs.LocalFileSystem(new ChrootRawFs()) {
+  override def getScheme: String = "chrootfs"
+}
+
 /** Laws of the shared Hadoop-FS manifest-commit module, plus the
   * store-level concurrency behaviors built on it. */
 class ManifestCommitSpec extends SparkSpec {
@@ -403,6 +421,86 @@ class ManifestCommitSpec extends SparkSpec {
       s"error must name the unknown format: ${e.getMessage}")
   }
 
+  test("a translating local-backed scheme fails LOUDLY at owner resolution — the hard-link claim never lands at a remapped path") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.chrootfs.impl", classOf[ChrootFs].getName)
+    val e = intercept[IllegalStateException] {
+      ManifestCommit.ownerFor("chrootfs:" + tmp("chroot"))
+    }
+    assert(e.getMessage.contains("registerOwner"),
+      s"the error must point at the registerOwner escape hatch: ${e.getMessage}")
+    // identity-mapped schemes keep resolving to the hard-link owner (the
+    // probe is once-per-scheme and must not break the default path)
+    assert(ManifestCommit.ownerFor("file:" + tmp("ident")).name == "hard-link")
+  }
+
+  test("legacy (pre-tag) manifests stay readable on all three stores; future tags still fail loudly") {
+    import spark.implicits._
+    // StateTable: a store written by the pre-round-14 binary — no tag
+    // line, fields one position earlier. Publish normally, then rewrite
+    // both manifest files in the legacy layout; reads must resolve the
+    // same generation and stamp.
+    val st = "file:" + tmp("legacy_st")
+    StateTable.publish((1 to 4).map(i => (i, "x")).toDF("k", "v"), st, Some(7L))
+    val m = StateTable.readManifest(st)
+    val local = st.stripPrefix("file:")
+    for (name <- Seq("MANIFEST", "MANIFEST.v1")) {
+      val w = new java.io.FileWriter(new java.io.File(local, name))
+      w.write(s"1\n${m.gen}\n7\n"); w.close()
+    }
+    assert(StateTable.readManifest(st) == m,
+      "legacy state-table layout must parse to the identical manifest")
+    assert(StateTable.read(spark, st).count() == 4)
+    assert(StateTable.lastBatchId(st).contains(7L))
+    // the first post-upgrade mutation re-serializes in the current layout
+    StateTable.publish((1 to 2).map(i => (i, "y")).toDF("k", "v"), st, Some(8L))
+    assert(ManifestCommit.readPointer(st)(1) == "graft-state-table/1")
+    // AnnStore legacy: version, cent, codebooks, segments, tombstones
+    val ann = "file:" + tmp("legacy_ann")
+    assert(ManifestCommit.tryCommit(ann, 1L,
+      Seq("1", "cent_1_aa", "-", "seg_1_aa,seg_2_bb", "")))
+    val am = AnnStore.read(ann)
+    assert(am == AnnStore.Manifest(1L, "cent_1_aa", None,
+      Seq("seg_1_aa", "seg_2_bb"), Nil, None), s"got $am")
+    // DedupIndex legacy: version, segments, tombstones, batchId — meta
+    // lived in the fixed meta/ directory
+    val dix = "file:" + tmp("legacy_dix")
+    assert(ManifestCommit.tryCommit(dix, 1L, Seq("1", "seg_1_cc", "", "3")))
+    val dm = DedupIndex.readManifest(dix)
+    assert(dm.meta == "meta" && dm.segments == Seq("seg_1_cc") &&
+      dm.tombstones.isEmpty && dm.batchId.contains(3L), s"got $dm")
+    // future layouts on the OTHER two stores fail loudly too (StateTable
+    // is pinned by the existing format-tag test)
+    val annF = "file:" + tmp("future_ann")
+    ManifestCommit.tryCommit(annF, 1L, Seq("1", "graft-ann-index/999", "c", "-", "", ""))
+    assert(intercept[IllegalArgumentException](AnnStore.read(annF))
+      .getMessage.contains("graft-ann-index/999"))
+    val dixF = "file:" + tmp("future_dix")
+    ManifestCommit.tryCommit(dixF, 1L, Seq("1", "graft-dedup-index/999", "m", "", "", "-"))
+    assert(intercept[IllegalArgumentException](DedupIndex.readManifest(dixF))
+      .getMessage.contains("graft-dedup-index/999"))
+  }
+
+  test("metrics: lost claims, pointer heals, and swap IO contention are counted (observable, not stderr-only)") {
+    val dir = "file:" + tmp("metrics")
+    val lost0 = ManifestCommit.metrics.get("claims_lost")
+    assert(ManifestCommit.tryCommit(dir, 1L, Seq("1", "a")))
+    assert(!ManifestCommit.tryCommit(dir, 1L, Seq("1", "b")))
+    assert(ManifestCommit.metrics.get("claims_lost") >= lost0 + 1,
+      "a lost version claim must increment claims_lost")
+    // fabricate a lagging pointer (crashed writer): the healing read is
+    // counted, so production can SEE cross-process pointer lag
+    val hc = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.v2")
+    val out = p.getFileSystem(hc).create(p, false)
+    out.write("2\na,b\n".getBytes("UTF-8")); out.close()
+    val heals0 = ManifestCommit.metrics.get("pointer_heals")
+    assert(ManifestCommit.readPointer(dir).toSeq == Seq("2", "a,b"))
+    assert(ManifestCommit.metrics.get("pointer_heals") >= heals0 + 1,
+      "a read that resolved the log past a stale pointer must count a heal")
+    assert(ManifestCommit.metrics.snapshot.contains("claims_lost"))
+  }
+
   test("concurrent overlapping ANN deletes: counts stay posting-exact (no double-decrement)") {
     import spark.implicits._
     // two racing deleteFromIvfIndex calls with OVERLAPPING id sets — the
@@ -514,6 +612,61 @@ class ManifestCommitSpec extends SparkSpec {
     val centSum = AnnStore.centroids(spark, dir)
       .agg(sum($"n_vectors")).collect()(0).getLong(0)
     assert(centSum == posted, s"counts $centSum must match postings $posted")
+  }
+
+  test("vacuum vs pinned snapshot readers: retention keeps them whole; a reclaimed version fails LOUDLY, never partial rows") {
+    import spark.implicits._
+    // the Delta-documented contract this store shares: a snapshot reader
+    // is safe iff its version is inside the vacuum retention window —
+    // "retention ≥ max query duration" (SCALE.md). Outside it, the
+    // failure mode must be a loud missing-file error, NEVER partial rows
+    // (ignoreMissingFiles=false is the Spark default this relies on).
+    assert(spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false",
+      "partial-row protection rests on the ignoreMissingFiles default")
+    def isLoudMissingFile(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+          String.valueOf(c.getMessage)
+            .matches("(?s).*(FILE_NOT_FOUND|does not exist|PATH_NOT_FOUND).*"))
+    val dir = "file:" + tmp("vacpin")
+    DedupIndex.build(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir)
+    val v1 = DedupIndex.readManifest(dir).version
+    val n1 = DedupIndex.readBandsAt(spark, dir, v1).count()
+    // a COMPACT replaces the segment list; a reader pinned at v1 (and
+    // one that already opened its DataFrame) keeps its generation —
+    // directories are immutable, mutations only write fresh ones
+    val dfPre = DedupIndex.readBandsAt(spark, dir, v1)
+    DedupIndex.compact(spark, dir)
+    assert(dfPre.count() == n1,
+      "a DataFrame opened before the compact must keep seeing its generation")
+    // retention window honored: retainVersions=1 keeps v1 readable
+    DedupIndex.vacuum(dir, retainVersions = 1, minAgeMs = 0L)
+    assert(DedupIndex.readBandsAt(spark, dir, v1).count() == n1,
+      "a retained snapshot version must stay byte-identically readable")
+    // age the snapshot out: another mutation + a zero-retention vacuum
+    DedupIndex.append(docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", dir)
+    DedupIndex.vacuum(dir, retainVersions = 0, minAgeMs = 0L)
+    // (a) a FRESH snapshot read of the reclaimed version: loud FNF at
+    // manifest resolution
+    intercept[java.io.FileNotFoundException] {
+      DedupIndex.readBandsAt(spark, dir, v1)
+    }
+    // (b) the PRE-OPENED DataFrame whose segment the vacuum reclaimed:
+    // loud missing-file failure at scan time — never a partial count
+    val e = intercept[Throwable] { dfPre.count() }
+    assert(isLoudMissingFile(e),
+      s"an aged-out pinned reader must fail loudly, got: ${e.getMessage}")
+    // StateTable readAt shares the law (one commit module, one contract)
+    val st = "file:" + tmp("vacpin_st")
+    StateTable.publish((1 to 3).map(i => (i, "a")).toDF("k", "v"), st)
+    StateTable.publish((1 to 5).map(i => (i, "b")).toDF("k", "v"), st)
+    StateTable.vacuum(st, retainVersions = 0, minAgeMs = 0L)
+    intercept[java.io.FileNotFoundException] {
+      StateTable.readAt(spark, st, 1L)
+    }
+    // the live read is untouched by either vacuum
+    assert(StateTable.read(spark, st).count() == 5)
+    assert(DedupIndex.readBands(spark, dir).count() > 0)
   }
 
   test("non-default FS scheme: a DedupIndex lives end-to-end under graftfs:// (commit plane AND data plane)") {
