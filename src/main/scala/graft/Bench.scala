@@ -155,6 +155,8 @@ object Bench {
       // pushed IN to one [min,max] range (see Engine.session)
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "600")
       .config("spark.sql.session.timeZone", "UTC")
+      // the persisted-tier SQL surface (graft_dedup_bands etc.) — l66
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,6 +32,10 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL surface over the persisted tiers: graft_dedup_bands /
+      // graft_ann_postings / graft_state / graft_table table functions
+      // (snapshot version as a trailing arg) — see graft.sql
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       // point-probe IN pushdown (DedupIndex.withProbeKeys): above this
       // threshold Spark degrades a pushed IN to a [min,max] range
       // filter, which uniform 64-bit band keys render useless. Every

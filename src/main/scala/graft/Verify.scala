@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // keep typed-Aggregator top-k hash-based (see Engine.session)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // the persisted-tier SQL surface (graft_dedup_bands etc.) — l66
+      .config("spark.sql.extensions", "graft.sql.GraftSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

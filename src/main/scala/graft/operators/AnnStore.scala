@@ -138,7 +138,7 @@ object AnnStore {
   def centroids(spark: SparkSession, dir: String): DataFrame =
     centroids(spark, dir, read(dir))
 
-  private[operators] def centroids(
+  private[graft] def centroids(
       spark: SparkSession, dir: String, m: Manifest): DataFrame =
     spark.read.parquet(s"$dir/${m.cent}")
 
@@ -163,7 +163,7 @@ object AnnStore {
   def postings(spark: SparkSession, dir: String): DataFrame =
     postings(spark, dir, read(dir))
 
-  private[operators] def postings(
+  private[graft] def postings(
       spark: SparkSession, dir: String, m: Manifest): DataFrame = {
     val segs = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
       .reduce(_.unionByName(_))

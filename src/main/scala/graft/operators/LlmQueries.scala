@@ -1835,6 +1835,27 @@ object LlmQueries {
         Catalog.stateTable(s, cat, "pretrain-corpus@v1"), "l65.reps")
     }))
 
+  /** L: SQL SURFACE over the persisted tiers, driver-gated — the l63
+    * snapshot read expressed as PLAIN SQL through the
+    * [[graft.sql.GraftSqlExtensions]] table functions ("a user types
+    * SQL at it", the round-14 verdict's stretch ask): the band table of
+    * the mutated index, read AT the pre-mutation version via
+    * `graft_dedup_bands('dir', v)` and aggregated entirely in SQL. Must
+    * hash-match l63's oracle exactly — proving the TVF expands to the
+    * same logical plan (same snapshot, same pruning) as the Scala API,
+    * with the version pin riding as a function argument. */
+  val l66SqlSurface = Q(
+    "l66_sql_surface",
+    (s, dir) => {
+      val (idx, v1) = dedupIndexSnap(s, dir)
+      s.sql(
+        s"""SELECT doc_id, count(*) AS n_bands
+            FROM graft_dedup_bands('$idx', $v1)
+            GROUP BY doc_id ORDER BY doc_id""")
+    },
+    Some("""SELECT doc_id, CAST(8 AS BIGINT) AS n_bands FROM documents
+            WHERE doc_id % 2 = 0 AND text IS NOT NULL ORDER BY doc_id"""))
+
   /** Post-delete ANN index pair for l58, session-cached: `_1` = the
     * full-corpus int8 index with the vec_id % 10 == 7 slice DELETED
     * ([[Similarity.deleteFromIvfIndex]] — touched cell partitions
@@ -2339,5 +2360,5 @@ object LlmQueries {
     l54SketchRollup, l55DedupGroupsIndexed, l56JlAnnRecall,
     l57DedupIndexDelete, l58AnnIndexDelete, l59DedupGroupsIncremental,
     l60QuantileRollup, l61JlPqPipeline, l62PqIndexAppend, l63SnapshotRead,
-    l64CatalogSnapshotRead, l65CatalogPinnedPipeline)
+    l64CatalogSnapshotRead, l65CatalogPinnedPipeline, l66SqlSurface)
 }
