@@ -100,6 +100,7 @@ object Bench {
     "l40_fuzzy_decon",      // threshold decontamination (fraction-of-shingles rule)
     "l41_window_dedup",     // ExactSubstr window dedup + reconstruction
     "l42_dedup_index_query", // incremental near-dup dedup from the persisted band index
+    "l66_sql_surface",      // the same index tier served through plain SQL (TVF ≡ API plan)
     "l5_cosine_topk",       // brute-force ANN baseline
     "l6_cosine_neardup",    // banded near-dup on the doubled corpus
     "l13_lsh_topk",         // LSH ANN (sqrt-scaled buckets)

@@ -323,7 +323,24 @@ object DedupIndex {
       .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
     val index = withProbeKeys(probe, keyPushdownCap,
       readBands(spark, dir).where(col("bprefix").isin(prefixes: _*)))
-    val hit = probe.join(index, Seq("bprefix", "band", "bkey"))
+    // SERVING-SHAPE JOIN SIDE (round-15, root-caused at 10⁷): the probe
+    // must be the BROADCAST side whenever it is batch-sized, or the
+    // plan sort-merges — shuffling the ENTIRE index scan (the 10⁷ sweep
+    // measured a ~26 GB band-table shuffle + sort spill for a 50-doc
+    // probe before AQE's late BHJ conversion could help: the big side's
+    // shuffle write already happened; at 10⁶ it fit in page cache and
+    // hid). The probe is already materialized (the prefix collect ran
+    // it), so its exact row count is one cheap job on checkpointed
+    // blocks — broadcast below the bound (~250 B/row ⇒ ≤ ~256 MB
+    // payload, the serving and daily-ingest shapes), and above it keep
+    // the planner's shuffle: a corpus-sized probe genuinely needs one,
+    // and broadcasting gigabytes to every executor would be worse.
+    val probeBands = probe.count()
+    val broadcastCap = spark.conf
+      .get(BroadcastProbeCapKey, BroadcastProbeMaxRows.toString).toLong
+    val probeSide =
+      if (probeBands <= broadcastCap) broadcast(probe) else probe
+    val hit = probeSide.join(index, Seq("bprefix", "band", "bkey"))
       .where(col("doc_id") =!= col("__qid"))
       .where(Dedup.estJaccard(col("__qsig"), col("sig"), k) >= threshold)
       .select(col("__qid").as(idCol)).distinct()
@@ -627,6 +644,20 @@ object DedupIndex {
     * Spark degrades the pushed IN to one [min,max] range, which uniform
     * hash keys render useless. */
   private[graft] val InKeyCap = 512
+
+  /** Probe band rows above which [[query]]'s probe side is NOT
+    * broadcast (≈250 B/row ⇒ ~256 MB payload at the bound — comfortably
+    * inside executor memory, far past any serving or daily-ingest
+    * batch; a corpus-sized probe keeps the planner's shuffle join).
+    * Overridable per session via [[BroadcastProbeCapKey]] — the seam
+    * the branch-equivalence spec uses to force the shuffle form at
+    * spec scale, and an operator's escape hatch for executors with
+    * unusually tight broadcast memory. */
+  private[graft] val BroadcastProbeMaxRows = 1000000L
+
+  /** Session-conf key overriding [[BroadcastProbeMaxRows]]. */
+  private[graft] val BroadcastProbeCapKey =
+    "graft.dedupIndex.broadcastProbeMaxRows"
 
   /** Point-probe pushdown — the serving shape's IO lever: when the
     * probe names at most `cap` distinct band keys (a small batch

@@ -65,6 +65,31 @@ class DedupIndexSpec extends SparkSpec {
       s"expected bprefix partition filters in the index scan:\n${plan.take(1500)}")
   }
 
+  test("query broadcasts a batch-sized probe; shuffle branch is result-identical") {
+    import spark.implicits._
+    // the round-15 10⁷ root cause: without the probe-side broadcast the
+    // planner sort-merges, shuffling the ENTIRE index scan for a
+    // 500-doc probe (26 GB spill at 10⁷ — AQE's BHJ conversion lands
+    // after the big side's shuffle write). Pin (a) the default plan
+    // broadcasts the probe, (b) forcing the over-cap branch through the
+    // session conf yields the identical survivor set.
+    val dir = java.nio.file.Files.createTempDirectory("dix_bcast").toString
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 =!= 0)
+    DedupIndex.build(corpus, "doc_id", "text", dir)
+    val q = DedupIndex.query(incoming, "doc_id", "text", dir)
+    assert(q.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "batch-sized probe must be the broadcast side of the index join")
+    val broadcast = q.select($"doc_id").collect().map(_.getLong(0)).toSet
+    spark.conf.set(DedupIndex.BroadcastProbeCapKey, "-1")
+    try {
+      val shuffled = DedupIndex.query(incoming, "doc_id", "text", dir)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      assert(shuffled == broadcast,
+        "shuffle-branch survivors diverged from the broadcast branch")
+    } finally spark.conf.unset(DedupIndex.BroadcastProbeCapKey)
+  }
+
   test("ingestFold ≡ naive query+append composition; probe-row reuse writes identical bands") {
     import spark.implicits._
     val batches = (0 to 3).map(i => docs.filter(pmod($"doc_id", lit(4)) === i))
