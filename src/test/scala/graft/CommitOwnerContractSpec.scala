@@ -46,16 +46,35 @@ class MockNnAbstractFs(uri: URI, conf: Configuration)
 object MockObjectStore {
   private val keys =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val lock = new Object
   /** The store API call a [[ManifestCommit.ConditionalPutOwner]] wraps:
-    * atomically create `dst` with `bytes` iff absent. */
+    * atomically create `dst` with `bytes` iff absent.
+    *
+    * Two visibility laws a REAL store's conditional PUT provides, which
+    * the first cut of this mock broke (the protocol found it: a loser's
+    * `exists()` fast-path read a 0-byte manifest mid-write and handed
+    * commitLoop an empty base):
+    *   - all-or-nothing blob: a reader sees the complete object or no
+    *     object — never a torn one. Modeled by writing a side tmp and
+    *     renaming it in (atomic visibility on the local blob backing);
+    *     `f.create(dst)` exposed an empty dst for the whole write.
+    *   - loser-implies-visible: a PUT that loses the condition loses
+    *     only AGAINST A COMPLETED winner (S3 evaluates If-None-Match at
+    *     completion, strong read-after-write), so a reader acting on
+    *     "false" finds the winner's object. Modeled by one store lock
+    *     around decide+publish — the single-server serialization the
+    *     scaladoc above already claimed. */
   def conditionalPut(f: FileSystem, dst: Path, bytes: Array[Byte]): Boolean =
-    if (keys.putIfAbsent(dst.toString, java.lang.Boolean.TRUE) != null) false
-    else {
-      // winner decided; the object materializes complete before the PUT
-      // "returns" (a real store's PUT is all-or-nothing by API contract)
-      val out = f.create(dst, false)
-      try out.write(bytes) finally out.close()
-      true
+    lock.synchronized {
+      if (keys.putIfAbsent(dst.toString, java.lang.Boolean.TRUE) != null) false
+      else {
+        val tmp = new Path(dst.getParent,
+          dst.getName + ".puttmp." + java.util.UUID.randomUUID().toString.take(8))
+        val out = f.create(tmp, false)
+        try out.write(bytes) finally out.close()
+        require(f.rename(tmp, dst), s"mock blob publish rename failed: $tmp -> $dst")
+        true
+      }
     }
 }
 
