@@ -43,9 +43,19 @@ object PqCodebooks {
     * `Similarity.refineCentroids`): the sample arrives in a total order
     * (xxhash64(vec_id), vec_id), seeds are strided picks from that
     * order, assignment ties break first-min, means are summed in sample
-    * order on ONE thread — every run of the same corpus yields
-    * bit-identical codebooks, which is what lets specs pin build/serve
-    * parity and lets an appended index reuse persisted codebooks.
+    * order on ONE THREAD PER SUBSPACE — every run of the same corpus
+    * yields bit-identical codebooks, which is what lets specs pin
+    * build/serve parity and lets an appended index reuse persisted
+    * codebooks. The m subspaces are arithmetically INDEPENDENT (each
+    * reads its own sample columns, writes its own `flat` range, and
+    * its Lloyd trajectory never observes another's), so running them
+    * on parallel threads reorders nothing within any subspace — the
+    * round-15 fix for this being ~1.5 s of single-thread DRIVER time
+    * inside every PQ index build (iters·m·n·ks·dsub ≈ 1.6·10⁹ madds at
+    * the defaults; guide §5 — the driver should do almost no data
+    * work; the full fix would train distributed, but at a 16 K-row
+    * bounded sample the parallel driver loop reaches the same wall
+    * with zero new shuffle surface).
     *
     * `ks` self-caps at the sample size (a tiny corpus cannot support
     * 256 codewords per subspace); empty clusters keep their previous
@@ -59,36 +69,33 @@ object PqCodebooks {
     val ks = math.min(ks0, n)
     val flat = new Array[Double](m * ks * dsub)
     val stride = math.max(1, n / ks)
-    // seed: strided picks from the hash-ordered sample, per subspace
-    var sub = 0
-    while (sub < m) {
+    // one independent k-means per subspace: seed from strided picks of
+    // the hash-ordered sample, then `iters` Lloyd passes (assign
+    // first-min, mean in sample order) — all state (assign/sums/cnts)
+    // is subspace-local, and the subspace's flat range is disjoint
+    def trainSub(sub: Int): Unit = {
+      val base = sub * ks * dsub
       var c = 0
       while (c < ks) {
         val src = sample((c * stride) % n)
         var j = 0
         while (j < dsub) {
-          flat(((sub * ks) + c) * dsub + j) = src(sub * dsub + j).toDouble
+          flat(base + c * dsub + j) = src(sub * dsub + j).toDouble
           j += 1
         }
         c += 1
       }
-      sub += 1
-    }
-    // Lloyd: assign (first-min) then mean, per subspace, fixed order
-    val assign = new Array[Int](n)
-    val sums = new Array[Double](ks * dsub)
-    val cnts = new Array[Int](ks)
-    var it = 0
-    while (it < iters) {
-      sub = 0
-      while (sub < m) {
-        val base = sub * ks * dsub
+      val assign = new Array[Int](n)
+      val sums = new Array[Double](ks * dsub)
+      val cnts = new Array[Int](ks)
+      var it = 0
+      while (it < iters) {
         var i = 0
         while (i < n) {
           val v = sample(i)
           var best = 0
           var bestD = Double.MaxValue
-          var c = 0
+          c = 0
           while (c < ks) {
             var dist = 0.0
             var j = 0
@@ -107,16 +114,16 @@ object PqCodebooks {
         java.util.Arrays.fill(cnts, 0)
         i = 0
         while (i < n) {
-          val c = assign(i)
-          cnts(c) += 1
+          val cc = assign(i)
+          cnts(cc) += 1
           var j = 0
           while (j < dsub) {
-            sums(c * dsub + j) += sample(i)(sub * dsub + j).toDouble
+            sums(cc * dsub + j) += sample(i)(sub * dsub + j).toDouble
             j += 1
           }
           i += 1
         }
-        var c = 0
+        c = 0
         while (c < ks) {
           if (cnts(c) > 0) {
             var j = 0
@@ -127,10 +134,14 @@ object PqCodebooks {
           } // empty cluster: keep previous codeword
           c += 1
         }
-        sub += 1
+        it += 1
       }
-      it += 1
     }
+    // parallel across subspaces only — bit-identical to the sequential
+    // order (disjoint reads/writes per subspace, see scaladoc); the
+    // commonPool join provides the happens-before edge that publishes
+    // every subspace's flat range before construction below
+    java.util.stream.IntStream.range(0, m).parallel().forEach(trainSub(_))
     PqCodebooks(flat, m, ks, dsub)
   }
 

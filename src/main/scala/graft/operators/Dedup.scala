@@ -814,6 +814,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Canonical edge count at or under which a components closure runs
+    * as a driver-side union-find over already-materialized checkpoint
+    * rows instead of distributed star contraction — a BOUNDED transfer
+    * (≤ cap × 16 B ≈ 64 KB) that replaces 2-4 rounds of shuffled aggs
+    * with one collect on any deployment, local or cluster. Shared by
+    * [[connectedComponentsStars]] and [[incrementalComponents]];
+    * session-overridable via [[DriverUnionFindCapKey]] (the seam the
+    * branch-equality specs force each side with). */
+  private[graft] val DriverUnionFindMaxEdges = 4096L
+
+  /** Session-conf key overriding [[DriverUnionFindMaxEdges]]. */
+  private[graft] val DriverUnionFindCapKey =
+    "graft.components.driverUnionFindMaxEdges"
+
+  private def driverUnionFindCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(DriverUnionFindCapKey, DriverUnionFindMaxEdges.toString).toLong
+
+  /** Min-id union-find over a collected edge list — the driver-side
+    * closure both sub-floor branches run: returns the component label
+    * (= smallest member id, the star forest's center convention) for
+    * every edge endpoint. Path-compressing find; union roots keep the
+    * MINIMUM, so labels match [[connectedComponentsStars]] exactly
+    * (DedupSpec pins the equality on shared inputs). */
+  private def unionFindMinLabels(es: Array[(Long, Long)]): Long => Long = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min-id root — the closure's label convention
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    find
+  }
+
   /** Connected components over undirected near-dup pairs — the step
     * that turns PAIR output (l2/l3/l4/l6) into dedup GROUPS: near-dup
     * is not transitive (a~b, b~c does not imply a~c), so keeping "one
@@ -889,33 +930,21 @@ object Dedup {
     // contracted graph is usually a few hundred edges, and the
     // distributed star-contraction's fixed round overhead (~3 s of an
     // 8 s run at 10⁶ corpus / 58 delta edges, BENCH_LOCAL round-12)
-    // dwarfs the work — at or under 4096 edges a driver-side union-find
-    // over the ALREADY-MATERIALIZED checkpoint rows produces the
-    // min-id labels by the same definition (provably identical output,
-    // not a heuristic; DedupSpec pins both branches on one input). The
-    // count is a metadata read of the checkpoint, not an extra job.
+    // dwarfs the work — at or under [[DriverUnionFindMaxEdges]] edges a
+    // driver-side union-find over the ALREADY-MATERIALIZED checkpoint
+    // rows produces the min-id labels by the same definition (provably
+    // identical output, not a heuristic; DedupSpec pins both branches
+    // on one input). The count is a metadata read of the checkpoint,
+    // not an extra job.
     val nEdges = edges.count()
     val spark = deltaEdges.sparkSession
     val relabel =
-      if (nEdges <= 4096 && nEdges > 0) {
+      if (nEdges <= driverUnionFindCap(spark) && nEdges > 0) {
         val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        es.foreach { case (a, b) =>
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { // min-id root — the closure's label convention
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
+        val labelOf = unionFindMinLabels(es)
         val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
         import spark.implicits._
-        nodes.map(nd => (nd, find(nd))).toSeq.toDF("id", "comp")
+        nodes.map(nd => (nd, labelOf(nd))).toSeq.toDF("id", "comp")
       } else if (nEdges == 0) {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("id", "comp")
@@ -1125,6 +1154,54 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var nEdges = edges.count()
+    // SUB-FLOOR SKIP (round-15, guide §1.2: fix the distributed
+    // algorithm where the work no longer justifies it): the same
+    // engageCap discipline [[incrementalComponents]] has carried since
+    // round-12, now on the FULL closure — a bench-scale or sparse pair
+    // graph at ≤ [[DriverUnionFindMaxEdges]] canonical edges pays 2-4
+    // star-contraction rounds of fixed per-round overhead (≥6 jobs:
+    // two shuffled aggs, two distincts, checkpoint, count, anti-join
+    // probe — measured ~1.5-2 s of l26's 3.9 s at sf0.1) to close a
+    // graph a driver union-find over the ALREADY-MATERIALIZED
+    // checkpoint rows (≤ cap × 16 B collected) closes in microseconds
+    // with provably identical min-id labels (DedupSpec pins branch
+    // equality on one input; the union-find's min-root rule IS the
+    // star forest's center convention). At 100 TB the pair graph is
+    // orders past the cap and the distributed path runs unchanged —
+    // the cap is a bounded-transfer floor, not a local-mode tune
+    // (session-overridable via [[DriverUnionFindCapKey]]; the
+    // branch-equality spec forces each side with it). Non-integral id
+    // types (never produced by the declared operators) keep the
+    // distributed path — the driver map is keyed on Long.
+    val integralIds = Seq(edges.schema("u").dataType, edges.schema("v").dataType)
+      .forall {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    val spark = pairs.sparkSession
+    if (nEdges > 0 && nEdges <= driverUnionFindCap(spark) && integralIds) {
+      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      freeCheckpoint(edges)
+      val labelOf = unionFindMinLabels(es)
+      import spark.implicits._
+      val lmap = es.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+        .map(nd => (nd, labelOf(nd))).toDF("__lid", "__lcomp")
+      val idType = nodes.schema("id").dataType
+      // one broadcast join labels every node; edge-free nodes (self-pair
+      // endpoints) miss the map and label themselves, same as the
+      // distributed branch's left-join coalesce
+      val labels = nodes
+        .join(broadcast(lmap), col("id").cast("long") === col("__lid"), "left")
+        .select(col("id"),
+          coalesce(col("__lcomp").cast(idType), col("id")).as("comp"))
+        .localCheckpoint()
+      freeCheckpoint(nodes)
+      return graft.Checkpoints.adopt("dedup.connectedComponentsStars.labels", labels)
+    }
     var iter = 0
     var converged = nEdges == 0L
     while (!converged && iter < maxIter) {

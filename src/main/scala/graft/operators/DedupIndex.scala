@@ -318,9 +318,16 @@ object DedupIndex {
           posexplode(Dedup.lshBandKeys(col("__qsig"), bands, k / bands))
             .as(Seq("band", "bkey")))
         .withColumn("bprefix", pmod(col("bkey"), lit(256L)).cast("int")))
-    // ≤ 256 distinct values by construction — driver-bounded
-    val prefixes = probe.select(col("bprefix")).distinct()
-      .collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+    // ≤ 256 groups by construction — driver-bounded. One job yields
+    // BOTH probe-side scalars the serving path needs: the prefix list
+    // for partition pruning AND the total probe band-row count the
+    // broadcast decision below reads (round-15: the count was its own
+    // job over the same checkpointed blocks — fused, one scan fewer
+    // per probe).
+    val prefixCounts = probe.groupBy(col("bprefix"))
+      .agg(count(lit(1)).as("n")).collect()
+    val prefixes = prefixCounts.map(r => Integer.valueOf(r.getInt(0))).toSeq
+    val probeBands = prefixCounts.map(_.getLong(1)).sum
     val index = withProbeKeys(probe, keyPushdownCap,
       readBands(spark, dir).where(col("bprefix").isin(prefixes: _*)))
     // SERVING-SHAPE JOIN SIDE (round-15, root-caused at 10⁷): the probe
@@ -329,13 +336,11 @@ object DedupIndex {
     // measured a ~26 GB band-table shuffle + sort spill for a 50-doc
     // probe before AQE's late BHJ conversion could help: the big side's
     // shuffle write already happened; at 10⁶ it fit in page cache and
-    // hid). The probe is already materialized (the prefix collect ran
-    // it), so its exact row count is one cheap job on checkpointed
-    // blocks — broadcast below the bound (~250 B/row ⇒ ≤ ~256 MB
+    // hid). The probe's exact row count rode the prefix-collect job
+    // above — broadcast below the bound (~250 B/row ⇒ ≤ ~256 MB
     // payload, the serving and daily-ingest shapes), and above it keep
     // the planner's shuffle: a corpus-sized probe genuinely needs one,
     // and broadcasting gigabytes to every executor would be worse.
-    val probeBands = probe.count()
     val broadcastCap = spark.conf
       .get(BroadcastProbeCapKey, BroadcastProbeMaxRows.toString).toLong
     val probeSide =

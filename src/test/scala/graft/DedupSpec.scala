@@ -224,9 +224,12 @@ class DedupSpec extends SparkSpec {
     }
     val longChain = (1L to 500L).sliding(2).map(s => (s.head, s.last)).toSeq
       .toDF("id_a", "id_b")
-    intercept[IllegalArgumentException] {
+    // force the DISTRIBUTED branch (499 edges would take the sub-floor
+    // driver union-find, which has no round budget to exhaust)
+    spark.conf.set(graft.operators.Dedup.DriverUnionFindCapKey, "0")
+    try intercept[IllegalArgumentException] {
       graft.operators.Dedup.connectedComponents(longChain, "id_a", "id_b", maxIter = 1)
-    }
+    } finally spark.conf.unset(graft.operators.Dedup.DriverUnionFindCapKey)
     // ...and the same chain converges with the default budget
     val full = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -271,6 +274,38 @@ class DedupSpec extends SparkSpec {
     val selfComp = Dedup.connectedComponentsStars(selfy, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(selfComp == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("star-contraction CC: sub-floor driver union-find ≡ distributed branch on shared inputs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // every shape above runs the ≤4096-edge driver branch by default
+    // (round-15 sub-floor skip); this spec pins the branch-equality law
+    // the skip rests on — the SAME input closed by both branches, the
+    // conf seam forcing each side (the BroadcastProbeCap discipline)
+    val shapes = Seq(
+      // chain + clique + singleton-ish mixture
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+        (20L, 21L), (21L, 22L), (20L, 22L), (30L, 30L)),
+      // seeded random graph (duplicate edges, self-loops, both orders)
+      Seq.fill(400)((scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).nextInt(120).toLong, 0L)).zipWithIndex.map {
+        case ((a, _), i) =>
+          val rnd = new scala.util.Random(i)
+          (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong)
+      })
+    for (edges <- shapes) {
+      val df = edges.toDF("id_a", "id_b")
+      val byDriver = Dedup.connectedComponentsStars(df, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(Dedup.DriverUnionFindCapKey, "0")
+      val byStars =
+        try Dedup.connectedComponentsStars(df, "id_a", "id_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset(Dedup.DriverUnionFindCapKey)
+      assert(byDriver == byStars,
+        "driver union-find labels must equal the distributed closure's")
+    }
   }
 
   test("incremental CC: labels + delta edges ≡ full closure, on random splits") {
