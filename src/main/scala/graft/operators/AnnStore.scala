@@ -140,14 +140,18 @@ object AnnStore {
 
   private[graft] def centroids(
       spark: SparkSession, dir: String, m: Manifest): DataFrame =
-    spark.read.parquet(s"$dir/${m.cent}")
+    // centroid generations are write-once (mutations publish a fresh
+    // `cent_<v>_<hex>` dir) — resolve once per generation per session
+    GenerationCache.frame(spark, s"anncent|$dir|${m.cent}")(
+      spark.read.parquet(s"$dir/${m.cent}"))
 
   /** The live PQ codebook table (build-immutable). */
   def codebooks(spark: SparkSession, dir: String): DataFrame = {
     val m = read(dir)
     val cb = m.codebooks.getOrElse(
       sys.error(s"index at $dir has no codebook generation (int8 tier?)"))
-    spark.read.parquet(s"$dir/$cb")
+    GenerationCache.frame(spark, s"anncb|$dir|$cb")(
+      spark.read.parquet(s"$dir/$cb"))
   }
 
   /** The live posting view: a union of the manifest's segment scans
@@ -164,12 +168,18 @@ object AnnStore {
     postings(spark, dir, read(dir))
 
   private[graft] def postings(
-      spark: SparkSession, dir: String, m: Manifest): DataFrame = {
-    val segs = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
-      .reduce(_.unionByName(_))
-    tombstoned(spark, dir, m).fold(segs)(dead =>
-      segs.join(broadcast(dead), Seq("vec_id"), "left_anti"))
-  }
+      spark: SparkSession, dir: String, m: Manifest): DataFrame =
+    // segment/tombstone directories are write-once (UUID'd, committed
+    // by manifest swap), so the resolved relation — including the
+    // cell-partition discovery over every segment root — is reusable
+    // for the generation's lifetime; queries still scan the bytes
+    GenerationCache.frame(spark, s"annpost|$dir|${m.segments.mkString(",")}" +
+        s"|${m.tombstones.mkString(",")}") {
+      val segs = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
+        .reduce(_.unionByName(_))
+      tombstoned(spark, dir, m).fold(segs)(dead =>
+        segs.join(broadcast(dead), Seq("vec_id"), "left_anti"))
+    }
 
   /** The distinct tombstoned ids of a manifest — None when no delete is
     * outstanding (so callers can skip the anti-join/guard entirely). */

@@ -915,16 +915,23 @@ object Dedup {
     // anti-join against the corpus-scale label table
     val la = labels.select(col("id").as("id_a"), col("comp").as("ca"))
     val lb = labels.select(col("id").as("id_b"), col("comp").as("cb"))
-    val contracted = deltaEdges
-      .join(la, Seq("id_a"), "left")
-      .join(lb, Seq("id_b"), "left")
-      .select(
-        coalesce(col("ca"), col("id_a")).as("u"),
-        col("ca").isNull.as("u_raw"),
-        coalesce(col("cb"), col("id_b")).as("v"),
-        col("cb").isNull.as("v_raw"))
-    val edges = graft.Checkpoints.rotate("dedup.incremental.contracted",
-      contracted.select(col("u"), col("v")).filter(col("u") =!= col("v")))
+    // materialize the CONTRACTED edge table itself, not just its (u,v)
+    // projection: `rawNodes` below reads the u_raw/v_raw flags, and an
+    // unmaterialized `contracted` re-executed the ENTIRE delta-pair
+    // producer a second time for them — for the l59 shape that was the
+    // probe×index join, its partition-discovery listing and its pruned
+    // index scan, all run twice per maintenance cycle (round-15,
+    // measured: 2 listing jobs + 2 scan jobs per run collapsed to 1+1).
+    val contracted = graft.Checkpoints.rotate("dedup.incremental.contracted",
+      deltaEdges
+        .join(la, Seq("id_a"), "left")
+        .join(lb, Seq("id_b"), "left")
+        .select(
+          coalesce(col("ca"), col("id_a")).as("u"),
+          col("ca").isNull.as("u_raw"),
+          coalesce(col("cb"), col("id_b")).as("v"),
+          col("cb").isNull.as("v_raw")))
+    val edges = contracted.select(col("u"), col("v")).filter(col("u") =!= col("v"))
     // 2. close the contracted graph (touched comps + batch nodes only).
     // Sub-floor skip, the engageCap discipline: a daily append's
     // contracted graph is usually a few hundred edges, and the
@@ -934,18 +941,25 @@ object Dedup {
     // driver-side union-find over the ALREADY-MATERIALIZED checkpoint
     // rows produces the min-id labels by the same definition (provably
     // identical output, not a heuristic; DedupSpec pins both branches
-    // on one input). The count is a metadata read of the checkpoint,
-    // not an extra job.
-    val nEdges = edges.count()
+    // on one input). Count and fetch are ONE bounded job — limit(cap+1)
+    // over the checkpoint: a result of ≤ cap rows IS the complete edge
+    // list (limit dropped nothing, so which-rows nondeterminism never
+    // arises); cap+1 rows means "over the floor", the sample is
+    // discarded and the distributed closure runs (round-15 job fusion —
+    // the former count()+collect() pair was two scans of the blocks).
     val spark = deltaEdges.sparkSession
+    val cap = driverUnionFindCap(spark)
+    val sample =
+      if (cap < Int.MaxValue - 1) edges.limit(cap.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
     val relabel =
-      if (nEdges <= driverUnionFindCap(spark) && nEdges > 0) {
-        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (sample.length <= cap && sample.nonEmpty) {
+        val es = sample.map(r => (r.getLong(0), r.getLong(1)))
         val labelOf = unionFindMinLabels(es)
         val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
         import spark.implicits._
         nodes.map(nd => (nd, labelOf(nd))).toSeq.toDF("id", "comp")
-      } else if (nEdges == 0) {
+      } else if (sample.isEmpty && cap < Int.MaxValue - 1 && cap > 0) {
         import spark.implicits._
         Seq.empty[(Long, Long)].toDF("id", "comp")
       } else connectedComponents(edges, "u", "v")
@@ -1143,9 +1157,14 @@ object Dedup {
       pairs.select(col(aCol).as("u"), col(bCol).as("v")))
     // the every-endpoint output contract survives contraction via this
     // node set, not via the edge list (contraction keeps every node,
-    // but nodes from degenerate self-pairs (u == v) leave it)
+    // but nodes from degenerate self-pairs (u == v) leave it). NOT
+    // eagerly checkpointed (round-15): it is consumed exactly once — by
+    // the final labels join — in either branch, and p0 it derives from
+    // is already materialized, so an eager checkpoint here was one
+    // whole extra pass over the node set (compute distinct + write
+    // blocks + re-read) for zero reuse.
     val nodes = p0.select(col("u")).unionAll(p0.select(col("v").as("u")))
-      .distinct().select(col("u").as("id")).localCheckpoint()
+      .distinct().select(col("u").as("id"))
     // canonical directed edge list: u > v, self-loops dropped
     var edges = p0
       .filter(col("u") =!= col("v"))
@@ -1153,7 +1172,6 @@ object Dedup {
         least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
-    var nEdges = edges.count()
     // SUB-FLOOR SKIP (round-15, guide §1.2: fix the distributed
     // algorithm where the work no longer justifies it): the same
     // engageCap discipline [[incrementalComponents]] has carried since
@@ -1182,9 +1200,18 @@ object Dedup {
         case _ => false
       }
     val spark = pairs.sparkSession
-    if (nEdges > 0 && nEdges <= driverUnionFindCap(spark) && integralIds) {
-      val es = edges.select(col("u").cast("long"), col("v").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cap = driverUnionFindCap(spark)
+    // branch decision and edge fetch fused into ONE bounded job (see
+    // incrementalComponents): ≤ cap rows back means limit dropped
+    // nothing — the sample IS the complete canonical edge list; cap+1
+    // rows means over the floor, sample discarded, distributed path
+    val sample =
+      if (integralIds && cap > 0 && cap < Int.MaxValue - 1)
+        edges.select(col("u").cast("long"), col("v").cast("long"))
+          .limit(cap.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (sample.nonEmpty && sample.length <= cap) {
+      val es = sample.map(r => (r.getLong(0), r.getLong(1)))
       freeCheckpoint(edges)
       val labelOf = unionFindMinLabels(es)
       import spark.implicits._
@@ -1199,9 +1226,9 @@ object Dedup {
         .select(col("id"),
           coalesce(col("__lcomp").cast(idType), col("id")).as("comp"))
         .localCheckpoint()
-      freeCheckpoint(nodes)
       return graft.Checkpoints.adopt("dedup.connectedComponentsStars.labels", labels)
     }
+    var nEdges = edges.count()
     var iter = 0
     var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
@@ -1246,7 +1273,6 @@ object Dedup {
       .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
       .localCheckpoint()
     freeCheckpoint(edges)
-    freeCheckpoint(nodes)
     graft.Checkpoints.adopt("dedup.connectedComponentsStars.labels", labels)
   }
 }

@@ -184,13 +184,20 @@ object DedupIndex {
 
   private def readBands(spark: SparkSession, dir: String, m: Manifest): DataFrame = {
     require(m.segments.nonEmpty, s"dedup index at $dir has no segments")
-    val bands = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
-      .reduce(_ unionByName _)
-    if (m.tombstones.isEmpty) bands
-    else {
-      val dead = m.tombstones.map(t => spark.read.parquet(s"$dir/$t"))
-        .reduce(_ unionByName _).select(col("doc_id")).distinct()
-      bands.join(broadcast(dead), Seq("doc_id"), "left_anti")
+    // generation-keyed resolution cache: the file set behind a manifest
+    // is immutable (UUID'd write-once directories), so the listing /
+    // partition-discovery pass runs once per generation per session
+    // instead of once per read — data is still scanned per query
+    GenerationCache.frame(spark, s"dix|$dir|${m.segments.mkString(",")}" +
+        s"|${m.tombstones.mkString(",")}") {
+      val bands = m.segments.map(s => spark.read.parquet(s"$dir/$s"))
+        .reduce(_ unionByName _)
+      if (m.tombstones.isEmpty) bands
+      else {
+        val dead = m.tombstones.map(t => spark.read.parquet(s"$dir/$t"))
+          .reduce(_ unionByName _).select(col("doc_id")).distinct()
+        bands.join(broadcast(dead), Seq("doc_id"), "left_anti")
+      }
     }
   }
 
@@ -445,7 +452,7 @@ object DedupIndex {
     // resolve the manifest ONCE so the params and both join sides scan
     // the same generation (two resolves could straddle a compact/build)
     val m = readManifest(dir)
-    val k = spark.read.parquet(s"$dir/${m.meta}").collect()(0).getAs[Int]("k")
+    val k = metaAt(spark, dir, m.meta)._1
     val bandsT = readBands(spark, dir, m)
     val a = bandsT.select(col("band"), col("bkey"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
@@ -455,9 +462,14 @@ object DedupIndex {
     // sides shuffle every band row with its k-long signature payload
     // (~8k+64 B); the row count is a metadata-only parquet count when
     // nothing is tombstoned (and a counting scan when something is —
-    // compact to get the metadata fast path back).
+    // compact to get the metadata fast path back). The count of an
+    // immutable generation set is itself immutable — cached per
+    // generation, so repeat runs skip the footer-count job entirely.
+    val nBandRows = GenerationCache.scalar(spark,
+      s"dixcount|$dir|${m.segments.mkString(",")}|${m.tombstones.mkString(",")}")(
+      java.lang.Long.valueOf(bandsT.count())).longValue
     val (aj, bj) = Similarity.denseShuffleSides(a, b, Seq("band", "bkey"),
-      2L * bandsT.count(), 8 * k + 64)
+      2L * nBandRows, 8 * k + 64)
     aj.join(bj, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
@@ -606,11 +618,17 @@ object DedupIndex {
       },
       Set.empty, retainVersions, minAgeMs)
 
-  private def meta(df: DataFrame, dir: String): (Int, Int, Int) = {
-    val row = df.sparkSession.read
-      .parquet(s"$dir/${readManifest(dir).meta}").collect()(0)
-    (row.getAs[Int]("k"), row.getAs[Int]("bands"), row.getAs[Int]("shingle_n"))
-  }
+  private def meta(df: DataFrame, dir: String): (Int, Int, Int) =
+    metaAt(df.sparkSession, dir, readManifest(dir).meta)
+
+  /** The (k, bands, shingle_n) parameter row of a meta GENERATION —
+    * immutable once written (UUID'd dir, referenced by manifests), so
+    * the one-row collect runs once per generation per session. */
+  private def metaAt(spark: SparkSession, dir: String, metaDir: String): (Int, Int, Int) =
+    GenerationCache.scalar(spark, s"dixmeta|$dir|$metaDir") {
+      val row = spark.read.parquet(s"$dir/$metaDir").collect()(0)
+      (row.getAs[Int]("k"), row.getAs[Int]("bands"), row.getAs[Int]("shingle_n"))
+    }
 
   private def writeBands(
       docs: DataFrame,
