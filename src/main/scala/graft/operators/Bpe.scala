@@ -75,6 +75,100 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), initSyms(col("w")).as("syms"), col("freq"))
 
+  /** Distinct-word count at or under which training runs its merge
+    * rounds on the DRIVER over the collected (word, freq) table instead
+    * of one count-job + one rewrite-job per round — the
+    * [[Dedup.DriverUnionFindMaxEdges]] discipline applied to BPE: the
+    * word table is training's COMPLETE sufficient statistic, so at or
+    * under the cap the transfer is bounded (≤ cap rows of word+freq)
+    * and the loop is the same greedy argmax/rewrite with provably
+    * identical output (BpeSpec pins both branches on one corpus). At
+    * 100 TB the distinct vocabulary is orders past the cap and the
+    * distributed rounds run unchanged — this is a bounded-transfer
+    * floor, not a local-mode tune. 2^17 words ≈ a few MB collected;
+    * 24 rounds × 10⁵ words × ~15 symbols is millisecond-scale driver
+    * arithmetic vs ~48 scheduled jobs. */
+  private[graft] val DriverTrainMaxWords = 131072L
+
+  /** Session-conf key overriding [[DriverTrainMaxWords]] (0 forces the
+    * distributed path — the seam the branch-equality spec uses). */
+  private[graft] val DriverTrainCapKey = "graft.bpe.driverTrainMaxWords"
+
+  /** Spark/DuckDB/Python-compatible string order: UTF8 BINARY bytes
+    * (= code-point order), NOT Java's UTF-16 `compareTo`, which sorts
+    * supplementary characters differently — the argmax tie-break must
+    * match the distributed `orderBy` exactly. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-side merge loop — byte-identical semantics to the
+    * distributed rounds: overlapping pair counts weighted by freq,
+    * winner = (count desc, left asc, right asc) in UTF8-binary order,
+    * greedy non-overlapping rewrite via the SHARED [[mergePass]]. */
+  private def trainOnDriver(
+      words: Array[(String, Long)],
+      nMerges: Int,
+      minPairCount: Long): (ArrayBuffer[(Int, String, String, Long)], Array[IndexedSeq[String]]) = {
+    val syms: Array[IndexedSeq[String]] = words.map(_._1.map(_.toString))
+    val merges = new ArrayBuffer[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        val f = words(i)._2
+        var j = 0
+        while (j + 1 < s.length) {
+          counts.merge((s(j), s(j + 1)), f, _ + _)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null; var bc = Long.MinValue
+        counts.forEach { (p, c) =>
+          if (c > bc || (c == bc && (utf8Less(p._1, bl) ||
+              (p._1 == bl && utf8Less(p._2, br))))) {
+            bl = p._1; br = p._2; bc = c
+          }
+        }
+        if (bc < minPairCount) done = true
+        else {
+          merges += ((rank, bl, br, bc))
+          i = 0
+          while (i < syms.length) {
+            // rewrite only words that can contain the pair (cheap scan;
+            // mergePass allocates, the guard keeps untouched words free)
+            val s = syms(i)
+            var j = 0
+            var hit = false
+            while (!hit && j + 1 < s.length) {
+              hit = s(j) == bl && s(j + 1) == br
+              j += 1
+            }
+            if (hit) syms(i) = mergePass(s, bl, br)
+            i += 1
+          }
+          rank += 1
+        }
+      }
+    }
+    (merges, syms)
+  }
+
   /** Train `nMerges` BPE merges over `docs`' text; returns
     * (merges(rank, left, right, pair_count), final vocab(w, syms, freq)).
     * The vocab side is what the encode-consistency law checks against. */
@@ -89,6 +183,31 @@ object Bpe {
     import spark.implicits._
 
     var vocab = graft.Checkpoints.rotate("bpe.vocab", vocabTable(docs, textCol))
+
+    // SUB-FLOOR SKIP (round-15, guide §1.2): one bounded limit(cap+1)
+    // fetch decides the branch AND carries the whole working set — at
+    // or under the cap the 2-jobs-per-round distributed loop (~48
+    // scheduled jobs at the nMerges=24 default) collapses to driver
+    // arithmetic over the SAME sufficient statistic, with the rewrite
+    // pass shared (mergePass) and the argmax tie-break in the same
+    // UTF8-binary order. Above the cap the sample is discarded and the
+    // distributed rounds below run unchanged.
+    val cap = spark.conf
+      .get(DriverTrainCapKey, DriverTrainMaxWords.toString).toLong
+    if (cap > 0 && cap < Int.MaxValue - 1) {
+      val sample = vocab.select(col("w"), col("freq"))
+        .limit(cap.toInt + 1).collect()
+      if (sample.length <= cap) {
+        val words = sample.map(r => (r.getString(0), r.getLong(1)))
+        val (merges, syms) = trainOnDriver(words, nMerges, minPairCount)
+        val freshVocab = words.zip(syms)
+          .map { case ((w, f), ss) => (w, ss, f) }.toSeq
+          .toDF("w", "syms", "freq")
+        return (merges.toSeq.toDF("rank", "left", "right", "pair_count"),
+          graft.Checkpoints.rotate("bpe.vocab", freshVocab))
+      }
+    }
+
     val merges = new ArrayBuffer[(Int, String, String, Long)]
     var done = false
     var rank = 0

@@ -62,6 +62,28 @@ class BpeSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("driver and distributed training branches are identical (sub-floor law)") {
+    // default cap ≫ fixture vocab → driver loop; cap 0 forces the
+    // distributed per-round jobs. Merges AND final vocab must agree
+    // exactly — the same branch-equality pin the dedup closures carry.
+    val docs = Tables(spark, sf, "documents").limit(150)
+    def run(): (Seq[(Int, String, String, Long)], Set[(String, Seq[String], Long)]) = {
+      val (m, v) = Bpe.bpeTrainFull(docs, "text", nMerges = 12, minPairCount = 2)
+      (m.orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq,
+        v.collect().map(r =>
+          (r.getString(0), r.getSeq[String](1).toSeq, r.getLong(2))).toSet)
+    }
+    val fast = run()
+    spark.conf.set(Bpe.DriverTrainCapKey, "0")
+    try {
+      val dist = run()
+      assert(fast._1 === dist._1)
+      assert(fast._2 === dist._2)
+      assert(fast._1.nonEmpty)
+    } finally spark.conf.unset(Bpe.DriverTrainCapKey)
+  }
+
   test("null and empty text: zero stats, row survives") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "ab ab"))
       .toDF("doc_id", "text")
