@@ -363,8 +363,49 @@ object Bench {
     // or more, so a retry launched on a timer reads loadStart ≈ 5 and
     // gets mis-flagged as contaminated even on an otherwise idle box.
     // Wait until the load actually decays under the gate (bounded).
+    //
+    // Round-15 addition: a steal gate. An IDLE probe cannot see a
+    // hypervisor neighbor — steal jiffies accrue only while our vCPUs
+    // are RUNNABLE, so a box that will be stolen from at 20-30% under
+    // the bench's own burst reads steal ≈ 0 while waiting (measured:
+    // 4/4 r15 attempts launched "quiet" by load yet ran at 5.8-30.8%
+    // steal). The probe spins every core for a short window and reads
+    // the steal share that burst exposes; a dirty probe means the
+    // neighbor is resident RIGHT NOW and the attempt would be wasted.
+    // The probe runs BEFORE the load loop on purpose: its own spin
+    // adds ~1 to the 1-min load, and the load loop then waits out our
+    // self-inflicted contribution. Timing methodology is unchanged —
+    // same queries, same 3-run-min, same JSON; this only moves WHEN an
+    // attempt launches.
+    def probeStealPct(ms: Long): Double = {
+      val (b0, s0, _) = cpuStat()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val ts = (1 to Runtime.getRuntime.availableProcessors()).map { _ =>
+        val t = new Thread(() => {
+          var x = 0L
+          while (!stop.get()) x += 1
+          sink.addAndGet(x) // keep the loop unelidable
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      Thread.sleep(ms)
+      stop.set(true)
+      ts.foreach(_.join(1000))
+      val (b1, s1, _) = cpuStat()
+      if (b1 + s1 > b0 + s0)
+        100.0 * (s1 - s0) / ((b1 - b0) + (s1 - s0))
+      else 0.0
+    }
     def waitUntilQuiet(maxWaitMs: Long): Unit = {
       val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var sp = probeStealPct(2000)
+      while (sp > StealRetryThreshold && System.nanoTime() < deadline) {
+        System.err.println(
+          f"[bench] probed steal $sp%.1f%% > $StealRetryThreshold%.1f%% — settling")
+        Thread.sleep(15000)
+        sp = probeStealPct(2000)
+      }
       var l = loadAvg()
       while (l > LoadRetryThreshold && System.nanoTime() < deadline) {
         System.err.println(f"[bench] load $l%.2f > $LoadRetryThreshold%.1f — settling")
